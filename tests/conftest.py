@@ -1,0 +1,30 @@
+"""Test harness: force an 8-virtual-device CPU platform.
+
+Multi-device sharding tests run on a virtual CPU mesh (the reference could
+only test multi-GPU paths on real GPUs; JAX lets us validate GSPMD sharding
+host-side — SURVEY.md §4).
+
+Note: this environment pre-imports jax at interpreter startup (sitecustomize)
+with JAX_PLATFORMS pointing at the TPU, so env vars alone are too late —
+we override via jax.config before any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

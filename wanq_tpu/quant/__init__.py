@@ -1,0 +1,25 @@
+"""Quantization framework (TPU-native rebuild of quant_utils/qdiff)."""
+
+from wanq_tpu.quant.quantizers import (
+    QuantizerCfg,
+    compute_quant_params,
+    dequantize,
+    dynamic_fake_quant,
+    fake_quant,
+    n_levels_for,
+    quantize,
+    weight_fake_quant,
+    weight_int_quant,
+    weight_quant_params,
+    act_dynamic_int_quant,
+)
+from wanq_tpu.quant.config import FP_POLICY, LayerPolicy, QuantConfig
+from wanq_tpu.quant.hadamard import (
+    get_hadK,
+    matmul_hadU,
+    matmul_hadU_np,
+    paley_hadamard,
+    random_hadamard_matrix,
+    rotation_for_dim,
+)
+from wanq_tpu.quant.smooth import channel_mask, clamp_act_absmax

@@ -1,0 +1,173 @@
+"""Quant-config schema + per-layer policy resolution.
+
+The reference mutates the model tree at runtime, choosing a QuantizedLinear
+subclass per layer by regex (qdiff/base/quant_model.py:15-74) and applying
+mixed-precision bitwidths by regex lists (:76-105). Here the same YAML schema
+is resolved *once, at model-construction time* into an immutable per-layer
+``LayerPolicy`` — a static pytree of hashable dataclasses that the functional
+model consumes. No module surgery, no mutation; jit sees only static policy.
+
+YAML schema (compatible with the reference's quant_configs/config.yaml):
+
+    remain_fp_regex: <regex or null>
+    calib_data: {save_path: ...}
+    weight: {n_bits: 8 | [4, 8], sym: false}
+    act:    {n_bits: 8, sym: true}
+    smooth_quant: {alpha: 0.5, layer_name_regex: "..."}     # optional
+    quarot:       {layer_name_regex: "..."}                 # optional
+    viditq:       {alpha: 0.5665, layer_name_regex: ""}     # optional
+    mixed_precision:                                        # optional
+      weight: {layer_name_regex: ["fp-regex", "bits0-regex", ...]}
+      act:    {layer_name_regex: [...]}
+
+Regex semantics copied from the reference: ``re.search`` (substring match),
+and an *empty string* method regex matches every layer
+(quant_model.py:45-53 — the shipped Wan config uses viditq.layer_name_regex
+"" to enable ViDiT-Q everywhere). Empty strings inside mixed_precision lists
+are skipped (quant_model.py:82).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, List, Mapping, Optional, Tuple, Union
+
+import yaml
+
+from wanq_tpu.quant.quantizers import QuantizerCfg
+
+Method = str  # 'fp' | 'base' | 'smooth_quant' | 'quarot' | 'viditq'
+
+
+def _tuplify(n_bits: Any) -> Union[int, Tuple[int, ...]]:
+    if isinstance(n_bits, (list, tuple)):
+        return tuple(int(b) for b in n_bits)
+    return int(n_bits)
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerPolicy:
+    """Immutable per-layer quantization policy (static under jit)."""
+
+    method: Method = "fp"
+    weight: Optional[QuantizerCfg] = None
+    act: Optional[QuantizerCfg] = None
+    alpha: float = 0.5  # smooth-quant / viditq alpha
+    # mixed-precision FP16 overrides (quant_model.py:87-89, :100-102):
+    # idx 0 in the regex list means "keep this layer FP"
+    quant_mode: bool = True
+
+    @property
+    def is_quantized(self) -> bool:
+        return self.method != "fp" and self.quant_mode
+
+    @property
+    def uses_channel_mask(self) -> bool:
+        return self.method in ("smooth_quant", "viditq")
+
+    @property
+    def uses_rotation(self) -> bool:
+        return self.method in ("quarot", "viditq")
+
+
+FP_POLICY = LayerPolicy(method="fp")
+
+
+class QuantConfig:
+    """Parsed quant config; resolves LayerPolicy per layer path."""
+
+    def __init__(self, raw: Mapping[str, Any]):
+        self.raw = dict(raw)
+        self.remain_fp_regex: Optional[str] = raw.get("remain_fp_regex")
+        cd = raw.get("calib_data") or {}
+        self.calib_save_path: Optional[str] = cd.get("save_path")
+
+        w = raw.get("weight")
+        self.weight_cfg = (
+            QuantizerCfg(n_bits=_tuplify(w["n_bits"]), sym=bool(w.get("sym", False)))
+            if w
+            else None
+        )
+        a = raw.get("act")
+        self.act_cfg = (
+            QuantizerCfg(n_bits=_tuplify(a["n_bits"]), sym=bool(a.get("sym", False)))
+            if a
+            else None
+        )
+
+        self.methods: Dict[str, Dict[str, Any]] = {}
+        for m in ("smooth_quant", "quarot", "viditq"):
+            if raw.get(m) is not None:
+                self.methods[m] = dict(raw[m])
+
+        self.mixed_precision: Optional[Dict[str, Any]] = raw.get("mixed_precision")
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "QuantConfig":
+        with open(path) as f:
+            return cls(yaml.safe_load(f))
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "QuantConfig":
+        return cls(d)
+
+    # -- policy resolution (ref: quant_layer_refactor_, quant_model.py:15-74) --
+
+    def resolve(self, full_name: str) -> LayerPolicy:
+        """Resolve the policy for a layer path like 'blocks.0.self_attn.q'."""
+        method: Method = "base"
+        alpha = 0.5
+        # later methods win, matching the reference's sequential overwrites
+        for m in ("smooth_quant", "quarot", "viditq"):
+            if m in self.methods:
+                regex = self.methods[m].get("layer_name_regex", "")
+                if regex is None:
+                    regex = ""
+                # empty regex matches everything (re.search semantics)
+                if re.search(re.compile(regex), full_name):
+                    method = m
+                    alpha = float(self.methods[m].get("alpha", alpha))
+
+        if self.remain_fp_regex:
+            if re.compile(self.remain_fp_regex).search(full_name):
+                return FP_POLICY
+
+        w_cfg, a_cfg = self.weight_cfg, self.act_cfg
+        quant_mode = True
+
+        # mixed precision (ref: bitwidth_refactor_, quant_model.py:76-105)
+        if self.mixed_precision is not None:
+            w_list: List[str] = list(
+                (self.mixed_precision.get("weight") or {}).get("layer_name_regex", [])
+            )
+            a_list: List[str] = list(
+                (self.mixed_precision.get("act") or {}).get("layer_name_regex", [])
+            )
+            for idx, regex in enumerate(w_list):
+                if len(regex) == 0:
+                    continue
+                if re.search(re.compile(regex), full_name):
+                    if idx == 0:
+                        quant_mode = False
+                    elif w_cfg is not None:
+                        w_cfg = w_cfg.with_bitwidth(idx - 1)
+            for idx, regex in enumerate(a_list):
+                if len(regex) == 0:
+                    continue
+                if re.search(re.compile(regex), full_name):
+                    if idx == 0:
+                        quant_mode = False
+                    elif a_cfg is not None:
+                        a_cfg = a_cfg.with_bitwidth(idx - 1)
+
+        return LayerPolicy(
+            method=method,
+            weight=w_cfg,
+            act=a_cfg,
+            alpha=alpha,
+            quant_mode=quant_mode,
+        )
+
+    def resolve_all(self, layer_names: List[str]) -> Dict[str, LayerPolicy]:
+        return {name: self.resolve(name) for name in layer_names}
