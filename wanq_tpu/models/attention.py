@@ -1,0 +1,112 @@
+"""Attention dispatch (TPU-native rebuild of wan/modules/attention.py:24-179).
+
+The reference dispatches varlen FlashAttention-2/3 CUDA kernels with an SDPA
+fallback. Here the TPU path uses a Pallas flash (online-softmax, blockwise)
+kernel and the CPU/test path a chunked jnp reference. Raggedness is handled
+with static padding + segment-id masking instead of varlen cu_seqlens (JAX
+static shapes; batch entries share a resolution in all reference run
+configs, so per-sample raggedness reduces to one tail mask). Wan seq lens
+(e.g. 32760 = 21·30·52 patches at 1.3B/480p) are not tile-aligned, so the
+wrapper pads q/k/v to the flash block size internally and slices the output.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_DEF_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_FLASH_BLOCK = 512
+
+
+def _sdpa_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    k_valid_len: Optional[int],
+) -> jax.Array:
+    """Plain jnp attention with f32 softmax. q,k,v: [B, S, N, D]."""
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("bsnd,btnd->bnst", qf, kf) * scale
+    if k_valid_len is not None and k_valid_len < k.shape[1]:
+        mask = jnp.arange(k.shape[1]) < k_valid_len
+        scores = jnp.where(mask[None, None, None, :], scores, _DEF_MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bnst,btnd->bsnd", probs.astype(v.dtype), v)
+    return out
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    k_valid_len: Optional[int] = None,
+    force_reference: bool = False,
+) -> jax.Array:
+    """Scaled dot-product attention. q: [B, Sq, N, D]; k,v: [B, Sk, N, D].
+
+    On TPU the Pallas flash kernel runs (ref analog: flash_attention,
+    wan/modules/attention.py:24-130); on CPU/tests, the jnp reference
+    (ref :133-179 SDPA fallback). Trace-safe dispatch (keys on backend).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+
+    if force_reference or jax.default_backend() != "tpu":
+        return _sdpa_reference(q, k, v, scale, k_valid_len)
+
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    kv_len = min(k_valid_len, sk) if k_valid_len is not None else sk
+
+    blk_q = min(_FLASH_BLOCK, _round_up(sq, 128))
+    blk_k = min(_FLASH_BLOCK, _round_up(sk, 128))
+    sq_p = _round_up(sq, blk_q)
+    sk_p = _round_up(sk, blk_k)
+
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0), (0, 0)))
+    if sk_p != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+
+    segment_ids = None
+    if kv_len < sk_p:
+        # KV tail (model padding or wrapper padding) gets segment 2 so no
+        # query attends to it — the analog of the reference's k_lens mask
+        # (attention.py:90-105). Wrapper-padded q rows (seg 1) are sliced
+        # off below; model-padded q rows stay unmasked like the reference.
+        q_seg = (jnp.arange(sq_p) >= sq).astype(jnp.int32)
+        kv_seg = 2 * (jnp.arange(sk_p) >= kv_len).astype(jnp.int32)
+        segment_ids = fa.SegmentIds(
+            q=jnp.broadcast_to(q_seg[None], (b, sq_p)),
+            kv=jnp.broadcast_to(kv_seg[None], (b, sk_p)),
+        )
+
+    sizes = fa.BlockSizes(
+        block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1
+    )
+    out = fa.flash_attention(
+        jnp.swapaxes(q, 1, 2).astype(jnp.bfloat16),
+        jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16),
+        jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16),
+        segment_ids=segment_ids,
+        causal=False,
+        sm_scale=scale,
+        block_sizes=sizes,
+    )
+    out = jnp.swapaxes(out, 1, 2)[:, :sq]
+    return out.astype(v.dtype)

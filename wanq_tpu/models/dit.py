@@ -1,0 +1,431 @@
+"""Wan2.1 DiT backbone in functional JAX.
+
+TPU-native rebuild of ``WanModel`` (ref: wan/modules/model.py:418-656,
+WanAttentionBlock :253-370, WanSelfAttention :105-175, Head :373-400).
+Design decisions vs the reference:
+
+* Params are an explicit pytree whose paths mirror the reference module
+  names ("blocks.0.self_attn.q", ...) so the reference's regex-driven quant
+  configs apply verbatim.
+* No nn.Module surgery: every linear goes through
+  :func:`wanq_tpu.quant.qlinear.qlinear` with a :class:`QuantCtx`.
+* fp32 discipline matches the reference autocast pattern: the residual
+  stream, norms, modulation, and time embeddings run in float32
+  (model.py:314-317, :344-345, :592-596); matmuls run in the param dtype
+  (bf16) on the MXU.
+* Static shapes: x is padded to ``seq_len`` at trace time; the single
+  (F, H, W) grid is shared across the batch (all reference run configs use
+  homogeneous batches).
+* The per-op cuda-sync timing prints of the reference (model.py:142-171,
+  :311-362 — dev instrumentation) are dropped; profiling is jax.profiler's
+  job. The reference's model.py:145-146 disables norm_q in a dev hack; we
+  implement the original qk-norm semantics (quant path quant_wanx_cuda.py:449
+  confirms RMSNorm on q and k).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wanq_tpu.configs import WanConfig
+from wanq_tpu.models.attention import attention
+from wanq_tpu.models.rope import rope_apply_padded, rope_tables
+from wanq_tpu.quant.qlinear import QuantCtx, qlinear
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jax.Array, eps: float, w=None, b=None) -> jax.Array:
+    """fp32 LayerNorm (ref WanLayerNorm, model.py:92-102)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if w is not None:
+        y = y * w.astype(jnp.float32) + b.astype(jnp.float32)
+    return y
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """fp32 RMSNorm with learnable gain (ref WanRMSNorm, model.py:73-89)."""
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    return y.astype(x.dtype) * w
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def sinusoidal_embedding_1d(dim: int, t: jax.Array) -> jax.Array:
+    """ref model.py:18-28 (f64 there; f32 here — t is O(1000), benign)."""
+    half = dim // 2
+    freqs = jnp.power(
+        10000.0, -jnp.arange(half, dtype=jnp.float32) / half
+    )
+    sinusoid = jnp.outer(t.astype(jnp.float32), freqs)
+    return jnp.concatenate([jnp.cos(sinusoid), jnp.sin(sinusoid)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _linear_init(key, c_in: int, c_out: int, dtype, scheme: str = "xavier"):
+    kw, _ = jax.random.split(key)
+    if scheme == "xavier":
+        bound = math.sqrt(6.0 / (c_in + c_out))
+        w = jax.random.uniform(kw, (c_in, c_out), jnp.float32, -bound, bound)
+    elif scheme == "normal02":
+        w = jax.random.normal(kw, (c_in, c_out), jnp.float32) * 0.02
+    elif scheme == "zeros":
+        w = jnp.zeros((c_in, c_out), jnp.float32)
+    else:
+        raise ValueError(scheme)
+    return {"w": w.astype(dtype), "b": jnp.zeros((c_out,), jnp.float32)}
+
+
+def init_params(cfg: WanConfig, key: jax.Array) -> Params:
+    """Random init mirroring WanModel.init_weights (model.py:658-680)."""
+    dtype = cfg.dtype
+    d = cfg.dim
+    keys = iter(jax.random.split(key, 64 + 16 * cfg.num_layers))
+
+    def lin(c_in, c_out, scheme="xavier"):
+        return _linear_init(next(keys), c_in, c_out, dtype, scheme)
+
+    params: Params = {
+        # Conv3d patch embedding stored as a dense kernel
+        # [pt*ph*pw*in_dim, dim]: with stride == kernel == patch_size the
+        # conv is exactly a per-patch linear (ref model.py:502-503).
+        "patch_embedding": lin(int(np.prod(cfg.patch_size)) * cfg.in_dim, d),
+        "text_embedding": {
+            "0": lin(cfg.text_dim, d, "normal02"),
+            "2": lin(d, d, "normal02"),
+        },
+        "time_embedding": {
+            "0": lin(cfg.freq_dim, d, "normal02"),
+            "2": lin(d, d, "normal02"),
+        },
+        "time_projection": {"1": lin(d, d * 6)},
+        "head": {
+            "head": lin(d, int(np.prod(cfg.patch_size)) * cfg.out_dim, "zeros"),
+            "modulation": (
+                jax.random.normal(next(keys), (1, 2, d), jnp.float32) / math.sqrt(d)
+            ),
+        },
+        "blocks": [],
+    }
+    if cfg.model_type == "i2v":
+        params["img_emb"] = {
+            "proj": {
+                "0": {"w": jnp.ones((cfg.clip_dim,), jnp.float32),
+                      "b": jnp.zeros((cfg.clip_dim,), jnp.float32)},
+                "1": lin(cfg.clip_dim, cfg.clip_dim),
+                "3": lin(cfg.clip_dim, d),
+                "4": {"w": jnp.ones((d,), jnp.float32),
+                      "b": jnp.zeros((d,), jnp.float32)},
+            }
+        }
+
+    for _ in range(cfg.num_layers):
+        block = {
+            "self_attn": {
+                "q": lin(d, d),
+                "k": lin(d, d),
+                "v": lin(d, d),
+                "o": lin(d, d),
+                "norm_q": jnp.ones((d,), jnp.float32),
+                "norm_k": jnp.ones((d,), jnp.float32),
+            },
+            "cross_attn": {
+                "q": lin(d, d),
+                "k": lin(d, d),
+                "v": lin(d, d),
+                "o": lin(d, d),
+                "norm_q": jnp.ones((d,), jnp.float32),
+                "norm_k": jnp.ones((d,), jnp.float32),
+            },
+            "norm3": (
+                {"w": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+                if cfg.cross_attn_norm
+                else None
+            ),
+            "ffn": {"0": lin(d, cfg.ffn_dim), "2": lin(cfg.ffn_dim, d)},
+            "modulation": (
+                jax.random.normal(next(keys), (1, 6, d), jnp.float32) / math.sqrt(d)
+            ),
+        }
+        if cfg.model_type == "i2v":
+            block["cross_attn"]["k_img"] = lin(d, d)
+            block["cross_attn"]["v_img"] = lin(d, d)
+            block["cross_attn"]["norm_k_img"] = jnp.ones((d,), jnp.float32)
+        params["blocks"].append(block)
+    return params
+
+
+def linear_layer_names(cfg: WanConfig) -> List[str]:
+    """Every quantizable linear path, in reference naming (the set that
+    apply_func_to_submodules(nn.Linear) would visit)."""
+    names = [
+        "text_embedding.0",
+        "text_embedding.2",
+        "time_embedding.0",
+        "time_embedding.2",
+        "time_projection.1",
+        "head.head",
+    ]
+    for i in range(cfg.num_layers):
+        for mod in ("self_attn", "cross_attn"):
+            for leaf in ("q", "k", "v", "o"):
+                names.append(f"blocks.{i}.{mod}.{leaf}")
+            if cfg.model_type == "i2v" and mod == "cross_attn":
+                names.append(f"blocks.{i}.cross_attn.k_img")
+                names.append(f"blocks.{i}.cross_attn.v_img")
+        names.append(f"blocks.{i}.ffn.0")
+        names.append(f"blocks.{i}.ffn.2")
+    return names
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def patchify(x: jax.Array, patch_size: Tuple[int, int, int]) -> jax.Array:
+    """[B, C, F, H, W] → [B, L, C*pt*ph*pw] patches (ref Conv3d stride=kernel)."""
+    b, c, f, h, w = x.shape
+    pt, ph, pw = patch_size
+    x = x.reshape(b, c, f // pt, pt, h // ph, ph, w // pw, pw)
+    # order patch-position dims to match Conv3d weight layout [C_out, C_in, pt, ph, pw]
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)  # b, f', h', w', c, pt, ph, pw
+    return x.reshape(b, (f // pt) * (h // ph) * (w // pw), c * pt * ph * pw)
+
+
+def unpatchify(
+    x: jax.Array, grid: Tuple[int, int, int], patch_size: Tuple[int, int, int], out_dim: int
+) -> jax.Array:
+    """[B, L, pt*ph*pw*C] → [B, C, F, H, W] (ref model.py:633-656)."""
+    b = x.shape[0]
+    f, h, w = grid
+    pt, ph, pw = patch_size
+    x = x[:, : f * h * w]
+    x = x.reshape(b, f, h, w, pt, ph, pw, out_dim)
+    x = jnp.einsum("bfhwpqrc->bcfphqwr", x)
+    return x.reshape(b, out_dim, f * pt, h * ph, w * pw)
+
+
+def _self_attention(
+    p: Params,
+    name: str,
+    ctx: Optional[QuantCtx],
+    x: jax.Array,
+    cfg: WanConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+    valid_len: int,
+    dtype,
+) -> jax.Array:
+    """ref WanSelfAttention.forward (model.py:130-175)."""
+    b, s, _ = x.shape
+    n, hd = cfg.num_heads, cfg.head_dim
+    q = qlinear(ctx, f"{name}.q", p["q"], x, dtype)
+    k = qlinear(ctx, f"{name}.k", p["k"], x, dtype)
+    v = qlinear(ctx, f"{name}.v", p["v"], x, dtype)
+    if cfg.qk_norm:
+        q = rms_norm(q, p["norm_q"], cfg.eps)
+        k = rms_norm(k, p["norm_k"], cfg.eps)
+    q = q.reshape(b, s, n, hd)
+    k = k.reshape(b, s, n, hd)
+    v = v.reshape(b, s, n, hd).astype(dtype)
+    q = rope_apply_padded(q, cos, sin, valid_len).astype(dtype)
+    k = rope_apply_padded(k, cos, sin, valid_len).astype(dtype)
+    y = attention(q, k, v, k_valid_len=valid_len)
+    y = y.reshape(b, s, n * hd)
+    return qlinear(ctx, f"{name}.o", p["o"], y, dtype)
+
+
+def _cross_attention(
+    p: Params,
+    name: str,
+    ctx: Optional[QuantCtx],
+    x: jax.Array,
+    context: jax.Array,
+    cfg: WanConfig,
+    dtype,
+) -> jax.Array:
+    """ref WanT2VCrossAttention / WanI2VCrossAttention (model.py:178-244).
+
+    For i2v, context = [clip tokens (257) ; text tokens] along dim 1
+    (model.py:225-226).
+    """
+    b = x.shape[0]
+    n, hd = cfg.num_heads, cfg.head_dim
+    if cfg.model_type == "i2v":
+        context_img, context_txt = context[:, :257], context[:, 257:]
+    else:
+        context_txt = context
+
+    q = qlinear(ctx, f"{name}.q", p["q"], x, dtype)
+    k = qlinear(ctx, f"{name}.k", p["k"], context_txt, dtype)
+    v = qlinear(ctx, f"{name}.v", p["v"], context_txt, dtype)
+    if cfg.qk_norm:
+        q = rms_norm(q, p["norm_q"], cfg.eps)
+        k = rms_norm(k, p["norm_k"], cfg.eps)
+    q = q.reshape(b, -1, n, hd).astype(dtype)
+    k = k.reshape(b, -1, n, hd).astype(dtype)
+    v = v.reshape(b, -1, n, hd).astype(dtype)
+    y = attention(q, k, v)
+
+    if cfg.model_type == "i2v":
+        k_img = qlinear(ctx, f"{name}.k_img", p["k_img"], context_img, dtype)
+        k_img = rms_norm(k_img, p["norm_k_img"], cfg.eps)
+        v_img = qlinear(ctx, f"{name}.v_img", p["v_img"], context_img, dtype)
+        k_img = k_img.reshape(b, -1, n, hd).astype(dtype)
+        v_img = v_img.reshape(b, -1, n, hd).astype(dtype)
+        y = y + attention(q, k_img, v_img)
+
+    y = y.reshape(b, -1, n * hd)
+    return qlinear(ctx, f"{name}.o", p["o"], y, dtype)
+
+
+def block_forward(
+    p: Params,
+    name: str,
+    ctx: Optional[QuantCtx],
+    x: jax.Array,
+    e: jax.Array,
+    context: jax.Array,
+    cfg: WanConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+    valid_len: int,
+) -> jax.Array:
+    """ref WanAttentionBlock.forward (model.py:293-370). x: [B, L, C] f32."""
+    dtype = cfg.dtype
+    # modulation in fp32 (model.py:314-317)
+    ee = (p["modulation"].astype(jnp.float32) + e).astype(jnp.float32)
+    e0, e1, e2, e3, e4, e5 = [ee[:, i] for i in range(6)]
+
+    xn1 = layer_norm(x, cfg.eps) * (1.0 + e1[:, None, :]) + e0[:, None, :]
+    y = _self_attention(
+        p["self_attn"], f"{name}.self_attn", ctx, xn1.astype(dtype), cfg,
+        cos, sin, valid_len, dtype,
+    )
+    x = x + y.astype(jnp.float32) * e2[:, None, :]
+
+    if cfg.cross_attn_norm:
+        xn3 = layer_norm(x, cfg.eps, p["norm3"]["w"], p["norm3"]["b"])
+    else:
+        xn3 = x
+    y = _cross_attention(
+        p["cross_attn"], f"{name}.cross_attn", ctx, xn3.astype(dtype),
+        context, cfg, dtype,
+    )
+    x = x + y.astype(jnp.float32)
+
+    xn2 = layer_norm(x, cfg.eps) * (1.0 + e4[:, None, :]) + e3[:, None, :]
+    h = qlinear(ctx, f"{name}.ffn.0", p["ffn"]["0"], xn2.astype(dtype), dtype)
+    h = gelu_tanh(h).astype(dtype)
+    y = qlinear(ctx, f"{name}.ffn.2", p["ffn"]["2"], h, dtype)
+    x = x + y.astype(jnp.float32) * e5[:, None, :]
+    return x
+
+
+def head_forward(p: Params, x: jax.Array, e: jax.Array, cfg: WanConfig) -> jax.Array:
+    """ref Head.forward (model.py:390-400). e: [B, C] time embedding."""
+    ee = p["head"]["modulation"].astype(jnp.float32) + e[:, None, :]
+    e0, e1 = ee[:, 0], ee[:, 1]
+    xn = layer_norm(x, cfg.eps) * (1.0 + e1[:, None, :]) + e0[:, None, :]
+    return qlinear(None, "head.head", p["head"]["head"], xn.astype(cfg.dtype))
+
+
+def dit_forward(
+    params: Params,
+    cfg: WanConfig,
+    x: jax.Array,
+    t: jax.Array,
+    context: jax.Array,
+    seq_len: int,
+    ctx: Optional[QuantCtx] = None,
+    clip_fea: Optional[jax.Array] = None,
+    y: Optional[jax.Array] = None,
+    seq_shard: Optional[Tuple[Any, str]] = None,
+) -> jax.Array:
+    """Denoising forward (ref WanModel.forward, model.py:539-631).
+
+    x: [B, C_in, F, H, W] latent video (+ y concat for i2v)
+    t: [B] timesteps; context: [B, text_len, text_dim] T5 states.
+    Returns [B, C_out, F, H, W] float32.
+    ``seq_shard``: optional (mesh, axis) for Ulysses sequence sharding —
+    see wanq_tpu.parallel (ref usp_dit_forward, xdit_context_parallel.py).
+    """
+    dtype = cfg.dtype
+    if y is not None:
+        x = jnp.concatenate([x, y], axis=1)  # i2v channel concat (model.py:577)
+
+    b = x.shape[0]
+    grid = (
+        x.shape[2] // cfg.patch_size[0],
+        x.shape[3] // cfg.patch_size[1],
+        x.shape[4] // cfg.patch_size[2],
+    )
+    tokens = patchify(x, cfg.patch_size)
+    xq = qlinear(None, "patch_embedding", params["patch_embedding"],
+                 tokens.astype(dtype), dtype)
+    valid_len = xq.shape[1]
+    assert valid_len <= seq_len, (valid_len, seq_len)
+    if valid_len < seq_len:
+        xq = jnp.pad(xq, ((0, 0), (0, seq_len - valid_len), (0, 0)))
+
+    # time embeddings, fp32 (model.py:592-596)
+    e = sinusoidal_embedding_1d(cfg.freq_dim, t)
+    e = qlinear(None, "time_embedding.0", params["time_embedding"]["0"], e[:, None, :],
+                jnp.float32)
+    e = jax.nn.silu(e)
+    e = qlinear(None, "time_embedding.2", params["time_embedding"]["2"], e,
+                jnp.float32)[:, 0]  # [B, dim]
+    e0 = qlinear(None, "time_projection.1", params["time_projection"]["1"],
+                 jax.nn.silu(e)[:, None, :], jnp.float32)
+    e0 = e0.reshape(b, 6, cfg.dim)  # [B, 6, dim]
+
+    # text embedding MLP (model.py:600-605); context pre-padded to text_len
+    c = qlinear(ctx, "text_embedding.0", params["text_embedding"]["0"],
+                context.astype(dtype), dtype)
+    c = gelu_tanh(c).astype(dtype)
+    c = qlinear(ctx, "text_embedding.2", params["text_embedding"]["2"], c, dtype)
+    c = c.astype(dtype)
+
+    if cfg.model_type == "i2v":
+        assert clip_fea is not None
+        ip = params["img_emb"]["proj"]
+        ci = layer_norm(clip_fea, 1e-5, ip["0"]["w"], ip["0"]["b"]).astype(dtype)
+        ci = qlinear(None, "img_emb.proj.1", ip["1"], ci, dtype)
+        ci = jax.nn.gelu(ci, approximate=False).astype(dtype)
+        ci = qlinear(None, "img_emb.proj.3", ip["3"], ci, dtype)
+        ci = layer_norm(ci, 1e-5, ip["4"]["w"], ip["4"]["b"]).astype(dtype)
+        c = jnp.concatenate([ci, c], axis=1)
+
+    cos, sin = (jnp.asarray(a) for a in rope_tables(grid, cfg.head_dim))
+
+    xf = xq.astype(jnp.float32)
+    for i in range(cfg.num_layers):
+        xf = block_forward(
+            params["blocks"][i], f"blocks.{i}", ctx, xf, e0, c, cfg,
+            cos, sin, valid_len,
+        )
+
+    out = head_forward(params, xf, e, cfg)
+    return unpatchify(out.astype(jnp.float32), grid, cfg.patch_size, cfg.out_dim)

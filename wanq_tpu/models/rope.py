@@ -1,0 +1,91 @@
+"""3D rotary position embedding for the Wan DiT.
+
+TPU-native redesign of the reference rope (wan/modules/model.py:31-70):
+the reference builds complex128 tensors and loops over samples in Python;
+here the (f, h, w) rotation angles are precomputed once per grid as real
+float32 cos/sin tables (static shapes, jit-friendly, batch-broadcast), and
+application is a vectorized real-valued rotation on the MXU-adjacent VPU.
+
+Numerics: reference uses float64 angle math on CPU at trace time — we
+compute the tables in float64 on host (numpy) too, then store float32,
+so table values match the reference to f32 rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _rope_freqs_1d(max_len: int, dim: int, theta: float = 10000.0) -> np.ndarray:
+    """Angle table [max_len, dim//2] (ref rope_params, model.py:31-39)."""
+    pos = np.arange(max_len, dtype=np.float64)
+    inv = 1.0 / np.power(theta, np.arange(0, dim, 2, dtype=np.float64) / dim)
+    return np.outer(pos, inv)  # angles, not complex
+
+
+@functools.lru_cache(maxsize=8)
+def rope_tables(
+    grid: Tuple[int, int, int], head_dim: int, max_len: int = 1024
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) tables [seq_len, head_dim//2] for a (F, H, W) patch grid.
+
+    Mirrors the reference's per-axis split (model.py:526-531 build and
+    :47 apply-side split): with c = head_dim//2,
+      f-axis gets c - 2*(c//3) freqs, h and w axes get c//3 each.
+    """
+    f, h, w = grid
+    c = head_dim // 2
+    parts = (c - 2 * (c // 3), c // 3, c // 3)
+    ang_f = _rope_freqs_1d(max_len, 2 * parts[0])[:f]  # [f, c_f]
+    ang_h = _rope_freqs_1d(max_len, 2 * parts[1])[:h]  # [h, c_h]
+    ang_w = _rope_freqs_1d(max_len, 2 * parts[2])[:w]  # [w, c_w]
+
+    ang = np.concatenate(
+        [
+            np.broadcast_to(ang_f[:, None, None, :], (f, h, w, parts[0])),
+            np.broadcast_to(ang_h[None, :, None, :], (f, h, w, parts[1])),
+            np.broadcast_to(ang_w[None, None, :, :], (f, h, w, parts[2])),
+        ],
+        axis=-1,
+    ).reshape(f * h * w, c)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def rope_apply(
+    x: jax.Array, cos: jax.Array, sin: jax.Array, seq_offset: int = 0
+) -> jax.Array:
+    """Apply the rotation to x: [B, S, N, D] → [B, S, N, D] (float32).
+
+    Adjacent feature pairs (2i, 2i+1) form the complex components, matching
+    the reference's view_as_complex layout (model.py:55).
+    ``seq_offset`` slices the tables for sequence-parallel shards (the
+    reference's rank-offset RoPE, xdit_context_parallel.py:52-57).
+    """
+    b, s, n, d = x.shape
+    xf = x.astype(jnp.float32).reshape(b, s, n, d // 2, 2)
+    x0, x1 = xf[..., 0], xf[..., 1]
+    cs = jax.lax.dynamic_slice_in_dim(cos, seq_offset, s, axis=0)[None, :, None, :]
+    sn = jax.lax.dynamic_slice_in_dim(sin, seq_offset, s, axis=0)[None, :, None, :]
+    o0 = x0 * cs - x1 * sn
+    o1 = x0 * sn + x1 * cs
+    return jnp.stack([o0, o1], axis=-1).reshape(b, s, n, d)
+
+
+def rope_apply_padded(
+    x: jax.Array, cos: jax.Array, sin: jax.Array, valid_len: int
+) -> jax.Array:
+    """Rotate the first ``valid_len`` tokens, pass the zero-padding tail
+    through unchanged (ref model.py:66 keeps x[seq_len:] unrotated)."""
+    b, s, n, d = x.shape
+    if valid_len >= s:
+        return rope_apply(x, cos, sin)
+    # tables are defined for valid_len tokens; pad with identity rotation
+    pad = s - valid_len
+    cos_p = jnp.concatenate([cos[:valid_len], jnp.ones((pad, cos.shape[1]), cos.dtype)])
+    sin_p = jnp.concatenate([sin[:valid_len], jnp.zeros((pad, sin.shape[1]), sin.dtype)])
+    return rope_apply(x, cos_p, sin_p)

@@ -1,0 +1,205 @@
+"""Int8 GEMM with fused per-token × per-channel dequant epilogue.
+
+TPU-native equivalent of the reference CUDA kernels
+(kernels/csrc/qgemm/w8a8/w8a8_gemm_cuda.cu: GemmInt8SharedRegPipelineV2 with
+its dequant epilogue, host wrappers w8a8_of16_bias_weight_asym/:624-705 and
+_sym/:707). Epilogue ground truth (kernels/bench/bench_gemm.py:26-32):
+
+    out = (A_int8 @ W_int8) · s_a[:,None] · s_w[None,:]
+        + sum_a[:,None] · zp_w[None,:] · s_w[None,:]          (asym only)
+        + bias
+
+where sum_a = s_a · Σ_k A_int8[m, k] (the per-token scaled int sum produced
+by the upstream quant kernels).
+
+Two implementations:
+  * ``w8a8_linear_xla`` — jnp int8 dot (MXU int8 path on v5e+) + epilogue;
+    XLA fuses the elementwise epilogue into the GEMM consumer.
+  * ``w8a8_linear_pallas`` — hand-tiled Pallas kernel with the epilogue in
+    VMEM (no int32 round-trip through HBM).
+``w8a8_linear`` dispatches; unlike the reference kernel (M%128==0, N%128,
+K%64 hard asserts, w8a8_gemm_cuda.cu:680-682, worked around by host-side
+token padding in quant_wanx_cuda.py:313-328) raggedness is handled here,
+inside the wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _epilogue(acc_i32, s_a, s_w, sum_a, zp_w, bias):
+    out = acc_i32.astype(jnp.float32) * (s_a[:, None] * s_w[None, :])
+    if zp_w is not None:
+        out = out + sum_a[:, None] * (zp_w * s_w)[None, :]
+    if bias is not None:
+        out = out + bias[None, :]
+    return out
+
+
+def w8a8_linear_xla(
+    a_int8: jax.Array,
+    w_int8: jax.Array,
+    s_a: jax.Array,
+    s_w: jax.Array,
+    sum_a: Optional[jax.Array] = None,
+    zp_w: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """a_int8 [M,K] @ w_int8 [K,N] with fused dequant. Returns f32 [M,N]."""
+    acc = jax.lax.dot_general(
+        a_int8,
+        w_int8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return _epilogue(acc, s_a.astype(jnp.float32), s_w.astype(jnp.float32),
+                     None if sum_a is None else sum_a.astype(jnp.float32),
+                     None if zp_w is None else zp_w.astype(jnp.float32),
+                     bias)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _w8a8_kernel(a_ref, w_ref, sa_ref, sw_ref, suma_ref, zpw_ref, bias_ref,
+                 out_ref, acc_ref, *, k_steps: int, asym: bool, has_bias: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:],
+        w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == k_steps - 1)
+    def _finish():
+        s_a = sa_ref[0, :]  # [BM]
+        s_w = sw_ref[0, :]  # [BN]
+        out = acc_ref[:].astype(jnp.float32) * (s_a[:, None] * s_w[None, :])
+        if asym:
+            sum_a = suma_ref[0, :]
+            zp_w = zpw_ref[0, :]
+            out = out + sum_a[:, None] * (zp_w * s_w)[None, :]
+        if has_bias:
+            out = out + bias_ref[0, :][None, :]
+        out_ref[:] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+)
+def w8a8_linear_pallas(
+    a_int8: jax.Array,
+    w_int8: jax.Array,
+    s_a: jax.Array,
+    s_w: jax.Array,
+    sum_a: Optional[jax.Array] = None,
+    zp_w: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Tiled int8 MXU GEMM with the dequant epilogue fused in VMEM.
+
+    Accepts any M (pads to the tile internally); K and N must be multiples
+    of 128 (true for all Wan dims). Per-token/channel vectors ride as
+    [1, M]/[1, N] rows so they lay out along lanes.
+    """
+    m, k = a_int8.shape
+    k2, n = w_int8.shape
+    assert k == k2
+    asym = zp_w is not None
+    has_bias = bias is not None
+
+    bm = min(block_m, _round_up(m, 128))
+    bn = min(block_n, n)
+    bk = block_k
+    while k % bk:
+        bk //= 2
+    assert bk >= 128, f"K={k} not tileable"
+    m_pad = _round_up(m, bm)
+
+    if m_pad != m:
+        a_int8 = jnp.pad(a_int8, ((0, m_pad - m), (0, 0)))
+        s_a = jnp.pad(s_a, (0, m_pad - m))
+        if sum_a is not None:
+            sum_a = jnp.pad(sum_a, (0, m_pad - m))
+
+    s_a2 = s_a.astype(jnp.float32)[None, :]
+    s_w2 = s_w.astype(jnp.float32)[None, :]
+    sum_a2 = (sum_a.astype(jnp.float32)[None, :] if asym
+              else jnp.zeros((1, m_pad), jnp.float32))
+    zp_w2 = (zp_w.astype(jnp.float32)[None, :] if asym
+             else jnp.zeros((1, n), jnp.float32))
+    bias2 = (bias.astype(jnp.float32)[None, :] if has_bias
+             else jnp.zeros((1, n), jnp.float32))
+
+    grid = (m_pad // bm, n // bn, k // bk)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w8a8_kernel, k_steps=grid[2], asym=asym, has_bias=has_bias
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j, kk: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j, kk: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=m_pad * k + k * n + m_pad * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_int8, w_int8, s_a2, s_w2, sum_a2, zp_w2, bias2)
+    return out[:m] if m_pad != m else out
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def w8a8_linear(
+    a_int8: jax.Array,
+    w_int8: jax.Array,
+    s_a: jax.Array,
+    s_w: jax.Array,
+    sum_a: Optional[jax.Array] = None,
+    zp_w: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Dispatch: Pallas on TPU when tiles fit, XLA otherwise."""
+    m, k = a_int8.shape
+    n = w_int8.shape[1]
+    if jax.default_backend() == "tpu" and k % 128 == 0 and n % 128 == 0:
+        return w8a8_linear_pallas(a_int8, w_int8, s_a, s_w, sum_a, zp_w, bias)
+    return w8a8_linear_xla(a_int8, w_int8, s_a, s_w, sum_a, zp_w, bias)

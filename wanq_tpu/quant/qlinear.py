@@ -1,0 +1,142 @@
+"""Quantized linear application + QuantCtx.
+
+TPU-native redesign of the reference's module-surgery approach: instead of
+replacing nn.Linear modules with QuantizedLinear subclasses at runtime
+(qdiff/base/quant_model.py:15-74), the model calls :func:`qlinear` at every
+linear site with a layer path name, and a :class:`QuantCtx` decides the
+behavior — FP, calibration-collect, simulated quant, or int8 kernels —
+from statically resolved per-layer policies and an explicit quant-state
+pytree. One model codebase serves all four modes; jit sees static policy
+and traced state arrays only.
+
+Layer state entries (produced by :mod:`wanq_tpu.quant.ptq`):
+  w_q       deployed fake-quant weight [C_in, C_out] (mask/rotation applied)
+  delta_w   [C_out] final weight quant scale        (ref: w_quantizer.delta)
+  zp_w      [C_out] final weight zero point         (ref: w_quantizer.zero_point)
+  channel_mask [C_in]      (smooth_quant / viditq only)
+  w_int8    int8 weight [C_in, C_out]               (int8 mode)
+  scale_w/zp_w_int [C_out] int8 export params       (ref: scale_weight/zp_weight)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from wanq_tpu.quant.config import FP_POLICY, LayerPolicy
+from wanq_tpu.quant.quantizers import (
+    act_dynamic_int_quant,
+    dynamic_fake_quant,
+)
+
+Params = Dict[str, Any]
+
+MODES = ("fp", "calib", "sim", "int8")
+
+
+@dataclasses.dataclass
+class QuantCtx:
+    """Carried through the model forward; not a pytree leaf container —
+    ``state``/``rotations``/``collect`` hold traced arrays, everything else
+    is static."""
+
+    mode: str = "fp"
+    policies: Dict[str, LayerPolicy] = dataclasses.field(default_factory=dict)
+    state: Dict[str, Dict[str, jax.Array]] = dataclasses.field(default_factory=dict)
+    rotations: Dict[int, jax.Array] = dataclasses.field(default_factory=dict)
+    # calibration outputs: layer path -> per-channel absmax [C_in] of the
+    # FP input seen this call (ref: SaveActivationHook 'default' type,
+    # get_calib_data_wanx.py:240-267)
+    collect: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
+
+    def policy(self, name: str) -> LayerPolicy:
+        return self.policies.get(name, FP_POLICY)
+
+
+def fp_linear(params: Params, x: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:
+    """y = x @ w + b with bf16 MXU compute; bias added in f32."""
+    w = params["w"].astype(compute_dtype)
+    y = jnp.dot(x.astype(compute_dtype), w, preferred_element_type=jnp.float32)
+    if params.get("b") is not None:
+        y = y + params["b"].astype(jnp.float32)
+    return y
+
+
+def qlinear(
+    ctx: Optional[QuantCtx],
+    name: str,
+    params: Params,
+    x: jax.Array,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Quant-aware linear. x: [B, N, C_in] → [B, N, C_out] (float32 out).
+
+    Forward semantics per mode follow the reference layers:
+      sim   → {Quantized|SQ|Quarot|ViDiTQ}Linear.forward
+              (quant_layer.py:57-74, sq_quant_layer.py:46-68,
+               quarot_quant_layer.py:47-69, viditq_quant_layer.py:52-73)
+      int8  → W8A8OF16LinearDynamicInputScale (nn/qlinear.py:107-125)
+      calib → SaveActivationHook on the FP forward
+    """
+    if ctx is None or ctx.mode == "fp":
+        return fp_linear(params, x, compute_dtype)
+
+    policy = ctx.policy(name)
+
+    if ctx.mode == "calib":
+        c = x.shape[-1]
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)).reshape(-1, c), axis=0)
+        ctx.collect[name] = absmax
+        return fp_linear(params, x, compute_dtype)
+
+    if not policy.is_quantized:
+        return fp_linear(params, x, compute_dtype)
+
+    st = ctx.state[name]
+    b, n, c = x.shape
+    xf = x.astype(jnp.float32)
+
+    # method preprocessing (activation side)
+    if policy.uses_channel_mask:
+        xf = xf * st["channel_mask"][None, None, :]
+    if policy.uses_rotation:
+        rot = ctx.rotations[c]
+        xf = jnp.dot(xf, rot, preferred_element_type=jnp.float32)
+
+    if ctx.mode == "sim":
+        if policy.act is not None:
+            xq = dynamic_fake_quant(xf.reshape(b * n, c), policy.act).reshape(b, n, c)
+        else:
+            xq = xf
+        w_q = st["w_q"].astype(compute_dtype)
+        y = jnp.dot(
+            xq.astype(compute_dtype), w_q, preferred_element_type=jnp.float32
+        )
+        if params.get("b") is not None:
+            y = y + params["b"].astype(jnp.float32)
+        return y
+
+    if ctx.mode == "int8":
+        from wanq_tpu.ops.qgemm import w8a8_linear
+
+        assert policy.act is not None and policy.act.sym, (
+            "int8 path implements the Wan config: dynamic symmetric per-token "
+            "act quant (quant_configs/config.yaml act.sym=True)"
+        )
+        q, s_a, sum_a = act_dynamic_int_quant(xf.reshape(b * n, c), sym=True)
+        bias = params.get("b")
+        y = w8a8_linear(
+            q,
+            st["w_int8"],
+            s_a,
+            st["scale_w"],
+            sum_a,
+            st["zp_w_int"],
+            bias.astype(jnp.float32) if bias is not None else None,
+        )
+        return y.reshape(b, n, -1)
+
+    raise ValueError(f"unknown quant mode {ctx.mode}")

@@ -1,0 +1,1 @@
+"""TPU-native rebuild — see package docstring."""
