@@ -1,0 +1,167 @@
+"""End-to-end calibration → PTQ → quantized-inference tests on the tiny
+model (the TPU-era analog of the reference's pipeline smoke scripts,
+SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wanq_tpu.configs import tiny_config
+from wanq_tpu.models.dit import dit_forward, init_params, linear_layer_names
+from wanq_tpu.pipelines.text2video import (
+    WanT2V,
+    compute_seq_len,
+    compute_target_shape,
+)
+from wanq_tpu.quant import QuantConfig
+from wanq_tpu.quant.ptq import (
+    load_quant_state,
+    prepare_quant_state,
+    reduce_calib,
+    save_quant_state,
+)
+from wanq_tpu.quant.qlinear import QuantCtx
+
+WAN_QCFG = {
+    "remain_fp_regex": (
+        r"text_embedding|time_embedding|time_projection|head\.head|"
+        r"blocks\.\d+\.self_attn\.(?!q$)(?!k$)(?!v$)[^.]+|blocks\.\d+\.o|"
+        r"blocks\.\d+\.ffn.*|cross_attn"
+    ),
+    "weight": {"n_bits": 8, "sym": False},
+    "act": {"n_bits": 8, "sym": True},
+    "viditq": {"alpha": 0.5665, "layer_name_regex": ""},
+}
+
+BASE_QCFG = {
+    "remain_fp_regex": WAN_QCFG["remain_fp_regex"],
+    "weight": {"n_bits": 8, "sym": False},
+    "act": {"n_bits": 8, "sym": True},
+}
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+@pytest.fixture(scope="module")
+def contexts(tiny):
+    cfg, _ = tiny
+    rng = np.random.default_rng(1)
+    ctx = jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+    ctx_null = jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+    return ctx, ctx_null
+
+
+def test_calibration_sweep_collects_all_layers(tiny, contexts):
+    cfg, params = tiny
+    pipe = WanT2V(cfg, params, quant_ctx=QuantCtx(mode="calib"))
+    stats = pipe.collect_calibration(
+        *contexts, size=(32, 32), frame_num=5, sampling_steps=3, seed=7
+    )
+    names = set(linear_layer_names(cfg))
+    assert set(stats.keys()) == names
+    q_stats = stats["blocks.0.self_attn.q"]
+    assert q_stats.shape == (3, cfg.dim)  # [T, C]
+    assert np.all(q_stats > 0)
+    # ffn.2 input is the ffn hidden dim
+    assert stats["blocks.0.ffn.2"].shape == (3, cfg.ffn_dim)
+
+
+@pytest.fixture(scope="module")
+def calib_and_fp(tiny, contexts):
+    cfg, params = tiny
+    pipe = WanT2V(cfg, params, quant_ctx=QuantCtx(mode="calib"))
+    stats = pipe.collect_calibration(
+        *contexts, size=(32, 32), frame_num=5, sampling_steps=3, seed=7
+    )
+    fp_pipe = WanT2V(cfg, params)
+    fp_latents = fp_pipe.generate(
+        *contexts, size=(32, 32), frame_num=5, sampling_steps=3, seed=7
+    )
+    return stats, fp_latents
+
+
+@pytest.mark.parametrize("qcfg_dict", [WAN_QCFG, BASE_QCFG], ids=["viditq", "base"])
+def test_ptq_and_sim_inference(tiny, contexts, calib_and_fp, qcfg_dict):
+    cfg, params = tiny
+    stats, fp_latents = calib_and_fp
+    qcfg = QuantConfig.from_dict(qcfg_dict)
+    policies, state, rotations = prepare_quant_state(
+        params, linear_layer_names(cfg), qcfg, calib=stats, seed=0
+    )
+    # quantized layers got state
+    assert "blocks.0.self_attn.q" in state
+    assert "blocks.0.ffn.0" not in state  # remain_fp
+    if qcfg_dict is WAN_QCFG:
+        assert "channel_mask" in state["blocks.0.self_attn.q"]
+        assert cfg.dim in rotations
+
+    ctx = QuantCtx(mode="sim", policies=policies, state=state, rotations=rotations)
+    pipe = WanT2V(cfg, params, quant_ctx=ctx)
+    latents = pipe.generate(
+        *contexts, size=(32, 32), frame_num=5, sampling_steps=3, seed=7
+    )
+    assert bool(jnp.all(jnp.isfinite(latents)))
+    # W8A8 on q/k/v only: outputs stay close to FP
+    err = float(jnp.abs(latents - fp_latents).max())
+    ref = float(jnp.abs(fp_latents).max())
+    assert err / ref < 0.2, f"rel err {err/ref}"
+
+
+def test_int8_matches_sim_for_base_method(tiny, contexts):
+    """For the base method the int8 kernel path is algebraically identical
+    to simulated fake-quant (the epilogue identity) — check end to end."""
+    cfg, params = tiny
+    qcfg = QuantConfig.from_dict(BASE_QCFG)
+    policies, state, rotations = prepare_quant_state(
+        params, linear_layer_names(cfg), qcfg, calib=None, seed=0
+    )
+    rngk = jax.random.PRNGKey(3)
+    x = jax.random.normal(rngk, (1, cfg.in_dim, 2, 8, 8), dtype=jnp.float32)
+    t = jnp.asarray([500.0])
+    txt = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.text_len, cfg.text_dim))
+    seq_len = 2 * 4 * 4
+
+    sim_ctx = QuantCtx(mode="sim", policies=policies, state=state, rotations=rotations)
+    int8_ctx = QuantCtx(mode="int8", policies=policies, state=state, rotations=rotations)
+    out_sim = dit_forward(params, cfg, x, t, txt, seq_len, ctx=sim_ctx)
+    out_int8 = dit_forward(params, cfg, x, t, txt, seq_len, ctx=int8_ctx)
+    np.testing.assert_allclose(
+        np.asarray(out_sim), np.asarray(out_int8), atol=5e-3, rtol=1e-2
+    )
+
+
+def test_quant_state_save_load_roundtrip(tiny, tmp_path):
+    cfg, params = tiny
+    qcfg = QuantConfig.from_dict(BASE_QCFG)
+    _, state, _ = prepare_quant_state(params, linear_layer_names(cfg), qcfg)
+    p = str(tmp_path / "quant_params.npz")
+    save_quant_state(p, state, seed=0)
+    loaded, seed = load_quant_state(p)
+    assert seed == 0
+    assert set(loaded.keys()) == set(state.keys())
+    for name in state:
+        for k in state[name]:
+            np.testing.assert_array_equal(
+                np.asarray(state[name][k]), np.asarray(loaded[name][k])
+            )
+
+
+def test_reduce_calib_clamps_and_maxes():
+    calib = {"l": np.array([[0.5, 1e-9], [2.0, 1e-9]], dtype=np.float32)}
+    out = reduce_calib(calib)
+    np.testing.assert_allclose(out["l"], [2.0, 1e-3])
+
+
+def test_seq_len_rounding(tiny):
+    cfg, _ = tiny
+    ts = compute_target_shape(cfg, (32, 32), 5)
+    assert ts == (16, 2, 4, 4)
+    assert compute_seq_len(cfg, ts, sp_size=1) == 2 * 2 * 2
+    assert compute_seq_len(cfg, ts, sp_size=8) == 8
+    assert compute_seq_len(cfg, ts, sp_size=16) == 16

@@ -344,12 +344,15 @@ def block_forward(
     return x
 
 
-def head_forward(p: Params, x: jax.Array, e: jax.Array, cfg: WanConfig) -> jax.Array:
+def head_forward(
+    p: Params, x: jax.Array, e: jax.Array, cfg: WanConfig,
+    ctx: Optional[QuantCtx] = None,
+) -> jax.Array:
     """ref Head.forward (model.py:390-400). e: [B, C] time embedding."""
     ee = p["head"]["modulation"].astype(jnp.float32) + e[:, None, :]
     e0, e1 = ee[:, 0], ee[:, 1]
     xn = layer_norm(x, cfg.eps) * (1.0 + e1[:, None, :]) + e0[:, None, :]
-    return qlinear(None, "head.head", p["head"]["head"], xn.astype(cfg.dtype))
+    return qlinear(ctx, "head.head", p["head"]["head"], xn.astype(cfg.dtype))
 
 
 def dit_forward(
@@ -392,12 +395,12 @@ def dit_forward(
 
     # time embeddings, fp32 (model.py:592-596)
     e = sinusoidal_embedding_1d(cfg.freq_dim, t)
-    e = qlinear(None, "time_embedding.0", params["time_embedding"]["0"], e[:, None, :],
+    e = qlinear(ctx, "time_embedding.0", params["time_embedding"]["0"], e[:, None, :],
                 jnp.float32)
     e = jax.nn.silu(e)
-    e = qlinear(None, "time_embedding.2", params["time_embedding"]["2"], e,
+    e = qlinear(ctx, "time_embedding.2", params["time_embedding"]["2"], e,
                 jnp.float32)[:, 0]  # [B, dim]
-    e0 = qlinear(None, "time_projection.1", params["time_projection"]["1"],
+    e0 = qlinear(ctx, "time_projection.1", params["time_projection"]["1"],
                  jax.nn.silu(e)[:, None, :], jnp.float32)
     e0 = e0.reshape(b, 6, cfg.dim)  # [B, 6, dim]
 
@@ -427,5 +430,5 @@ def dit_forward(
             cos, sin, valid_len,
         )
 
-    out = head_forward(params, xf, e, cfg)
+    out = head_forward(params, xf, e, cfg, ctx)
     return unpatchify(out.astype(jnp.float32), grid, cfg.patch_size, cfg.out_dim)

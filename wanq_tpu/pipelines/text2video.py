@@ -1,0 +1,218 @@
+"""Text-to-video generation pipeline.
+
+TPU-native rebuild of ``WanT2V`` / ``WanT2VQuantInfer``
+(ref: wan/text2video.py:28-610). Differences by design:
+
+* The denoise step (two DiT forwards + CFG combine) is one jitted function
+  with the cond/uncond pair **batched** along the batch axis — one B=2 MXU
+  pass instead of the reference's two sequential calls
+  (text2video.py:255-261). The scheduler runs host-side between steps
+  (its cost is negligible; the reference does the same).
+* One pipeline class serves FP, calibration, simulated-quant and int8
+  inference via QuantCtx modes — the reference needs a separate
+  WanT2VQuantInfer class (text2video.py:320).
+* Deterministic seeding through jax.random keys (the reference broadcasts
+  torch generator seeds over NCCL, fp_generate.py:285-286 — unnecessary in
+  a single-controller JAX program).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wanq_tpu.configs import WanConfig
+from wanq_tpu.models.dit import dit_forward, linear_layer_names
+from wanq_tpu.quant.qlinear import QuantCtx
+from wanq_tpu.solvers.dpm import (
+    FlowDPMSolverMultistepScheduler,
+    get_sampling_sigmas,
+    retrieve_timesteps,
+)
+from wanq_tpu.solvers.unipc import FlowUniPCMultistepScheduler
+
+
+def compute_target_shape(
+    cfg: WanConfig, size: Tuple[int, int], frame_num: int
+) -> Tuple[int, int, int, int]:
+    """Latent shape (C, F, H, W) (ref text2video.py:165-169)."""
+    w, h = size
+    return (
+        cfg.z_dim,
+        (frame_num - 1) // cfg.vae_stride[0] + 1,
+        h // cfg.vae_stride[1],
+        w // cfg.vae_stride[2],
+    )
+
+
+def compute_seq_len(cfg: WanConfig, target_shape, sp_size: int = 1) -> int:
+    """Token count rounded up to the sequence-parallel degree
+    (ref text2video.py:170-172)."""
+    _, f, h, w = target_shape
+    tokens = (h // cfg.patch_size[1]) * (w // cfg.patch_size[2]) * f
+    return int(math.ceil(tokens / sp_size)) * sp_size
+
+
+@dataclasses.dataclass
+class WanT2V:
+    """Latent-space pipeline; text encoding / VAE decode are pluggable
+    stages (wired in cli/) so the denoise core is testable standalone."""
+
+    config: WanConfig
+    params: Dict[str, Any]
+    quant_ctx: Optional[QuantCtx] = None
+    sp_size: int = 1
+    mesh: Optional[Any] = None  # jax.sharding.Mesh for multi-chip runs
+    shardings: Optional[Any] = None  # parallel.ShardingPlan
+
+    def __post_init__(self):
+        self._step_fn_cache: Dict[Tuple, Callable] = {}
+
+    # -- jitted CFG denoise step ------------------------------------------
+
+    def _build_step_fn(self, seq_len: int, mode: str):
+        cfg = self.config
+        ctx = self.quant_ctx
+
+        def step(params, latents, t, context, context_null, guide_scale):
+            # batch cond + uncond in one forward: [2B, ...]
+            b = latents.shape[0]
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            c2 = jnp.concatenate([context, context_null], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            use_ctx = ctx if (ctx is not None and ctx.mode == mode) else None
+            out = dit_forward(params, cfg, x2, t2, c2, seq_len, ctx=use_ctx)
+            cond, uncond = out[:b], out[b:]
+            noise_pred = uncond + guide_scale * (cond - uncond)
+            if use_ctx is not None and use_ctx.mode == "calib":
+                stats = dict(use_ctx.collect)
+                use_ctx.collect.clear()
+                return noise_pred, stats
+            return noise_pred
+
+        donate = () if mode == "calib" else ()
+        return jax.jit(step, donate_argnums=donate)
+
+    def _step_fn(self, seq_len: int, mode: str):
+        key = (seq_len, mode)
+        if key not in self._step_fn_cache:
+            self._step_fn_cache[key] = self._build_step_fn(seq_len, mode)
+        return self._step_fn_cache[key]
+
+    def _make_scheduler(self, sample_solver: str, sampling_steps: int, shift: float):
+        cfg = self.config
+        if sample_solver == "unipc":
+            sch = FlowUniPCMultistepScheduler(
+                num_train_timesteps=cfg.num_train_timesteps, shift=1.0
+            )
+            sch.set_timesteps(sampling_steps, shift=shift)
+            timesteps = sch.timesteps
+        elif sample_solver == "dpm++":
+            sch = FlowDPMSolverMultistepScheduler(
+                num_train_timesteps=cfg.num_train_timesteps, shift=1.0
+            )
+            sigmas = get_sampling_sigmas(sampling_steps, shift)
+            timesteps, _ = retrieve_timesteps(sch, sigmas=sigmas)
+        else:
+            raise NotImplementedError(f"unsupported solver {sample_solver}")
+        return sch, timesteps
+
+    # -- generation ---------------------------------------------------------
+
+    def generate(
+        self,
+        context: jax.Array,
+        context_null: jax.Array,
+        size: Tuple[int, int] = (832, 480),
+        frame_num: int = 81,
+        shift: float = 5.0,
+        sample_solver: str = "unipc",
+        sampling_steps: int = 50,
+        guide_scale: float = 5.0,
+        seed: int = -1,
+        collect_calib: bool = False,
+    ):
+        """Denoise loop (ref WanT2V.generate, text2video.py:120-318).
+
+        context / context_null: [B, text_len, text_dim] encoder states
+        (already padded to text_len). Returns latents [B, C, F, h, w], and
+        the calibration stats dict when ``collect_calib``.
+        """
+        cfg = self.config
+        target_shape = compute_target_shape(cfg, size, frame_num)
+        seq_len = compute_seq_len(cfg, target_shape, self.sp_size)
+        b = context.shape[0]
+
+        seed = seed if seed >= 0 else np.random.randint(0, 2**31)
+        key = jax.random.PRNGKey(seed)
+        latents = jax.random.normal(
+            key, (b, *target_shape), dtype=jnp.float32
+        )
+
+        sch, timesteps = self._make_scheduler(sample_solver, sampling_steps, shift)
+
+        mode = "calib" if collect_calib else (
+            self.quant_ctx.mode if self.quant_ctx is not None else "fp"
+        )
+        step_fn = self._step_fn(seq_len, mode)
+        if collect_calib:
+            assert self.quant_ctx is not None and self.quant_ctx.mode == "calib"
+
+        gs = jnp.float32(guide_scale)
+        all_stats: Dict[str, List[np.ndarray]] = {}
+        for t in timesteps:
+            tt = jnp.full((b,), float(t), dtype=jnp.float32)
+            out = step_fn(self.params, latents, tt, context, context_null, gs)
+            if collect_calib:
+                noise_pred, stats = out
+                for k, v in stats.items():
+                    all_stats.setdefault(k, []).append(np.asarray(v))
+            else:
+                noise_pred = out
+            latents = sch.step(noise_pred, int(t), latents)
+
+        if collect_calib:
+            stacked = {k: np.stack(v, axis=0) for k, v in all_stats.items()}
+            return latents, stacked
+        return latents
+
+    # -- calibration sweep (ref get_calib_data_wanx.py:278-473) -------------
+
+    def collect_calibration(
+        self,
+        context: jax.Array,
+        context_null: jax.Array,
+        sampling_steps: int = 30,
+        **kw,
+    ) -> Dict[str, np.ndarray]:
+        """FP denoise sweep that returns {layer: [T, C] absmax} — one row per
+        jitted step (the batched CFG pair reduces the reference's 2 hook
+        fires per step into one max, an equivalent upper bound)."""
+        assert self.quant_ctx is not None and self.quant_ctx.mode == "calib"
+        _, stats = self.generate(
+            context,
+            context_null,
+            sampling_steps=sampling_steps,
+            collect_calib=True,
+            **kw,
+        )
+        return stats
+
+
+def make_calib_ctx(cfg: WanConfig) -> QuantCtx:
+    return QuantCtx(mode="calib")
+
+
+def make_quant_ctx(
+    mode: str,
+    policies,
+    state,
+    rotations,
+) -> QuantCtx:
+    assert mode in ("sim", "int8")
+    return QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations)

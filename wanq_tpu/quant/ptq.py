@@ -1,0 +1,193 @@
+"""PTQ driver: weights + calibration stats → quant-state pytree.
+
+TPU-native rebuild of ptq_wanx.py:261-385 and the weight-update methods of
+the quant layers (quant_layer.py:40-41, sq_quant_layer.py:27-44,
+quarot_quant_layer.py:27-45, viditq_quant_layer.py:30-50) plus the INT8
+export (quant_wanx.py:137-185, quant_wanx_cuda.py:39-56).
+
+The reference mutates module buffers; here `prepare_quant_state` is a pure
+host-side function returning
+
+    state:      {layer_path: {w_q, delta_w, zp_w, channel_mask?, w_int8,
+                              scale_w, zp_w_int}}
+    rotations:  {in_features: f32 orthonormal matrix}
+
+which the functional model consumes via QuantCtx. Rotation matrices are
+seeded (PTQ and inference provably share Q — the reference regenerates an
+unseeded Q on load, quant_model.py:145) and the weight-side rotation runs
+in host float64 (TPUs have no f64; see hadamard.py docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wanq_tpu.quant.config import LayerPolicy, QuantConfig
+from wanq_tpu.quant.hadamard import rotation_for_dim
+from wanq_tpu.quant.quantizers import (
+    QuantizerCfg,
+    weight_fake_quant,
+    weight_int_quant,
+    weight_quant_params,
+)
+from wanq_tpu.quant.smooth import channel_mask, clamp_act_absmax
+
+Params = Dict[str, Any]
+
+
+def params_get(params: Params, path: str):
+    """Navigate a params pytree by dotted reference-style path."""
+    node = params
+    for part in path.split("."):
+        if isinstance(node, (list, tuple)):
+            node = node[int(part)]
+        else:
+            node = node[part]
+    return node
+
+
+def reduce_calib(calib: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """[T, C] per-call absmax stacks → per-channel max over timesteps,
+    clamped ≥ 1e-3 (ref ptq_wanx.py:336-341)."""
+    out = {}
+    for name, arr in calib.items():
+        a = np.asarray(arr, dtype=np.float32)
+        if a.ndim == 2:
+            a = a.max(axis=0)
+        out[name] = np.maximum(a, 1e-3)
+    return out
+
+
+def prepare_layer_state(
+    policy: LayerPolicy,
+    w: jax.Array,
+    act_absmax: Optional[np.ndarray],
+    rotation: Optional[np.ndarray],
+) -> Dict[str, jax.Array]:
+    """Quant state for one layer. w: [C_in, C_out] (f32).
+
+    Method semantics (weight side):
+      base    w_q = FQ(w)                       (quant_layer.py:40-41)
+      sq      w_q = FQ(w / mask)                (sq_quant_layer.py:36-44)
+      quarot  w_q = FQ(rot(w))                  (quarot_quant_layer.py:30-45)
+      viditq  w_q = FQ(rot(FQ(w / mask)))       (viditq_quant_layer.py:40-50;
+              the double fake-quant is the reference's exact behavior)
+    """
+    wcfg = policy.weight
+    assert wcfg is not None
+    wf = np.asarray(w, dtype=np.float64)
+    st: Dict[str, jax.Array] = {}
+
+    if policy.uses_channel_mask:
+        assert act_absmax is not None, "smooth_quant/viditq need calibration data"
+        mask = np.asarray(
+            channel_mask(jnp.asarray(wf.astype(np.float32)),
+                         jnp.asarray(act_absmax), policy.alpha),
+            dtype=np.float64,
+        )
+        st["channel_mask"] = jnp.asarray(mask.astype(np.float32))
+        wf = wf / mask[:, None]
+
+    if policy.method == "viditq":
+        # first fake-quant of the scaled weight (viditq_quant_layer.py:47)
+        wf = np.asarray(
+            weight_fake_quant(jnp.asarray(wf.astype(np.float32)), wcfg),
+            dtype=np.float64,
+        )
+
+    if policy.uses_rotation:
+        assert rotation is not None
+        # x @ Q rotated activations pair with Q^T @ w weights (f64 on host)
+        wf = rotation.T @ wf
+
+    w_work = jnp.asarray(wf.astype(np.float32))
+    st["w_q"] = weight_fake_quant(w_work, wcfg)
+    d, z = weight_quant_params(w_work, wcfg)
+    st["delta_w"] = d
+    st["zp_w"] = z
+    if wcfg.active_bits == 8:
+        w_int8, scale_w, zp_w_int = weight_int_quant(w_work, wcfg)
+        st["w_int8"] = w_int8
+        st["scale_w"] = scale_w
+        st["zp_w_int"] = zp_w_int
+    return st
+
+
+def prepare_quant_state(
+    params: Params,
+    layer_names,
+    qcfg: QuantConfig,
+    calib: Optional[Mapping[str, np.ndarray]] = None,
+    seed: int = 0,
+) -> Tuple[Dict[str, LayerPolicy], Dict[str, Dict[str, jax.Array]], Dict[int, jax.Array]]:
+    """Full-model PTQ (ref ptq_wanx.py generate() :261-385).
+
+    Returns (policies, state, rotations)."""
+    policies = {name: qcfg.resolve(name) for name in layer_names}
+    calib_max = reduce_calib(calib) if calib is not None else {}
+
+    rotations_np: Dict[int, np.ndarray] = {}
+    state: Dict[str, Dict[str, jax.Array]] = {}
+    for name, policy in policies.items():
+        if not policy.is_quantized:
+            continue
+        w = params_get(params, name)["w"].astype(jnp.float32)
+        rot = None
+        if policy.uses_rotation:
+            c_in = w.shape[0]
+            if c_in not in rotations_np:
+                rotations_np[c_in] = rotation_for_dim(c_in, seed=seed)
+            rot = rotations_np[c_in]
+        act_absmax = calib_max.get(name)
+        if policy.uses_channel_mask and act_absmax is None:
+            raise ValueError(
+                f"layer {name} uses {policy.method} but no calibration data "
+                f"was provided (expected key '{name}')"
+            )
+        state[name] = prepare_layer_state(policy, w, act_absmax, rot)
+
+    rotations = {k: jnp.asarray(v.astype(np.float32)) for k, v in rotations_np.items()}
+    return policies, state, rotations
+
+
+# ---------------------------------------------------------------------------
+# artifact io (ref: quant_params.pth + int_weight.pt, orbax-free npz format)
+# ---------------------------------------------------------------------------
+
+
+def save_quant_state(path: str, state: Dict[str, Dict[str, jax.Array]], seed: int = 0):
+    """Serialize the quant-param dict (ref ptq_wanx.py:254-257 saves
+    quant_params.pth; we use one flat npz). Rotation matrices are not
+    stored — they are regenerated from the seed (ref quant_model.py:172
+    skips saving them too)."""
+    flat = {"__seed__": np.asarray(seed)}
+    for name, st in state.items():
+        for k, v in st.items():
+            flat[f"{name}|{k}"] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_quant_state(path: str) -> Tuple[Dict[str, Dict[str, jax.Array]], int]:
+    data = np.load(path)
+    state: Dict[str, Dict[str, jax.Array]] = {}
+    seed = 0
+    for key in data.files:
+        if key == "__seed__":
+            seed = int(data[key])
+            continue
+        name, k = key.split("|")
+        state.setdefault(name, {})[k] = jnp.asarray(data[key])
+    return state, seed
+
+
+def load_reference_calib(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference calib_data_wanx1.pth artifact (torch dict of
+    {layer_name: [N_calls, C]} absmax stacks) for scale-dict parity checks."""
+    import torch
+
+    d = torch.load(path, map_location="cpu", weights_only=False)
+    return {k: v.float().numpy() for k, v in d.items()}
