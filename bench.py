@@ -1,0 +1,130 @@
+"""Benchmark: Wan2.1 T2V-1.3B W8A8 denoise-step throughput vs FP16 (bf16).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+value = W8A8 denoise steps/sec/chip and vs_baseline = speedup over the
+bf16 full-precision step measured in the same run (the reference's own
+kernel bench pattern: correctness harness elsewhere, FP16-vs-int8 timing
+here, kernels/bench/bench_gemm.py:34-95).
+
+Quant config: full W8A8 on every transformer-block linear (self/cross
+attn q/k/v/o + ffn), embeddings/head FP — the ViDiT-Q W8A8 setting.
+Shapes: 480*832, frame_num auto-reduced to fit the chip's HBM.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wanq_tpu.configs import WAN_CONFIGS
+from wanq_tpu.models.dit import dit_forward, init_params, linear_layer_names
+from wanq_tpu.pipelines.text2video import compute_seq_len, compute_target_shape
+from wanq_tpu.quant import QuantConfig
+from wanq_tpu.quant.ptq import prepare_quant_state
+from wanq_tpu.quant.qlinear import QuantCtx
+
+FULL_W8A8 = {
+    "remain_fp_regex": r"text_embedding|time_embedding|time_projection|head\.head",
+    "weight": {"n_bits": 8, "sym": False},
+    "act": {"n_bits": 8, "sym": True},
+}
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_step(cfg, seq_len, ctx):
+    def step(params, latents, t, context, context_null, guide_scale):
+        b = latents.shape[0]
+        x2 = jnp.concatenate([latents, latents], axis=0)
+        c2 = jnp.concatenate([context, context_null], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        out = dit_forward(params, cfg, x2, t2, c2, seq_len, ctx=ctx)
+        cond, uncond = out[:b], out[b:]
+        return uncond + guide_scale * (cond - uncond)
+
+    return jax.jit(step)
+
+
+def time_step(step_fn, args, iters=5, warmup=2):
+    for _ in range(warmup):
+        step_fn(*args).block_until_ready()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        step_fn(*args).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def run(frame_num: int):
+    cfg = WAN_CONFIGS["t2v-1.3B"]
+    size = (832, 480)
+    target_shape = compute_target_shape(cfg, size, frame_num)
+    seq_len = compute_seq_len(cfg, target_shape)
+    log(f"bench: 1.3B {size} f{frame_num} seq_len={seq_len} on {jax.devices()[0]}")
+
+    key = jax.random.PRNGKey(0)
+    params = init_params(cfg, key)
+    params = jax.block_until_ready(params)
+
+    latents = jax.random.normal(key, (1, *target_shape), dtype=jnp.float32)
+    t = jnp.asarray([999.0])
+    context = jax.random.normal(key, (1, cfg.text_len, cfg.text_dim), dtype=jnp.bfloat16).astype(jnp.float32)
+    context_null = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim), dtype=jnp.float32)
+    gs = jnp.float32(5.0)
+    args = (params, latents, t, context, context_null, gs)
+
+    log("compiling + timing FP16 (bf16) step...")
+    fp_step = make_step(cfg, seq_len, None)
+    fp_time = time_step(fp_step, args)
+    log(f"fp16 step: {fp_time*1000:.1f} ms")
+    del fp_step
+
+    log("preparing W8A8 state...")
+    qcfg = QuantConfig.from_dict(FULL_W8A8)
+    policies, state, rotations = prepare_quant_state(
+        params, linear_layer_names(cfg), qcfg, targets="int8"
+    )
+    state = jax.block_until_ready(state)
+    ctx = QuantCtx(mode="int8", policies=policies, state=state, rotations=rotations)
+
+    log("compiling + timing W8A8 step...")
+    q_step = make_step(cfg, seq_len, ctx)
+    q_time = time_step(q_step, args)
+    log(f"w8a8 step: {q_time*1000:.1f} ms")
+
+    return fp_time, q_time
+
+
+def main():
+    for frame_num in (81, 41, 21, 9):
+        try:
+            fp_time, q_time = run(frame_num)
+            break
+        except Exception as e:  # noqa: BLE001 — OOM fallback ladder
+            log(f"frame_num={frame_num} failed ({type(e).__name__}: {e}); retrying smaller")
+    else:
+        raise SystemExit("all bench configs failed")
+
+    steps_per_sec = 1.0 / q_time
+    print(
+        json.dumps(
+            {
+                "metric": "w8a8_denoise_steps_per_sec_1.3b_480p",
+                "value": round(steps_per_sec, 4),
+                "unit": f"steps/s/chip (f{frame_num}, fp16={1.0/fp_time:.4f})",
+                "vs_baseline": round(fp_time / q_time, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

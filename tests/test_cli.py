@@ -1,0 +1,137 @@
+"""CLI workflow test: the four-stage fp → calib → ptq → quant pipeline end
+to end through the argparse entry points (the TPU-era analog of the
+reference's test.sh command-log smoke runs, SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from wanq_tpu.cli import fp_generate, get_calib_data, ptq, quant_generate
+from wanq_tpu.models.params import convert_state_dict
+from wanq_tpu.configs import tiny_config
+from wanq_tpu.models.dit import init_params, dit_forward
+
+QCFG = {
+    "remain_fp_regex": r"text_embedding|time_embedding|time_projection|head\.head",
+    "calib_data": {"save_path": "calib_data.npz"},
+    "weight": {"n_bits": 8, "sym": False},
+    "act": {"n_bits": 8, "sym": True},
+    "viditq": {"alpha": 0.5665, "layer_name_regex": ""},
+}
+
+COMMON = [
+    "--task", "tiny", "--size", "64*64", "--frame_num", "5",
+    "--random_init", "--sample_steps", "2", "--base_seed", "42",
+]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    old = os.getcwd()
+    os.chdir(d)
+    with open("q.yaml", "w") as f:
+        yaml.safe_dump(QCFG, f)
+    yield d
+    os.chdir(old)
+
+
+def test_full_cli_workflow(workdir):
+    # stage 1: FP generation
+    fp_file = fp_generate.generate(fp_generate.parse_args(COMMON + ["--save_file", "fp.npz"]))
+    fp = np.load(fp_file)["latents"]
+    assert fp.shape == (1, 16, 2, 8, 8)
+    assert np.isfinite(fp).all()
+
+    # stage 2: calibration
+    calib_file = get_calib_data.generate(
+        get_calib_data.parse_args(COMMON + ["--quant_config", "q.yaml"])
+    )
+    calib = dict(np.load(calib_file))
+    assert "blocks.0.self_attn.q" in calib
+    assert calib["blocks.0.self_attn.q"].shape == (2, 96)
+
+    # stage 3: PTQ
+    qp_file = ptq.generate(ptq.parse_args(
+        COMMON + ["--quant_config", "q.yaml", "--calib_data", calib_file]
+    ))
+    assert os.path.exists(qp_file)
+
+    # stage 4a: simulated quant inference from the saved artifact
+    sim_file = quant_generate.generate(quant_generate.parse_args(
+        COMMON + ["--quant_config", "q.yaml", "--quant_params", qp_file,
+                  "--save_file", "sim.npz"]
+    ))
+    sim = np.load(sim_file)["latents"]
+    assert np.isfinite(sim).all()
+    rel = np.abs(sim - fp).max() / (np.abs(fp).max() + 1e-9)
+    assert rel < 0.5, f"quant drifted too far from FP: {rel}"
+
+    # stage 4b: hardware (int8 kernel) path, on-the-fly state
+    hw_file = quant_generate.generate(quant_generate.parse_args(
+        COMMON + ["--quant_config", "q.yaml", "--calib_data", calib_file,
+                  "--hardware", "--save_file", "hw.npz"]
+    ))
+    hw = np.load(hw_file)["latents"]
+    assert np.isfinite(hw).all()
+    # int8 path tracks the sim path closely (same quant math)
+    np.testing.assert_allclose(hw, sim, atol=0.05, rtol=0.1)
+
+
+def test_validate_args_rejects_bad_frame_num(workdir):
+    args = fp_generate.parse_args(COMMON[:6] + ["--frame_num", "8", "--random_init"])
+    with pytest.raises(AssertionError):
+        fp_generate.generate(args)
+
+
+def test_convert_state_dict_roundtrip(rng):
+    """torch-layout tensors convert to a pytree our forward accepts and the
+    linear kernels come out transposed."""
+    cfg = tiny_config()
+    import torch
+
+    sd = {}
+    d, f = cfg.dim, cfg.ffn_dim
+    sd["patch_embedding.weight"] = torch.randn(d, cfg.in_dim, 1, 2, 2)
+    sd["patch_embedding.bias"] = torch.zeros(d)
+    for pre, i, o in [
+        ("text_embedding.0", cfg.text_dim, d), ("text_embedding.2", d, d),
+        ("time_embedding.0", cfg.freq_dim, d), ("time_embedding.2", d, d),
+        ("time_projection.1", d, 6 * d), ("head.head", d, 4 * cfg.out_dim),
+    ]:
+        sd[pre + ".weight"] = torch.randn(o, i)
+        sd[pre + ".bias"] = torch.zeros(o)
+    sd["head.modulation"] = torch.randn(1, 2, d)
+    for b in range(cfg.num_layers):
+        for mod in ("self_attn", "cross_attn"):
+            for leaf in ("q", "k", "v", "o"):
+                sd[f"blocks.{b}.{mod}.{leaf}.weight"] = torch.randn(d, d)
+                sd[f"blocks.{b}.{mod}.{leaf}.bias"] = torch.zeros(d)
+            sd[f"blocks.{b}.{mod}.norm_q.weight"] = torch.ones(d)
+            sd[f"blocks.{b}.{mod}.norm_k.weight"] = torch.ones(d)
+        sd[f"blocks.{b}.norm3.weight"] = torch.ones(d)
+        sd[f"blocks.{b}.norm3.bias"] = torch.zeros(d)
+        sd[f"blocks.{b}.ffn.0.weight"] = torch.randn(f, d)
+        sd[f"blocks.{b}.ffn.0.bias"] = torch.zeros(f)
+        sd[f"blocks.{b}.ffn.2.weight"] = torch.randn(d, f)
+        sd[f"blocks.{b}.ffn.2.bias"] = torch.zeros(d)
+        sd[f"blocks.{b}.modulation"] = torch.randn(1, 6, d)
+
+    import jax.numpy as jnp
+
+    params = convert_state_dict(sd, dtype=jnp.float32)
+    # transposition check
+    np.testing.assert_allclose(
+        np.asarray(params["blocks"][0]["ffn"]["0"]["w"]),
+        sd["blocks.0.ffn.0.weight"].numpy().T,
+        atol=1e-6,
+    )
+    # forward runs
+    x = jnp.asarray(rng.normal(size=(1, cfg.in_dim, 2, 8, 8)).astype(np.float32))
+    t = jnp.asarray([500.0])
+    txt = jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+    out = dit_forward(params, cfg, x, t, txt, seq_len=32)
+    assert out.shape == (1, cfg.out_dim, 2, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()

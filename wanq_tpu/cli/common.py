@@ -1,0 +1,136 @@
+"""Shared CLI plumbing (TPU-native rebuild of the reference entry scripts'
+argparse + validation boilerplate, fp_generate.py:44-199).
+
+The reference's hard-coded developer paths (fp_generate.py:315,:490) are
+replaced with explicit flags. torchrun/NCCL init collapses to mesh flags:
+--ulysses_size → 'sp' axis, --dit_fsdp → 'fsdp' axis, --ring_size accepted
+for CLI parity (ring attention not needed on a single pod slice; must be 1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import Optional, Tuple
+
+import numpy as np
+
+from wanq_tpu.configs import (
+    SAMPLE_NEG_PROMPT,
+    SIZE_CONFIGS,
+    SUPPORTED_SIZES,
+    WAN_CONFIGS,
+)
+
+EXAMPLE_PROMPT = (
+    "Two anthropomorphic cats in comfy boxing gear and bright gloves fight "
+    "intensely on a spotlighted stage."
+)
+
+
+def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
+    p.add_argument("--task", type=str, default="t2v-1.3B", choices=list(WAN_CONFIGS))
+    p.add_argument("--size", type=str, default="832*480", choices=list(SIZE_CONFIGS))
+    p.add_argument("--frame_num", type=int, default=81, help="4n+1 frames")
+    p.add_argument("--ckpt_dir", type=str, default=None,
+                   help="Wan2.1 checkpoint dir (diffusers safetensors); "
+                        "omit with --random_init for smoke/bench runs")
+    p.add_argument("--random_init", action="store_true",
+                   help="random weights instead of a checkpoint")
+    p.add_argument("--prompt", type=str, default=EXAMPLE_PROMPT)
+    p.add_argument("--neg_prompt", type=str, default=SAMPLE_NEG_PROMPT)
+    p.add_argument("--context_file", type=str, default=None,
+                   help="npz with precomputed 'context'/'context_null' "
+                        "text-encoder states (skips T5)")
+    p.add_argument("--base_seed", type=int, default=42)
+    p.add_argument("--sample_solver", type=str, default="unipc",
+                   choices=["unipc", "dpm++"])
+    p.add_argument("--sample_steps", type=int, default=default_steps)
+    p.add_argument("--sample_shift", type=float, default=5.0)
+    p.add_argument("--sample_guide_scale", type=float, default=5.0)
+    p.add_argument("--save_file", type=str, default=None)
+    # parallelism (ref fp_generate.py:248-259 xfuser init)
+    p.add_argument("--ulysses_size", type=int, default=1)
+    p.add_argument("--ring_size", type=int, default=1)
+    p.add_argument("--dp_size", type=int, default=1)
+    p.add_argument("--dit_fsdp", action="store_true")
+    p.add_argument("--t5_fsdp", action="store_true")
+    p.add_argument("--fsdp_size", type=int, default=1)
+    p.add_argument("--offload_model", type=str, default=None,
+                   help="accepted for reference-CLI parity; HBM residency "
+                        "is managed by XLA on TPU")
+    return p
+
+
+def validate_args(args):
+    """ref _validate_args (fp_generate.py:44-72)."""
+    assert args.frame_num % 4 == 1, "frame_num must be 4n+1"
+    assert args.size in SUPPORTED_SIZES[args.task], (
+        f"size {args.size} unsupported for {args.task}: "
+        f"{SUPPORTED_SIZES[args.task]}"
+    )
+    assert args.ring_size == 1, (
+        "ring attention is not required on a single TPU slice; "
+        "use --ulysses_size for sequence parallelism"
+    )
+    if args.ckpt_dir is None and not args.random_init and args.context_file is None:
+        raise SystemExit(
+            "need --ckpt_dir, or --random_init (+ optional --context_file) "
+            "for checkpoint-free runs"
+        )
+
+
+def setup_logging(verbose: bool = True):
+    """rank-0 style logging (ref fp_generate.py:202-215)."""
+    logging.basicConfig(
+        level=logging.INFO if verbose else logging.ERROR,
+        format="[%(asctime)s] %(levelname)s: %(message)s",
+        handlers=[logging.StreamHandler(stream=sys.stdout)],
+        force=True,
+    )
+
+
+def build_mesh_and_plan(args, n_params_hint: int = 0):
+    from wanq_tpu.parallel import ShardingPlan, make_mesh
+
+    import jax
+
+    sp = args.ulysses_size
+    fsdp = args.fsdp_size if args.fsdp_size > 1 else (1 if not args.dit_fsdp else
+                                                      max(1, len(jax.devices()) // (sp * args.dp_size)))
+    total = args.dp_size * fsdp * sp
+    if total == 1:
+        return None, None
+    mesh = make_mesh(args.dp_size, fsdp, sp)
+    return mesh, ShardingPlan(mesh)
+
+
+def load_contexts(args, cfg) -> Tuple[np.ndarray, np.ndarray]:
+    """Text-encoder states: from --context_file, from T5 (when ckpt given),
+    or random (smoke runs)."""
+    if args.context_file:
+        data = np.load(args.context_file)
+        return data["context"], data["context_null"]
+    if args.ckpt_dir:
+        from wanq_tpu.models.t5 import encode_prompts  # wired when T5 lands
+
+        return encode_prompts(args.ckpt_dir, cfg, [args.prompt], [args.neg_prompt])
+    rng = np.random.default_rng(args.base_seed)
+    shape = (1, cfg.text_len, cfg.text_dim)
+    return (
+        rng.normal(size=shape).astype(np.float32),
+        rng.normal(size=shape).astype(np.float32),
+    )
+
+
+def load_params(args, cfg):
+    import jax
+
+    if args.ckpt_dir and not args.random_init:
+        from wanq_tpu.models.params import load_wan_checkpoint
+
+        return load_wan_checkpoint(args.ckpt_dir, dtype=cfg.dtype)
+    from wanq_tpu.models.dit import init_params
+
+    return init_params(cfg, jax.random.PRNGKey(args.base_seed))

@@ -1,0 +1,90 @@
+"""Calibration CLI (TPU-native rebuild of get_calib_data_wanx.py).
+
+Runs an FP denoise sweep and saves per-layer activation absmax stacks
+{layer: [T, C]} — the input to PTQ.
+
+    python -m wanq_tpu.cli.get_calib_data --task t2v-1.3B --random_init \
+        --sample_steps 30 --quant_config quant_configs/config.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from wanq_tpu.cli.common import (
+    add_common_args,
+    build_mesh_and_plan,
+    load_contexts,
+    load_params,
+    setup_logging,
+    validate_args,
+)
+from wanq_tpu.configs import SIZE_CONFIGS, WAN_CONFIGS
+from wanq_tpu.pipelines.text2video import WanT2V
+from wanq_tpu.quant import QuantConfig
+from wanq_tpu.quant.qlinear import QuantCtx
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("wanq get_calib_data")
+    add_common_args(p, default_steps=30)
+    p.add_argument("--quant_config", type=str, default=None,
+                   help="quant YAML; its calib_data.save_path is the output")
+    p.add_argument("--calib_save_path", type=str, default="calib_data.npz")
+    return p.parse_args(argv)
+
+
+def generate(args):
+    setup_logging()
+    validate_args(args)
+    cfg = WAN_CONFIGS[args.task]
+    size = SIZE_CONFIGS[args.size]
+
+    save_path = args.calib_save_path
+    if args.quant_config:
+        qc = QuantConfig.from_yaml(args.quant_config)
+        if qc.calib_save_path:
+            save_path = qc.calib_save_path
+    if save_path.endswith(".pth"):  # reference default name; we write npz
+        save_path = save_path[:-4] + ".npz"
+
+    params = load_params(args, cfg)
+    context, context_null = load_contexts(args, cfg)
+    mesh, plan = build_mesh_and_plan(args)
+    if mesh is not None:
+        from wanq_tpu.parallel import shard_params
+
+        params = shard_params(params, mesh)
+
+    pipe = WanT2V(
+        cfg, params, quant_ctx=QuantCtx(mode="calib"),
+        sp_size=args.ulysses_size, mesh=mesh, shardings=plan,
+    )
+    t0 = time.time()
+    stats = pipe.collect_calibration(
+        jnp.asarray(context),
+        jnp.asarray(context_null),
+        size=size,
+        frame_num=args.frame_num,
+        shift=args.sample_shift,
+        sample_solver=args.sample_solver,
+        sampling_steps=args.sample_steps,
+        guide_scale=args.sample_guide_scale,
+        seed=args.base_seed,
+    )
+    logging.info(
+        "calibration sweep done in %.2fs: %d layers x %d steps",
+        time.time() - t0, len(stats), args.sample_steps,
+    )
+    np.savez(save_path, **stats)
+    logging.info("saved %s", save_path)
+    return save_path
+
+
+if __name__ == "__main__":
+    generate(parse_args())

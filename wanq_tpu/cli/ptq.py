@@ -1,0 +1,71 @@
+"""PTQ CLI (TPU-native rebuild of ptq_wanx.py): compute quant params
+(scales / zero-points / channel masks / rotation seeds) and the deployed
+quantized weights; save the quant-state artifact.
+
+    python -m wanq_tpu.cli.ptq --task t2v-1.3B --random_init \
+        --quant_config quant_configs/config.yaml \
+        --calib_data calib_data.npz --save_path quant_params.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import numpy as np
+
+from wanq_tpu.cli.common import add_common_args, load_params, setup_logging, validate_args
+from wanq_tpu.configs import WAN_CONFIGS
+from wanq_tpu.models.dit import linear_layer_names
+from wanq_tpu.quant import QuantConfig
+from wanq_tpu.quant.ptq import load_reference_calib, prepare_quant_state, save_quant_state
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("wanq ptq")
+    add_common_args(p)
+    p.add_argument("--quant_config", type=str, required=True)
+    p.add_argument("--calib_data", type=str, default=None,
+                   help="npz from get_calib_data (or a reference .pth)")
+    p.add_argument("--save_path", type=str, default="quant_params.npz")
+    p.add_argument("--rotation_seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def generate(args):
+    setup_logging()
+    validate_args(args)
+    cfg = WAN_CONFIGS[args.task]
+    qcfg = QuantConfig.from_yaml(args.quant_config)
+
+    params = load_params(args, cfg)
+    calib = None
+    path = args.calib_data or (
+        qcfg.calib_save_path and qcfg.calib_save_path.replace(".pth", ".npz")
+    )
+    if path:
+        try:
+            if path.endswith(".pth"):
+                calib = load_reference_calib(path)
+            else:
+                calib = dict(np.load(path))
+            logging.info("loaded calibration data: %d layers from %s", len(calib), path)
+        except FileNotFoundError:
+            logging.warning("no calibration data at %s", path)
+
+    t0 = time.time()
+    policies, state, _ = prepare_quant_state(
+        params, linear_layer_names(cfg), qcfg, calib=calib, seed=args.rotation_seed
+    )
+    n_q = sum(p.is_quantized for p in policies.values())
+    logging.info(
+        "PTQ done in %.2fs: %d/%d layers quantized", time.time() - t0, n_q, len(policies)
+    )
+    save_quant_state(args.save_path, state, seed=args.rotation_seed)
+    logging.info("saved %s", args.save_path)
+    return args.save_path
+
+
+if __name__ == "__main__":
+    generate(parse_args())

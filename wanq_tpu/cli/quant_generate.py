@@ -1,0 +1,117 @@
+"""Quantized inference CLI (TPU-native rebuild of quant_generate.py):
+simulated quantization (fake-quant under jit) or the real int8 Pallas
+kernel path.
+
+    python -m wanq_tpu.cli.quant_generate --task t2v-1.3B --random_init \
+        --quant_config quant_configs/config.yaml \
+        --quant_params quant_params.npz --hardware
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from wanq_tpu.cli.common import (
+    add_common_args,
+    build_mesh_and_plan,
+    load_contexts,
+    load_params,
+    setup_logging,
+    validate_args,
+)
+from wanq_tpu.configs import SIZE_CONFIGS, WAN_CONFIGS
+from wanq_tpu.models.dit import linear_layer_names
+from wanq_tpu.pipelines.text2video import WanT2V
+from wanq_tpu.quant import QuantConfig
+from wanq_tpu.quant.hadamard import rotation_for_dim
+from wanq_tpu.quant.ptq import load_quant_state, prepare_quant_state
+from wanq_tpu.quant.qlinear import QuantCtx
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("wanq quant_generate")
+    add_common_args(p)
+    p.add_argument("--quant_config", type=str, required=True)
+    p.add_argument("--quant_params", type=str, default=None,
+                   help="quant_params.npz from the ptq stage; recomputed "
+                        "on the fly if omitted (needs --calib_data for "
+                        "smooth_quant/viditq)")
+    p.add_argument("--calib_data", type=str, default=None)
+    p.add_argument("--hardware", action="store_true",
+                   help="int8 Pallas kernel path (ref if_hardware, "
+                        "quant_generate.py:372); default is simulated quant")
+    return p.parse_args(argv)
+
+
+def generate(args):
+    setup_logging()
+    validate_args(args)
+    cfg = WAN_CONFIGS[args.task]
+    size = SIZE_CONFIGS[args.size]
+    qcfg = QuantConfig.from_yaml(args.quant_config)
+    mode = "int8" if args.hardware else "sim"
+
+    params = load_params(args, cfg)
+    names = linear_layer_names(cfg)
+    policies = {n: qcfg.resolve(n) for n in names}
+
+    if args.quant_params:
+        state, seed = load_quant_state(args.quant_params)
+        # rotations are regenerated from the stored seed (quant state does
+        # not serialize them; ref quant_model.py:172)
+        rotations = {}
+        for n, st in state.items():
+            if policies[n].uses_rotation:
+                c_in = int(np.asarray(st.get("w_q", st.get("w_int8"))).shape[0])
+                if c_in not in rotations:
+                    rotations[c_in] = jnp.asarray(
+                        rotation_for_dim(c_in, seed=seed).astype(np.float32)
+                    )
+        logging.info("loaded quant state: %d layers (seed %d)", len(state), seed)
+    else:
+        calib = dict(np.load(args.calib_data)) if args.calib_data else None
+        policies, state, rotations = prepare_quant_state(
+            params, names, qcfg, calib=calib, targets=mode
+        )
+        logging.info("computed quant state on the fly: %d layers", len(state))
+
+    context, context_null = load_contexts(args, cfg)
+    mesh, plan = build_mesh_and_plan(args)
+    if mesh is not None:
+        from wanq_tpu.parallel import shard_params
+
+        params = shard_params(params, mesh)
+
+    ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations)
+    pipe = WanT2V(cfg, params, quant_ctx=ctx,
+                  sp_size=args.ulysses_size, mesh=mesh, shardings=plan)
+    t0 = time.time()
+    latents = pipe.generate(
+        jnp.asarray(context),
+        jnp.asarray(context_null),
+        size=size,
+        frame_num=args.frame_num,
+        shift=args.sample_shift,
+        sample_solver=args.sample_solver,
+        sampling_steps=args.sample_steps,
+        guide_scale=args.sample_guide_scale,
+        seed=args.base_seed,
+    )
+    latents.block_until_ready()
+    logging.info("quant (%s) denoise done in %.2fs", mode, time.time() - t0)
+
+    save_file = args.save_file or (
+        f"quant_{mode}_{args.task}_{args.size.replace('*','x')}_seed{args.base_seed}.npz"
+    )
+    np.savez(save_file, latents=np.asarray(latents))
+    logging.info("saved %s", save_file)
+    return save_file
+
+
+if __name__ == "__main__":
+    generate(parse_args())

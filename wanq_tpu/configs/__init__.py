@@ -106,6 +106,8 @@ SIZE_CONFIGS: Dict[str, Tuple[int, int]] = {
     "480*832": (480, 832),
     "832*480": (832, 480),
     "1024*1024": (1024, 1024),
+    # smoke-test size (not in the reference table; used by the 'tiny' task)
+    "64*64": (64, 64),
 }
 
 MAX_AREA_CONFIGS: Dict[str, int] = {
@@ -115,16 +117,9 @@ MAX_AREA_CONFIGS: Dict[str, int] = {
     "832*480": 832 * 480,
 }
 
-SUPPORTED_SIZES: Dict[str, Tuple[str, ...]] = {
-    "t2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
-    "t2v-1.3B": ("480*832", "832*480"),
-    "i2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
-    "t2i-14B": tuple(SIZE_CONFIGS.keys()),
-}
-
-
 def tiny_config(**overrides) -> WanConfig:
-    """A CPU-testable miniature of the Wan architecture for unit tests."""
+    """A CPU-testable miniature of the Wan architecture for unit tests and
+    CLI smoke runs (task name 'tiny')."""
     base = dict(
         name="tiny",
         dim=96,
@@ -138,3 +133,14 @@ def tiny_config(**overrides) -> WanConfig:
     )
     base.update(overrides)
     return WanConfig(**base)
+
+
+WAN_CONFIGS["tiny"] = tiny_config()
+
+SUPPORTED_SIZES: Dict[str, Tuple[str, ...]] = {
+    "t2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
+    "t2v-1.3B": ("480*832", "832*480"),
+    "i2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
+    "t2i-14B": tuple(SIZE_CONFIGS.keys()),
+    "tiny": tuple(SIZE_CONFIGS.keys()),
+}

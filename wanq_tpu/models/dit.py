@@ -83,28 +83,38 @@ def sinusoidal_embedding_1d(dim: int, t: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _linear_init(key, c_in: int, c_out: int, dtype, scheme: str = "xavier"):
-    kw, _ = jax.random.split(key)
-    if scheme == "xavier":
-        bound = math.sqrt(6.0 / (c_in + c_out))
-        w = jax.random.uniform(kw, (c_in, c_out), jnp.float32, -bound, bound)
-    elif scheme == "normal02":
-        w = jax.random.normal(kw, (c_in, c_out), jnp.float32) * 0.02
-    elif scheme == "zeros":
-        w = jnp.zeros((c_in, c_out), jnp.float32)
-    else:
-        raise ValueError(scheme)
-    return {"w": w.astype(dtype), "b": jnp.zeros((c_out,), jnp.float32)}
-
-
 def init_params(cfg: WanConfig, key: jax.Array) -> Params:
-    """Random init mirroring WanModel.init_weights (model.py:658-680)."""
+    """Random init mirroring WanModel.init_weights (model.py:658-680).
+
+    Init runs host-side in numpy (one RNG stream, zero per-op device
+    dispatches — important on remote-compiled TPU backends where hundreds
+    of tiny random kernels would each round-trip the compile service),
+    then lands on device lazily via jnp.asarray.
+    """
     dtype = cfg.dtype
     d = cfg.dim
-    keys = iter(jax.random.split(key, 64 + 16 * cfg.num_layers))
+    seed = int(jax.random.key_data(key)[-1]) if hasattr(jax.random, "key_data") else 0
+    rng = np.random.default_rng(seed)
 
     def lin(c_in, c_out, scheme="xavier"):
-        return _linear_init(next(keys), c_in, c_out, dtype, scheme)
+        if scheme == "xavier":
+            bound = math.sqrt(6.0 / (c_in + c_out))
+            w = rng.uniform(-bound, bound, (c_in, c_out)).astype(np.float32)
+        elif scheme == "normal02":
+            w = (rng.standard_normal((c_in, c_out)) * 0.02).astype(np.float32)
+        elif scheme == "zeros":
+            w = np.zeros((c_in, c_out), np.float32)
+        else:
+            raise ValueError(scheme)
+        return {
+            "w": jnp.asarray(w, dtype=dtype),
+            "b": jnp.zeros((c_out,), jnp.float32),
+        }
+
+    def modulation(n):
+        return jnp.asarray(
+            (rng.standard_normal((1, n, d)) / math.sqrt(d)).astype(np.float32)
+        )
 
     params: Params = {
         # Conv3d patch embedding stored as a dense kernel
@@ -122,9 +132,7 @@ def init_params(cfg: WanConfig, key: jax.Array) -> Params:
         "time_projection": {"1": lin(d, d * 6)},
         "head": {
             "head": lin(d, int(np.prod(cfg.patch_size)) * cfg.out_dim, "zeros"),
-            "modulation": (
-                jax.random.normal(next(keys), (1, 2, d), jnp.float32) / math.sqrt(d)
-            ),
+            "modulation": modulation(2),
         },
         "blocks": [],
     }
@@ -164,9 +172,7 @@ def init_params(cfg: WanConfig, key: jax.Array) -> Params:
                 else None
             ),
             "ffn": {"0": lin(d, cfg.ffn_dim), "2": lin(cfg.ffn_dim, d)},
-            "modulation": (
-                jax.random.normal(next(keys), (1, 6, d), jnp.float32) / math.sqrt(d)
-            ),
+            "modulation": modulation(6),
         }
         if cfg.model_type == "i2v":
             block["cross_attn"]["k_img"] = lin(d, d)
@@ -237,8 +243,11 @@ def _self_attention(
     sin: jax.Array,
     valid_len: int,
     dtype,
+    plan=None,
 ) -> jax.Array:
-    """ref WanSelfAttention.forward (model.py:130-175)."""
+    """ref WanSelfAttention.forward (model.py:130-175). Under a sharding
+    plan, q/k/v reshard from seq-sharded to head-sharded here — the Ulysses
+    all-to-all (ref usp_attn_forward, xdit_context_parallel.py:66-192)."""
     b, s, _ = x.shape
     n, hd = cfg.num_heads, cfg.head_dim
     q = qlinear(ctx, f"{name}.q", p["q"], x, dtype)
@@ -252,8 +261,12 @@ def _self_attention(
     v = v.reshape(b, s, n, hd).astype(dtype)
     q = rope_apply_padded(q, cos, sin, valid_len).astype(dtype)
     k = rope_apply_padded(k, cos, sin, valid_len).astype(dtype)
+    if plan is not None:
+        q, k, v = plan.heads(q), plan.heads(k), plan.heads(v)
     y = attention(q, k, v, k_valid_len=valid_len)
     y = y.reshape(b, s, n * hd)
+    if plan is not None:
+        y = plan.tokens(y)
     return qlinear(ctx, f"{name}.o", p["o"], y, dtype)
 
 
@@ -312,6 +325,7 @@ def block_forward(
     cos: jax.Array,
     sin: jax.Array,
     valid_len: int,
+    plan=None,
 ) -> jax.Array:
     """ref WanAttentionBlock.forward (model.py:293-370). x: [B, L, C] f32."""
     dtype = cfg.dtype
@@ -322,7 +336,7 @@ def block_forward(
     xn1 = layer_norm(x, cfg.eps) * (1.0 + e1[:, None, :]) + e0[:, None, :]
     y = _self_attention(
         p["self_attn"], f"{name}.self_attn", ctx, xn1.astype(dtype), cfg,
-        cos, sin, valid_len, dtype,
+        cos, sin, valid_len, dtype, plan=plan,
     )
     x = x + y.astype(jnp.float32) * e2[:, None, :]
 
@@ -365,15 +379,15 @@ def dit_forward(
     ctx: Optional[QuantCtx] = None,
     clip_fea: Optional[jax.Array] = None,
     y: Optional[jax.Array] = None,
-    seq_shard: Optional[Tuple[Any, str]] = None,
+    plan=None,
 ) -> jax.Array:
     """Denoising forward (ref WanModel.forward, model.py:539-631).
 
     x: [B, C_in, F, H, W] latent video (+ y concat for i2v)
     t: [B] timesteps; context: [B, text_len, text_dim] T5 states.
     Returns [B, C_out, F, H, W] float32.
-    ``seq_shard``: optional (mesh, axis) for Ulysses sequence sharding —
-    see wanq_tpu.parallel (ref usp_dit_forward, xdit_context_parallel.py).
+    ``plan``: optional wanq_tpu.parallel.ShardingPlan for GSPMD multi-chip
+    execution (ref usp_dit_forward, xdit_context_parallel.py).
     """
     dtype = cfg.dtype
     if y is not None:
@@ -392,6 +406,8 @@ def dit_forward(
     assert valid_len <= seq_len, (valid_len, seq_len)
     if valid_len < seq_len:
         xq = jnp.pad(xq, ((0, 0), (0, seq_len - valid_len), (0, 0)))
+    if plan is not None:
+        xq = plan.tokens(xq)
 
     # time embeddings, fp32 (model.py:592-596)
     e = sinusoidal_embedding_1d(cfg.freq_dim, t)
@@ -427,7 +443,7 @@ def dit_forward(
     for i in range(cfg.num_layers):
         xf = block_forward(
             params["blocks"][i], f"blocks.{i}", ctx, xf, e0, c, cfg,
-            cos, sin, valid_len,
+            cos, sin, valid_len, plan=plan,
         )
 
     out = head_forward(params, xf, e, cfg, ctx)

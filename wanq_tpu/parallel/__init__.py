@@ -1,1 +1,9 @@
-"""TPU-native rebuild — see package docstring."""
+"""Mesh / GSPMD sharding (TPU-native rebuild of wan/distributed)."""
+
+from wanq_tpu.parallel.sharding import (
+    AXES,
+    ShardingPlan,
+    make_mesh,
+    param_shardings,
+    shard_params,
+)

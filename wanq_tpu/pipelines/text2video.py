@@ -86,7 +86,10 @@ class WanT2V:
             c2 = jnp.concatenate([context, context_null], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
             use_ctx = ctx if (ctx is not None and ctx.mode == mode) else None
-            out = dit_forward(params, cfg, x2, t2, c2, seq_len, ctx=use_ctx)
+            out = dit_forward(
+                params, cfg, x2, t2, c2, seq_len, ctx=use_ctx,
+                plan=self.shardings,
+            )
             cond, uncond = out[:b], out[b:]
             noise_pred = uncond + guide_scale * (cond - uncond)
             if use_ctx is not None and use_ctx.mode == "calib":

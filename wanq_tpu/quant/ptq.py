@@ -67,6 +67,7 @@ def prepare_layer_state(
     w: jax.Array,
     act_absmax: Optional[np.ndarray],
     rotation: Optional[np.ndarray],
+    targets: str = "both",
 ) -> Dict[str, jax.Array]:
     """Quant state for one layer. w: [C_in, C_out] (f32).
 
@@ -105,11 +106,12 @@ def prepare_layer_state(
         wf = rotation.T @ wf
 
     w_work = jnp.asarray(wf.astype(np.float32))
-    st["w_q"] = weight_fake_quant(w_work, wcfg)
+    if targets in ("sim", "both"):
+        st["w_q"] = weight_fake_quant(w_work, wcfg)
     d, z = weight_quant_params(w_work, wcfg)
     st["delta_w"] = d
     st["zp_w"] = z
-    if wcfg.active_bits == 8:
+    if wcfg.active_bits == 8 and targets in ("int8", "both"):
         w_int8, scale_w, zp_w_int = weight_int_quant(w_work, wcfg)
         st["w_int8"] = w_int8
         st["scale_w"] = scale_w
@@ -123,9 +125,12 @@ def prepare_quant_state(
     qcfg: QuantConfig,
     calib: Optional[Mapping[str, np.ndarray]] = None,
     seed: int = 0,
+    targets: str = "both",
 ) -> Tuple[Dict[str, LayerPolicy], Dict[str, Dict[str, jax.Array]], Dict[int, jax.Array]]:
     """Full-model PTQ (ref ptq_wanx.py generate() :261-385).
 
+    ``targets``: which deployed weights to materialize — 'sim' (fake-quant
+    bf16), 'int8' (true int8 + export params), or 'both'.
     Returns (policies, state, rotations)."""
     policies = {name: qcfg.resolve(name) for name in layer_names}
     calib_max = reduce_calib(calib) if calib is not None else {}
@@ -148,7 +153,7 @@ def prepare_quant_state(
                 f"layer {name} uses {policy.method} but no calibration data "
                 f"was provided (expected key '{name}')"
             )
-        state[name] = prepare_layer_state(policy, w, act_absmax, rot)
+        state[name] = prepare_layer_state(policy, w, act_absmax, rot, targets)
 
     rotations = {k: jnp.asarray(v.astype(np.float32)) for k, v in rotations_np.items()}
     return policies, state, rotations
