@@ -9,6 +9,10 @@ here, kernels/bench/bench_gemm.py:34-95).
 Quant config: full W8A8 on every transformer-block linear (self/cross
 attn q/k/v/o + ffn), embeddings/head FP — the ViDiT-Q W8A8 setting.
 Shapes: 480*832, frame_num auto-reduced to fit the chip's HBM.
+
+Timing methodology: latents are chained through the step function
+(out_i feeds step_{i+1}) with one block_until_ready at the end — robust
+against async-dispatch artifacts of remote/relayed TPU backends.
 """
 
 from __future__ import annotations
@@ -22,7 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from wanq_tpu.configs import WAN_CONFIGS
-from wanq_tpu.models.dit import dit_forward, init_params, linear_layer_names
+from wanq_tpu.models.dit import (
+    dit_forward,
+    init_params_on_device,
+    linear_layer_names,
+    make_scan_ctx,
+    stack_block_params,
+)
 from wanq_tpu.pipelines.text2video import compute_seq_len, compute_target_shape
 from wanq_tpu.quant import QuantConfig
 from wanq_tpu.quant.ptq import prepare_quant_state
@@ -52,15 +62,17 @@ def make_step(cfg, seq_len, ctx):
     return jax.jit(step)
 
 
-def time_step(step_fn, args, iters=5, warmup=2):
+def time_step(step_fn, params, latents, t, c, cn, gs, iters=6, warmup=2):
+    """Chained timing: each step consumes the previous output."""
+    x = latents
     for _ in range(warmup):
-        step_fn(*args).block_until_ready()
-    times = []
+        x = 0.99 * step_fn(params, x, t, c, cn, gs)
+    x.block_until_ready()
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
-        step_fn(*args).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        x = 0.99 * step_fn(params, x, t, c, cn, gs)
+    x.block_until_ready()
+    return (time.perf_counter() - t0) / iters
 
 
 def run(frame_num: int):
@@ -70,48 +82,61 @@ def run(frame_num: int):
     seq_len = compute_seq_len(cfg, target_shape)
     log(f"bench: 1.3B {size} f{frame_num} seq_len={seq_len} on {jax.devices()[0]}")
 
-    key = jax.random.PRNGKey(0)
-    params = init_params(cfg, key)
-    params = jax.block_until_ready(params)
+    t0 = time.time()
+    params = stack_block_params(init_params_on_device(cfg, seed=0))
+    jax.block_until_ready(params)
+    log(f"on-device init: {time.time()-t0:.1f}s")
 
+    key = jax.random.PRNGKey(1)
     latents = jax.random.normal(key, (1, *target_shape), dtype=jnp.float32)
     t = jnp.asarray([999.0])
-    context = jax.random.normal(key, (1, cfg.text_len, cfg.text_dim), dtype=jnp.bfloat16).astype(jnp.float32)
-    context_null = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim), dtype=jnp.float32)
+    context = jax.random.normal(key, (1, cfg.text_len, cfg.text_dim), dtype=jnp.float32)
+    context_null = jax.random.normal(
+        jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim), dtype=jnp.float32
+    )
     gs = jnp.float32(5.0)
-    args = (params, latents, t, context, context_null, gs)
 
     log("compiling + timing FP16 (bf16) step...")
+    t0 = time.time()
     fp_step = make_step(cfg, seq_len, None)
-    fp_time = time_step(fp_step, args)
-    log(f"fp16 step: {fp_time*1000:.1f} ms")
+    fp_time = time_step(fp_step, params, latents, t, context, context_null, gs)
+    log(f"fp16 step: {fp_time*1000:.1f} ms (total {time.time()-t0:.1f}s)")
     del fp_step
 
-    log("preparing W8A8 state...")
+    log("preparing W8A8 state (on-device)...")
+    t0 = time.time()
     qcfg = QuantConfig.from_dict(FULL_W8A8)
+    # PTQ consumes list-form params; regenerate cheaply on device
+    list_params = init_params_on_device(cfg, seed=0)
     policies, state, rotations = prepare_quant_state(
-        params, linear_layer_names(cfg), qcfg, targets="int8"
+        list_params, linear_layer_names(cfg), qcfg, targets="int8"
     )
-    state = jax.block_until_ready(state)
+    del list_params
     ctx = QuantCtx(mode="int8", policies=policies, state=state, rotations=rotations)
+    ctx = make_scan_ctx(ctx, cfg.num_layers)
+    jax.block_until_ready(ctx.scan_state)
+    log(f"PTQ done: {time.time()-t0:.1f}s")
 
     log("compiling + timing W8A8 step...")
+    t0 = time.time()
     q_step = make_step(cfg, seq_len, ctx)
-    q_time = time_step(q_step, args)
-    log(f"w8a8 step: {q_time*1000:.1f} ms")
+    q_time = time_step(q_step, params, latents, t, context, context_null, gs)
+    log(f"w8a8 step: {q_time*1000:.1f} ms (total {time.time()-t0:.1f}s)")
 
     return fp_time, q_time
 
 
 def main():
+    last_err = None
     for frame_num in (81, 41, 21, 9):
         try:
             fp_time, q_time = run(frame_num)
             break
         except Exception as e:  # noqa: BLE001 — OOM fallback ladder
+            last_err = e
             log(f"frame_num={frame_num} failed ({type(e).__name__}: {e}); retrying smaller")
     else:
-        raise SystemExit("all bench configs failed")
+        raise SystemExit(f"all bench configs failed: {last_err}")
 
     steps_per_sec = 1.0 / q_time
     print(

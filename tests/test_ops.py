@@ -1,0 +1,114 @@
+"""Kernel correctness tests (the TPU analog of the reference's
+kernels/bench correctness-vs-reference checks, SURVEY.md §4):
+Pallas kernels in interpreter mode vs their jnp references, and the jnp
+references vs closed-form math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wanq_tpu.ops import fused
+from wanq_tpu.ops.qgemm import w8a8_linear_pallas, w8a8_linear_xla
+
+
+@pytest.fixture(scope="module")
+def data(rng=None):
+    rng = np.random.default_rng(0)
+    return rng
+
+
+def test_w8a8_xla_epilogue_formula(rng):
+    m, k, n = 24, 64, 32
+    a = rng.integers(-80, 80, (m, k)).astype(np.int8)
+    w = rng.integers(-80, 80, (k, n)).astype(np.int8)
+    s_a = (0.01 * rng.random(m) + 0.005).astype(np.float32)
+    s_w = (0.1 * rng.random(n) + 0.1).astype(np.float32)
+    zp_w = rng.integers(-10, 10, n).astype(np.float32)
+    bias = (rng.random(n) * 2).astype(np.float32)
+    sum_a = (s_a * a.astype(np.float32).sum(1)).astype(np.float32)
+
+    got = np.asarray(w8a8_linear_xla(
+        jnp.asarray(a), jnp.asarray(w), jnp.asarray(s_a), jnp.asarray(s_w),
+        jnp.asarray(sum_a), jnp.asarray(zp_w), jnp.asarray(bias)))
+    # ground truth (ref bench_gemm.py:26-32)
+    want = (a.astype(np.float32) @ w.astype(np.float32)) * s_a[:, None] * s_w[None, :] \
+        + sum_a[:, None] * zp_w[None, :] * s_w[None, :] + bias
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("m", [128, 300])
+@pytest.mark.parametrize("asym,bias", [(True, True), (False, False)])
+def test_w8a8_pallas_matches_xla(rng, m, asym, bias):
+    k, n = 256, 128
+    a = jnp.asarray(rng.integers(-80, 80, (m, k)).astype(np.int8))
+    w = jnp.asarray(rng.integers(-80, 80, (k, n)).astype(np.int8))
+    s_a = jnp.asarray((0.01 * rng.random(m) + 0.005).astype(np.float32))
+    s_w = jnp.asarray((0.1 * rng.random(n) + 0.1).astype(np.float32))
+    sum_a = jnp.asarray(rng.random(m).astype(np.float32)) if asym else None
+    zp_w = jnp.asarray(rng.integers(-10, 10, n).astype(np.float32)) if asym else None
+    b = jnp.asarray(rng.random(n).astype(np.float32)) if bias else None
+
+    want = np.asarray(w8a8_linear_xla(a, w, s_a, s_w, sum_a, zp_w, b))
+    got = np.asarray(w8a8_linear_pallas(
+        a, w, s_a, s_w, sum_a, zp_w, b,
+        block_m=128, block_n=128, block_k=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_quant_sum_xla_matches_quantizer_math(rng):
+    from wanq_tpu.quant.quantizers import act_dynamic_int_quant
+
+    x = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    q1, s1, m1 = fused.quant_sum_xla(x)
+    q2, s2, m2 = act_dynamic_int_quant(x)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+
+
+@pytest.mark.parametrize("gelu", [False, True])
+def test_quant_sum_pallas_matches_xla(rng, gelu):
+    x = jnp.asarray(rng.normal(size=(100, 128)).astype(np.float32) * 3)
+    ref = fused.gelu_quant_sum_xla(x) if gelu else fused.quant_sum_xla(x)
+    got = fused.quant_sum_pallas(x, gelu=gelu, block_m=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]), rtol=1e-5)
+
+
+def test_ln_modulate_quant_pallas_matches_xla(rng):
+    b, n, c = 2, 40, 128
+    x = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    shift = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32) * 0.1)
+    ref = fused.ln_modulate_quant_xla(x, shift, scale)
+    got = fused.ln_modulate_quant_pallas(x, shift, scale, block_n=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]), rtol=1e-4)
+
+
+def test_ln_modulate_quant_dequant_close_to_fp(rng):
+    """int8 round-trip of the fused op stays within quant error of the FP
+    LN+modulate."""
+    b, n, c = 1, 16, 64
+    x = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    shift = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32) * 0.1)
+    q, s, _ = fused.ln_modulate_quant_xla(x, shift, scale)
+    deq = np.asarray(q, dtype=np.float32) * np.asarray(s)[..., None]
+
+    from wanq_tpu.models.dit import layer_norm
+
+    fp = np.asarray(layer_norm(x, 1e-6)) * (1 + np.asarray(scale)[:, None, :]) \
+        + np.asarray(shift)[:, None, :]
+    assert np.abs(deq - fp).max() <= np.asarray(s).max() * 0.51 + 1e-6
+
+
+def test_gate_residual(rng):
+    x = rng.normal(size=(2, 8, 16)).astype(np.float32)
+    y = rng.normal(size=(2, 8, 16)).astype(np.float32)
+    g = rng.normal(size=(2, 1, 16)).astype(np.float32)
+    got = np.asarray(fused.gate_residual(jnp.asarray(x), jnp.asarray(y), jnp.asarray(g)))
+    np.testing.assert_allclose(got, x + y * g, rtol=1e-6)

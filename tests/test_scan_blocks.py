@@ -1,0 +1,95 @@
+"""Scan-over-blocks (stacked params) parity tests: the compile-time layout
+must produce identical results to the unrolled block loop in every quant
+mode, including calibration stat collection."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wanq_tpu.configs import tiny_config
+from wanq_tpu.models.dit import (
+    dit_forward,
+    init_params,
+    init_params_on_device,
+    linear_layer_names,
+    stack_block_params,
+)
+from wanq_tpu.quant import QuantConfig
+from wanq_tpu.quant.ptq import prepare_quant_state
+from wanq_tpu.quant.qlinear import QuantCtx
+
+QCFG = {
+    "remain_fp_regex": r"text_embedding|time_embedding|time_projection|head\.head",
+    "weight": {"n_bits": 8, "sym": False},
+    "act": {"n_bits": 8, "sym": True},
+    "viditq": {"alpha": 0.5665, "layer_name_regex": ""},
+}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    stacked = stack_block_params(params)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, cfg.in_dim, 2, 8, 8)).astype(np.float32))
+    t = jnp.asarray([500.0])
+    txt = jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+    return cfg, params, stacked, (x, t, txt)
+
+
+def test_scan_fp_matches_loop(setup):
+    cfg, params, stacked, (x, t, txt) = setup
+    ref = dit_forward(params, cfg, x, t, txt, seq_len=32)
+    got = dit_forward(stacked, cfg, x, t, txt, seq_len=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_scan_sim_quant_matches_loop(setup):
+    cfg, params, stacked, (x, t, txt) = setup
+    qcfg = QuantConfig.from_dict(QCFG)
+    names = linear_layer_names(cfg)
+    # viditq needs calib data — synthesize per-layer absmax
+    rng = np.random.default_rng(0)
+    calib = {n: np.abs(rng.normal(size=(2, 96 if "ffn.2" not in n else cfg.ffn_dim))).astype(np.float32) + 0.1 for n in names}
+    policies, state, rotations = prepare_quant_state(params, names, qcfg, calib=calib)
+    ctx = QuantCtx(mode="sim", policies=policies, state=state, rotations=rotations)
+    ref = dit_forward(params, cfg, x, t, txt, seq_len=32, ctx=ctx)
+    got = dit_forward(stacked, cfg, x, t, txt, seq_len=32, ctx=ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_scan_int8_matches_loop(setup):
+    cfg, params, stacked, (x, t, txt) = setup
+    qcfg = QuantConfig.from_dict({k: v for k, v in QCFG.items() if k != "viditq"})
+    names = linear_layer_names(cfg)
+    policies, state, rotations = prepare_quant_state(params, names, qcfg)
+    ctx = QuantCtx(mode="int8", policies=policies, state=state, rotations=rotations)
+    ref = dit_forward(params, cfg, x, t, txt, seq_len=32, ctx=ctx)
+    got = dit_forward(stacked, cfg, x, t, txt, seq_len=32, ctx=ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_scan_calib_collects_per_block_stats(setup):
+    cfg, params, stacked, (x, t, txt) = setup
+    ctx_loop = QuantCtx(mode="calib")
+    dit_forward(params, cfg, x, t, txt, seq_len=32, ctx=ctx_loop)
+    ctx_scan = QuantCtx(mode="calib")
+    dit_forward(stacked, cfg, x, t, txt, seq_len=32, ctx=ctx_scan)
+    assert set(ctx_scan.collect) == set(ctx_loop.collect)
+    for k in ctx_loop.collect:
+        np.testing.assert_allclose(
+            np.asarray(ctx_scan.collect[k]), np.asarray(ctx_loop.collect[k]),
+            atol=1e-5, rtol=1e-4, err_msg=k,
+        )
+
+
+def test_init_params_on_device_structure(setup):
+    cfg, params, _, _ = setup
+    dev = init_params_on_device(cfg, seed=0)
+    ref_tree = jax.tree.structure(params)
+    dev_tree = jax.tree.structure(dev)
+    assert ref_tree == dev_tree
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(dev)):
+        assert a.shape == b.shape and a.dtype == b.dtype

@@ -182,6 +182,61 @@ def init_params(cfg: WanConfig, key: jax.Array) -> Params:
     return params
 
 
+def init_params_on_device(cfg: WanConfig, seed: int = 0) -> Params:
+    """Random init generated *on device* by a single jitted program — no
+    host→device bulk transfer (the axon-relayed TPU moves ~32 MB/s, so
+    shipping 1.3B/14B random params from host is minutes of dead time).
+    Distributions mirror init_params."""
+
+    def gen(key):
+        d = cfg.dim
+        n_lin = 6 + cfg.num_layers * 16
+        keys = iter(jax.random.split(key, n_lin + 8))
+
+        def lin(c_in, c_out, scheme="xavier"):
+            k = next(keys)
+            if scheme == "xavier":
+                bound = math.sqrt(6.0 / (c_in + c_out))
+                w = jax.random.uniform(k, (c_in, c_out), jnp.float32, -bound, bound)
+            elif scheme == "normal02":
+                w = jax.random.normal(k, (c_in, c_out), jnp.float32) * 0.02
+            else:
+                w = jnp.zeros((c_in, c_out), jnp.float32)
+            return {"w": w.astype(cfg.dtype), "b": jnp.zeros((c_out,), jnp.float32)}
+
+        def modulation(n):
+            return jax.random.normal(next(keys), (1, n, d), jnp.float32) / math.sqrt(d)
+
+        params: Params = {
+            "patch_embedding": lin(int(np.prod(cfg.patch_size)) * cfg.in_dim, d),
+            "text_embedding": {"0": lin(cfg.text_dim, d, "normal02"),
+                               "2": lin(d, d, "normal02")},
+            "time_embedding": {"0": lin(cfg.freq_dim, d, "normal02"),
+                               "2": lin(d, d, "normal02")},
+            "time_projection": {"1": lin(d, d * 6)},
+            "head": {"head": lin(d, int(np.prod(cfg.patch_size)) * cfg.out_dim, "zeros"),
+                     "modulation": modulation(2)},
+            "blocks": [],
+        }
+        for _ in range(cfg.num_layers):
+            params["blocks"].append({
+                "self_attn": {leaf: lin(d, d) for leaf in ("q", "k", "v", "o")}
+                | {"norm_q": jnp.ones((d,), jnp.float32),
+                   "norm_k": jnp.ones((d,), jnp.float32)},
+                "cross_attn": {leaf: lin(d, d) for leaf in ("q", "k", "v", "o")}
+                | {"norm_q": jnp.ones((d,), jnp.float32),
+                   "norm_k": jnp.ones((d,), jnp.float32)},
+                "norm3": ({"w": jnp.ones((d,), jnp.float32),
+                           "b": jnp.zeros((d,), jnp.float32)}
+                          if cfg.cross_attn_norm else None),
+                "ffn": {"0": lin(d, cfg.ffn_dim), "2": lin(cfg.ffn_dim, d)},
+                "modulation": modulation(6),
+            })
+        return params
+
+    return jax.jit(gen)(jax.random.PRNGKey(seed))
+
+
 def linear_layer_names(cfg: WanConfig) -> List[str]:
     """Every quantizable linear path, in reference naming (the set that
     apply_func_to_submodules(nn.Linear) would visit)."""
@@ -440,11 +495,109 @@ def dit_forward(
     cos, sin = (jnp.asarray(a) for a in rope_tables(grid, cfg.head_dim))
 
     xf = xq.astype(jnp.float32)
-    for i in range(cfg.num_layers):
-        xf = block_forward(
-            params["blocks"][i], f"blocks.{i}", ctx, xf, e0, c, cfg,
-            cos, sin, valid_len, plan=plan,
+    if isinstance(params["blocks"], dict):
+        # stacked-block form: one compiled block body via lax.scan (30-40x
+        # smaller XLA graph than the unrolled loop — essential for 14B
+        # compile times). Produced by stack_block_params().
+        xf, scan_stats = _scan_blocks(
+            params["blocks"], ctx, xf, e0, c, cfg, cos, sin, valid_len, plan
         )
+        if ctx is not None and ctx.mode == "calib":
+            # unstack per-block stats into reference-style names
+            for suffix, arr in scan_stats.items():
+                for i in range(cfg.num_layers):
+                    ctx.collect[f"blocks.{i}.{suffix}"] = arr[i]
+    else:
+        for i in range(cfg.num_layers):
+            xf = block_forward(
+                params["blocks"][i], f"blocks.{i}", ctx, xf, e0, c, cfg,
+                cos, sin, valid_len, plan=plan,
+            )
 
     out = head_forward(params, xf, e, cfg, ctx)
     return unpatchify(out.astype(jnp.float32), grid, cfg.patch_size, cfg.out_dim)
+
+
+# ---------------------------------------------------------------------------
+# scan-over-blocks (stacked params)
+# ---------------------------------------------------------------------------
+
+_SCAN_NAME = "blocks.0"  # per-block policies must be uniform under scan
+
+
+def stack_block_params(params: Params) -> Params:
+    """Stack the per-block param list into leaves with a leading [L] dim
+    (one-time, at load). dit_forward then scans one compiled block body."""
+    blocks = params["blocks"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    out = dict(params)
+    out["blocks"] = stacked
+    return out
+
+
+def stack_quant_state(
+    ctx: QuantCtx, num_layers: int
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Split ctx.state into (non-block state, per-suffix stacked block
+    state with leading [L]); asserts per-block policy uniformity."""
+    suffixes = sorted(
+        {k.split(".", 2)[2] for k in ctx.state if k.startswith("blocks.")}
+    )
+    stacked = {}
+    for sfx in suffixes:
+        per_block = [ctx.state[f"blocks.{i}.{sfx}"] for i in range(num_layers)]
+        pol0 = ctx.policies[f"blocks.0.{sfx}"]
+        for i in range(num_layers):
+            assert ctx.policies[f"blocks.{i}.{sfx}"] == pol0, (
+                "scan-over-blocks requires uniform per-block policies; "
+                f"blocks.{i}.{sfx} differs — use unstacked (list) params"
+            )
+        stacked[sfx] = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *per_block)
+    other = {k: v for k, v in ctx.state.items() if not k.startswith("blocks.")}
+    return other, stacked
+
+
+def make_scan_ctx(ctx: QuantCtx, num_layers: int) -> QuantCtx:
+    """Pre-stack the per-block quant state once (outside jit) so the scan
+    body consumes it as xs instead of re-stacking at every trace."""
+    other, stacked = stack_quant_state(ctx, num_layers)
+    new = QuantCtx(
+        mode=ctx.mode, policies=ctx.policies, state=other,
+        rotations=ctx.rotations,
+    )
+    new.scan_state = stacked
+    return new
+
+
+def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan):
+    stacked_state: Dict[str, Any] = {}
+    if ctx is not None and ctx.scan_state is not None:
+        stacked_state = ctx.scan_state
+    elif ctx is not None and ctx.state:
+        _, stacked_state = stack_quant_state(ctx, cfg.num_layers)
+
+    mode = ctx.mode if ctx is not None else "fp"
+    policies = ctx.policies if ctx is not None else {}
+    rotations = ctx.rotations if ctx is not None else {}
+
+    def body(carry, xs):
+        bp, bstate = xs
+        sub = None
+        if ctx is not None:
+            sub = QuantCtx(mode=mode, rotations=rotations)
+            sub.policies = {
+                k: v for k, v in policies.items() if k.startswith(_SCAN_NAME + ".")
+            }
+            sub.state = {f"{_SCAN_NAME}.{sfx}": st for sfx, st in bstate.items()}
+        y = block_forward(
+            bp, _SCAN_NAME, sub, carry, e0, c, cfg, cos, sin, valid_len, plan=plan
+        )
+        ys = {}
+        if sub is not None and mode == "calib":
+            ys = {
+                k[len(_SCAN_NAME) + 1 :]: v for k, v in sub.collect.items()
+            }
+        return y, ys
+
+    xf, stats = jax.lax.scan(body, xf, (bp_stacked, stacked_state))
+    return xf, stats

@@ -80,32 +80,28 @@ def prepare_layer_state(
     """
     wcfg = policy.weight
     assert wcfg is not None
-    wf = np.asarray(w, dtype=np.float64)
     st: Dict[str, jax.Array] = {}
 
+    wf = w.astype(jnp.float32)  # stays on device unless rotation needs f64
     if policy.uses_channel_mask:
         assert act_absmax is not None, "smooth_quant/viditq need calibration data"
-        mask = np.asarray(
-            channel_mask(jnp.asarray(wf.astype(np.float32)),
-                         jnp.asarray(act_absmax), policy.alpha),
-            dtype=np.float64,
-        )
-        st["channel_mask"] = jnp.asarray(mask.astype(np.float32))
+        mask = channel_mask(wf, jnp.asarray(act_absmax), policy.alpha)
+        st["channel_mask"] = mask
         wf = wf / mask[:, None]
 
     if policy.method == "viditq":
         # first fake-quant of the scaled weight (viditq_quant_layer.py:47)
-        wf = np.asarray(
-            weight_fake_quant(jnp.asarray(wf.astype(np.float32)), wcfg),
-            dtype=np.float64,
-        )
+        wf = weight_fake_quant(wf, wcfg)
 
     if policy.uses_rotation:
         assert rotation is not None
-        # x @ Q rotated activations pair with Q^T @ w weights (f64 on host)
-        wf = rotation.T @ wf
+        # x @ Q rotated activations pair with Q^T @ w weights; the weight-side
+        # rotation runs in host float64 (TPUs lack f64, hadamard.py docstring)
+        wf = jnp.asarray(
+            (rotation.T @ np.asarray(wf, dtype=np.float64)).astype(np.float32)
+        )
 
-    w_work = jnp.asarray(wf.astype(np.float32))
+    w_work = wf
     if targets in ("sim", "both"):
         st["w_q"] = weight_fake_quant(w_work, wcfg)
     d, z = weight_quant_params(w_work, wcfg)

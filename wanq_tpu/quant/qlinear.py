@@ -47,6 +47,9 @@ class QuantCtx:
     policies: Dict[str, LayerPolicy] = dataclasses.field(default_factory=dict)
     state: Dict[str, Dict[str, jax.Array]] = dataclasses.field(default_factory=dict)
     rotations: Dict[int, jax.Array] = dataclasses.field(default_factory=dict)
+    # pre-stacked per-block state (suffix → leaves with leading [L]) for the
+    # scan-over-blocks path; built once by models.dit.make_scan_ctx
+    scan_state: Dict[str, Dict[str, jax.Array]] = None
     # calibration outputs: layer path -> per-channel absmax [C_in] of the
     # FP input seen this call (ref: SaveActivationHook 'default' type,
     # get_calib_data_wanx.py:240-267)
