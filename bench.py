@@ -25,6 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: remote compiles on relayed TPU backends are slow
+jax.config.update("jax_compilation_cache_dir", "/tmp/wanq_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from wanq_tpu.configs import WAN_CONFIGS
 from wanq_tpu.models.dit import (
     dit_forward,
@@ -62,16 +66,23 @@ def make_step(cfg, seq_len, ctx):
     return jax.jit(step)
 
 
+def _sync(x) -> float:
+    """Force a real on-device value fetch (block_until_ready is not a
+    reliable fence on the experimental relayed backend)."""
+    return float(jnp.sum(x))
+
+
 def time_step(step_fn, params, latents, t, c, cn, gs, iters=6, warmup=2):
-    """Chained timing: each step consumes the previous output."""
+    """Chained timing: each step consumes the previous output; a scalar
+    fetch at the end fences the whole chain."""
     x = latents
     for _ in range(warmup):
         x = 0.99 * step_fn(params, x, t, c, cn, gs)
-    x.block_until_ready()
+    _sync(x)
     t0 = time.perf_counter()
     for _ in range(iters):
         x = 0.99 * step_fn(params, x, t, c, cn, gs)
-    x.block_until_ready()
+    _sync(x)
     return (time.perf_counter() - t0) / iters
 
 
