@@ -28,3 +28,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def randomize_head(params, seed=123):
+    """The reference zero-inits head.head (model.py:680), making random-init
+    outputs identically zero; tests that compare outputs need signal."""
+    import numpy as _np
+    import jax.numpy as _jnp
+
+    w = params["head"]["head"]["w"]
+    rng = _np.random.default_rng(seed)
+    params["head"]["head"]["w"] = _jnp.asarray(
+        (rng.standard_normal(w.shape) * 0.02).astype(_np.float32), dtype=w.dtype
+    )
+    return params

@@ -123,8 +123,10 @@ def test_attention_reference_masking(rng):
 
 @pytest.fixture(scope="module")
 def tiny_model():
+    from tests.conftest import randomize_head
+
     cfg = tiny_config()
-    params = dit.init_params(cfg, jax.random.PRNGKey(0))
+    params = randomize_head(dit.init_params(cfg, jax.random.PRNGKey(0)))
     return cfg, params
 
 

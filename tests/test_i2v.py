@@ -40,8 +40,10 @@ def test_i2v_latent_size():
 
 @pytest.fixture(scope="module")
 def i2v_setup():
+    from tests.conftest import randomize_head
+
     cfg = tiny_config(model_type="i2v", in_dim=36, clip_dim=32)
-    params = init_params(cfg, jax.random.PRNGKey(0))
+    params = randomize_head(init_params(cfg, jax.random.PRNGKey(0)))
     return cfg, params
 
 

@@ -17,8 +17,10 @@ from wanq_tpu.pipelines.text2video import WanT2V
 
 @pytest.fixture(scope="module")
 def tiny():
+    from tests.conftest import randomize_head
+
     cfg = tiny_config()
-    params = init_params(cfg, jax.random.PRNGKey(0))
+    params = randomize_head(init_params(cfg, jax.random.PRNGKey(0)))
     return cfg, params
 
 

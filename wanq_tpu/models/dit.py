@@ -318,7 +318,12 @@ def _self_attention(
     k = rope_apply_padded(k, cos, sin, valid_len).astype(dtype)
     if plan is not None:
         q, k, v = plan.heads(q), plan.heads(k), plan.heads(v)
-    y = attention(q, k, v, k_valid_len=valid_len)
+    if ctx is not None and ctx.attn is not None and ctx.mode in ("sim", "int8"):
+        from wanq_tpu.quant.attn import quantized_attention
+
+        y = quantized_attention(q, k, v, ctx.attn, k_valid_len=valid_len)
+    else:
+        y = attention(q, k, v, k_valid_len=valid_len)
     y = y.reshape(b, s, n * hd)
     if plan is not None:
         y = plan.tokens(y)
@@ -355,7 +360,12 @@ def _cross_attention(
     q = q.reshape(b, -1, n, hd).astype(dtype)
     k = k.reshape(b, -1, n, hd).astype(dtype)
     v = v.reshape(b, -1, n, hd).astype(dtype)
-    y = attention(q, k, v)
+    if ctx is not None and ctx.cross_attn is not None and ctx.mode in ("sim", "int8"):
+        from wanq_tpu.quant.attn import quantized_attention
+
+        y = quantized_attention(q, k, v, ctx.cross_attn)
+    else:
+        y = attention(q, k, v)
 
     if cfg.model_type == "i2v":
         k_img = qlinear(ctx, f"{name}.k_img", p["k_img"], context_img, dtype)

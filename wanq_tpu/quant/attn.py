@@ -1,0 +1,228 @@
+"""Attention quantization: Q/K/V + post-softmax attention-map quant.
+
+TPU-native rebuild of the fullest ViDiT-Q capability surface
+(qdiff/base/quant_attn.py:118-241 QuantizedAttentionMapOpenSORA and the
+QuantizedAttention q/k/v scheme of models/quant_opensora.py:321-478):
+
+  q, k      dynamic per-(token, head) row quant over head_dim
+  v         dynamic per-(head, channel) quant over tokens (transposed)
+  attn map  post-softmax quant, group ∈
+              'row'    per key column (quant_attn.py:168-174)
+              'block'  2-level block decomposition with block-max deltas,
+                       optional int8-quantized scales and per-block
+                       mixed-precision bit masks incl. 0-bit pruning
+                       (quant_attn.py:176-238); text rows/cols stay FP
+
+The reference loops python-side over (batch, head) with per-head reorder
+tables; here the block decomposition is a vectorized reshape with one
+static block size per call and an optional per-head token permutation —
+same math, jit/shard-friendly. ``forward_with_quant_params`` semantics
+(unsigned map in [0,1], delta/(2·nl+1) steps, 0-bit masking) follow
+base_quantizer.py:164-206 exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from wanq_tpu.quant.quantizers import QuantizerCfg, dynamic_fake_quant, n_levels_for
+
+_EPS = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class AttnQuantCfg:
+    """Resolved from the quant YAML's attn / cross_attn sections
+    (ref quant_attn.py:18-35 config surface)."""
+
+    qk: Optional[QuantizerCfg] = None
+    v: Optional[QuantizerCfg] = None
+    attn_map: Optional[QuantizerCfg] = None
+    attn_map_group: str = "row"  # 'row' | 'block'
+    n_text_tokens: int = 0
+    block_size: int = 0  # tokens per block side ('block' group)
+    int8_scale: bool = False
+
+    @classmethod
+    def from_dict(cls, d: Optional[Dict[str, Any]]) -> Optional["AttnQuantCfg"]:
+        if not d:
+            return None
+
+        def qcfg(sub):
+            if not sub:
+                return None
+            nb = sub["n_bits"]
+            nb = tuple(nb) if isinstance(nb, (list, tuple)) else int(nb)
+            return QuantizerCfg(n_bits=nb, sym=bool(sub.get("sym", True)))
+
+        am = d.get("attn_map") or {}
+        return cls(
+            qk=qcfg(d.get("qk")),
+            v=qcfg(d.get("v")),
+            attn_map=qcfg(am),
+            attn_map_group=am.get("group", "row"),
+            n_text_tokens=int(d.get("n_text_tokens", 0)),
+            block_size=int(am.get("block_size", 0)),
+            int8_scale=bool(am.get("int8_scale", False)),
+        )
+
+
+def quantize_qk(x: jax.Array, cfg: QuantizerCfg) -> jax.Array:
+    """q/k fake-quant, one scale per (b, h, token) row over head_dim
+    (ref quant_opensora.py:433-438)."""
+    shape = x.shape
+    return dynamic_fake_quant(x.reshape(-1, shape[-1]), cfg).reshape(shape)
+
+
+def quantize_v(v: jax.Array, cfg: QuantizerCfg) -> jax.Array:
+    """v fake-quant, one scale per (b, h, channel) over tokens
+    (ref quant_opensora.py:441-443)."""
+    b, h, s, d = v.shape
+    vt = v.transpose(0, 1, 3, 2).reshape(-1, s)
+    vq = dynamic_fake_quant(vt, cfg)
+    return vq.reshape(b, h, d, s).transpose(0, 1, 3, 2)
+
+
+def _fake_quant_with_delta(
+    x: jax.Array, delta: jax.Array, n_bits: int, bits_mask: Optional[jax.Array]
+) -> jax.Array:
+    """ref DynamicQuantizer.forward_with_quant_params
+    (base_quantizer.py:164-206): unsigned quant of in-[0,1] maps with a
+    precomputed per-element delta (the block max)."""
+    delta = jnp.where(delta < _EPS, _EPS, delta)
+    if bits_mask is not None:
+        n_levels = jnp.power(2.0, bits_mask) - 1.0
+        zero_mask = (n_levels != 0).astype(x.dtype)
+        n_levels = jnp.where(n_levels == 0, 255.0, n_levels)
+        step = delta / n_levels
+        x_int = jnp.round(x / step)
+        x_q = jnp.minimum(x_int, n_levels)
+        return x_q * step * zero_mask
+    nl = n_levels_for(n_bits, sym=True)
+    step = delta / (nl * 2 + 1)
+    x_int = jnp.round(x / step)
+    x_q = jnp.clip(x_int, 0, nl * 2 + 1)
+    return x_q * step
+
+
+def quantize_attn_map_row(attn: jax.Array, cfg: QuantizerCfg) -> jax.Array:
+    """Per-key-column groups (ref quant_attn.py:168-174: transpose, one
+    scale per row of the transposed map). attn: [B, H, Sq, Sk]."""
+    b, h, sq, sk = attn.shape
+    at = attn.transpose(0, 1, 3, 2).reshape(-1, sq)
+    aq = dynamic_fake_quant(at, cfg)
+    return aq.reshape(b, h, sk, sq).transpose(0, 1, 3, 2)
+
+
+def quantize_attn_map_block(
+    attn: jax.Array,
+    cfg: QuantizerCfg,
+    block_size: int,
+    n_text_tokens: int = 0,
+    int8_scale: bool = False,
+    bits_mask: Optional[jax.Array] = None,
+    perm: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Blockwise attn-map quant (ref quant_attn.py:176-238).
+
+    attn: [B, H, S, S]. The image-token submap (text rows/cols stay FP,
+    ref :186-187) is tiled into (block_size × block_size) blocks; each
+    block quantizes with delta = its max. ``int8_scale`` additionally
+    int8-quantizes the per-block deltas against the per-head delta max
+    (ref :211-218). ``bits_mask`` [n_img/bs, n_img/bs] or broadcastable
+    assigns per-block bitwidths (0 = prune). ``perm`` [H, n_img] applies a
+    per-head token reorder before blocking (the reference's
+    optimal_reorder tables; optional)."""
+    b, h, s, _ = attn.shape
+    nt = n_text_tokens
+    img = attn[:, :, nt:, nt:]
+    n_img = s - nt
+    assert n_img % block_size == 0, (n_img, block_size)
+    nb = n_img // block_size
+
+    if perm is not None:
+        img = jnp.take_along_axis(img, perm[None, :, :, None], axis=2)
+        img = jnp.take_along_axis(img, perm[None, :, None, :], axis=3)
+
+    blocks = img.reshape(b, h, nb, block_size, nb, block_size)
+    delta = jnp.max(blocks, axis=(3, 5))  # [B, H, nb, nb]
+
+    if int8_scale:
+        # int8-quantize the deltas against their per-(b,h) max (ref :211-218)
+        dmax = jnp.max(delta, axis=(2, 3), keepdims=True)
+        dmax = jnp.where(dmax < _EPS, _EPS, dmax)
+        nl = 127
+        step = dmax / (nl * 2 + 1)
+        delta = jnp.clip(jnp.round(delta / step), 0, nl * 2 + 1) * step
+
+    delta_full = jnp.repeat(jnp.repeat(delta, block_size, axis=2), block_size, axis=3)
+    bm_full = None
+    if bits_mask is not None:
+        bm = jnp.broadcast_to(bits_mask, (nb, nb))
+        bm_full = jnp.repeat(jnp.repeat(bm, block_size, axis=0), block_size, axis=1)
+        bm_full = jnp.broadcast_to(bm_full, img.shape)
+
+    img_q = _fake_quant_with_delta(img, delta_full, cfg.active_bits, bm_full)
+
+    if perm is not None:
+        inv = jnp.argsort(perm, axis=1)
+        img_q = jnp.take_along_axis(img_q, inv[None, :, :, None], axis=2)
+        img_q = jnp.take_along_axis(img_q, inv[None, :, None, :], axis=3)
+
+    return attn.at[:, :, nt:, nt:].set(img_q)
+
+
+def quantized_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    acfg: AttnQuantCfg,
+    scale: Optional[float] = None,
+    bits_mask: Optional[jax.Array] = None,
+    perm: Optional[jax.Array] = None,
+    k_valid_len: Optional[int] = None,
+) -> jax.Array:
+    """Explicit-BMM attention with q/k/v + attn-map quantization
+    (ref quant_opensora.py:444-478; flash attention is unsupported in
+    attn-quant mode there too — this is the simulation path; the int8
+    flash kernel is the hardware path). q,k,v: [B, S, N, D] → [B, S, N, D].
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    qh = q.transpose(0, 2, 1, 3)  # [B, H, S, D]
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+
+    if acfg.qk is not None:
+        qh = quantize_qk(qh, acfg.qk)
+        kh = quantize_qk(kh, acfg.qk)
+    if acfg.v is not None:
+        vh = quantize_v(vh, acfg.v)
+
+    attn = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh * scale, kh, preferred_element_type=jnp.float32
+    )
+    if k_valid_len is not None and k_valid_len < k.shape[1]:
+        kv_mask = jnp.arange(k.shape[1]) < k_valid_len
+        attn = jnp.where(kv_mask[None, None, None, :], attn,
+                         jnp.finfo(jnp.float32).min)
+    attn = jax.nn.softmax(attn, axis=-1)
+
+    if acfg.attn_map is not None:
+        if acfg.attn_map_group == "row":
+            attn = quantize_attn_map_row(attn, acfg.attn_map)
+        elif acfg.attn_map_group == "block":
+            attn = quantize_attn_map_block(
+                attn, acfg.attn_map, acfg.block_size, acfg.n_text_tokens,
+                acfg.int8_scale, bits_mask, perm,
+            )
+        else:
+            raise ValueError(acfg.attn_map_group)
+
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
+    return out.transpose(0, 2, 1, 3)

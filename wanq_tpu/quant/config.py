@@ -103,6 +103,12 @@ class QuantConfig:
 
         self.mixed_precision: Optional[Dict[str, Any]] = raw.get("mixed_precision")
 
+        # attention quantization sections (ref quant_attn.py:18-35)
+        from wanq_tpu.quant.attn import AttnQuantCfg
+
+        self.attn_cfg = AttnQuantCfg.from_dict(raw.get("attn"))
+        self.cross_attn_cfg = AttnQuantCfg.from_dict(raw.get("cross_attn"))
+
     @classmethod
     def from_yaml(cls, path: str) -> "QuantConfig":
         with open(path) as f:

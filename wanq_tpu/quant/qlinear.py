@@ -50,6 +50,10 @@ class QuantCtx:
     # pre-stacked per-block state (suffix → leaves with leading [L]) for the
     # scan-over-blocks path; built once by models.dit.make_scan_ctx
     scan_state: Dict[str, Dict[str, jax.Array]] = None
+    # attention quantization (ref quant_opensora.py QuantizedAttention):
+    # AttnQuantCfg instances or None
+    attn: Any = None
+    cross_attn: Any = None
     # calibration outputs: layer path -> per-channel absmax [C_in] of the
     # FP input seen this call (ref: SaveActivationHook 'default' type,
     # get_calib_data_wanx.py:240-267)
