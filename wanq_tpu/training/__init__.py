@@ -1,0 +1,11 @@
+"""Training layer (TPU-native rebuild of the reference's distillation
+trainer, distill_with_cfg_sch_5s_exp0.py)."""
+
+from wanq_tpu.training.distill import (
+    DistillConfig,
+    TrainState,
+    distill_step,
+    ema_update,
+    init_train_state,
+    make_distill_step,
+)
