@@ -53,13 +53,15 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_step(cfg, seq_len, ctx):
-    def step(params, latents, t, context, context_null, guide_scale):
+def make_step(cfg, seq_len):
+    # the quant ctx rides as a pytree ARGUMENT — closing over it would embed
+    # the int8 weights as HLO literals (multi-GB programs)
+    def step(params, qctx, latents, t, context, context_null, guide_scale):
         b = latents.shape[0]
         x2 = jnp.concatenate([latents, latents], axis=0)
         c2 = jnp.concatenate([context, context_null], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
-        out = dit_forward(params, cfg, x2, t2, c2, seq_len, ctx=ctx)
+        out = dit_forward(params, cfg, x2, t2, c2, seq_len, ctx=qctx)
         cond, uncond = out[:b], out[b:]
         return uncond + guide_scale * (cond - uncond)
 
@@ -72,16 +74,16 @@ def _sync(x) -> float:
     return float(jnp.sum(x))
 
 
-def time_step(step_fn, params, latents, t, c, cn, gs, iters=6, warmup=2):
+def time_step(step_fn, params, qctx, latents, t, c, cn, gs, iters=6, warmup=2):
     """Chained timing: each step consumes the previous output; a scalar
     fetch at the end fences the whole chain."""
     x = latents
     for _ in range(warmup):
-        x = 0.99 * step_fn(params, x, t, c, cn, gs)
+        x = 0.99 * step_fn(params, qctx, x, t, c, cn, gs)
     _sync(x)
     t0 = time.perf_counter()
     for _ in range(iters):
-        x = 0.99 * step_fn(params, x, t, c, cn, gs)
+        x = 0.99 * step_fn(params, qctx, x, t, c, cn, gs)
     _sync(x)
     return (time.perf_counter() - t0) / iters
 
@@ -109,10 +111,9 @@ def run(frame_num: int):
 
     log("compiling + timing FP16 (bf16) step...")
     t0 = time.time()
-    fp_step = make_step(cfg, seq_len, None)
-    fp_time = time_step(fp_step, params, latents, t, context, context_null, gs)
+    step_fn = make_step(cfg, seq_len)
+    fp_time = time_step(step_fn, params, None, latents, t, context, context_null, gs)
     log(f"fp16 step: {fp_time*1000:.1f} ms (total {time.time()-t0:.1f}s)")
-    del fp_step
 
     log("preparing W8A8 state (on-device)...")
     t0 = time.time()
@@ -130,8 +131,7 @@ def run(frame_num: int):
 
     log("compiling + timing W8A8 step...")
     t0 = time.time()
-    q_step = make_step(cfg, seq_len, ctx)
-    q_time = time_step(q_step, params, latents, t, context, context_null, gs)
+    q_time = time_step(step_fn, params, ctx, latents, t, context, context_null, gs)
     log(f"w8a8 step: {q_time*1000:.1f} ms (total {time.time()-t0:.1f}s)")
 
     return fp_time, q_time

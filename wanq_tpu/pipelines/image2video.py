@@ -63,9 +63,9 @@ class WanI2V(WanT2V):
 
     def _build_step_fn(self, seq_len: int, mode: str):
         cfg = self.config
-        ctx = self.quant_ctx
+        closure_ctx = self.quant_ctx if mode == "calib" else None
 
-        def step(params, latents, t, context, context_null, guide_scale,
+        def step(params, qctx, latents, t, context, context_null, guide_scale,
                  y, clip_fea):
             b = latents.shape[0]
             x2 = jnp.concatenate([latents, latents], axis=0)
@@ -73,7 +73,7 @@ class WanI2V(WanT2V):
             t2 = jnp.concatenate([t, t], axis=0)
             y2 = jnp.concatenate([y, y], axis=0)
             cf2 = jnp.concatenate([clip_fea, clip_fea], axis=0)
-            use_ctx = ctx if (ctx is not None and ctx.mode == mode) else None
+            use_ctx = qctx if qctx is not None else closure_ctx
             out = dit_forward(
                 params, cfg, x2, t2, c2, seq_len, ctx=use_ctx,
                 clip_fea=cf2, y=y2, plan=self.shardings,
@@ -135,13 +135,15 @@ class WanI2V(WanT2V):
         sch, timesteps = self._make_scheduler(sample_solver, sampling_steps, shift)
         mode = self.quant_ctx.mode if self.quant_ctx is not None else "fp"
         step_fn = self._step_fn(seq_len, mode)
+        arg_ctx = self.quant_ctx if mode in ("sim", "int8") else None
 
         gs = jnp.float32(guide_scale)
         latents = noise
         for t in timesteps:
             tt = jnp.full((1,), float(t), dtype=jnp.float32)
             noise_pred = step_fn(
-                self.params, latents, tt, context, context_null, gs, y, clip_fea
+                self.params, arg_ctx, latents, tt, context, context_null, gs,
+                y, clip_fea
             )
             latents = sch.step(noise_pred, int(t), latents)
         return latents

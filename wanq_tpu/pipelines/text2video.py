@@ -77,15 +77,19 @@ class WanT2V:
 
     def _build_step_fn(self, seq_len: int, mode: str):
         cfg = self.config
-        ctx = self.quant_ctx
+        closure_ctx = self.quant_ctx if mode == "calib" else None
 
-        def step(params, latents, t, context, context_null, guide_scale):
+        def step(params, qctx, latents, t, context, context_null, guide_scale):
             # batch cond + uncond in one forward: [2B, ...]
             b = latents.shape[0]
             x2 = jnp.concatenate([latents, latents], axis=0)
             c2 = jnp.concatenate([context, context_null], axis=0)
             t2 = jnp.concatenate([t, t], axis=0)
-            use_ctx = ctx if (ctx is not None and ctx.mode == mode) else None
+            # sim/int8 quant state rides as a pytree ARGUMENT (closing over
+            # it would embed GBs of int8 weights as HLO literals); the
+            # calibration ctx passes by closure because it mutates collect
+            # during tracing
+            use_ctx = qctx if qctx is not None else closure_ctx
             out = dit_forward(
                 params, cfg, x2, t2, c2, seq_len, ctx=use_ctx,
                 plan=self.shardings,
@@ -98,8 +102,7 @@ class WanT2V:
                 return noise_pred, stats
             return noise_pred
 
-        donate = () if mode == "calib" else ()
-        return jax.jit(step, donate_argnums=donate)
+        return jax.jit(step)
 
     def _step_fn(self, seq_len: int, mode: str):
         key = (seq_len, mode)
@@ -165,12 +168,17 @@ class WanT2V:
         step_fn = self._step_fn(seq_len, mode)
         if collect_calib:
             assert self.quant_ctx is not None and self.quant_ctx.mode == "calib"
+        arg_ctx = (
+            self.quant_ctx
+            if (self.quant_ctx is not None and mode in ("sim", "int8"))
+            else None
+        )
 
         gs = jnp.float32(guide_scale)
         all_stats: Dict[str, List[np.ndarray]] = {}
         for t in timesteps:
             tt = jnp.full((b,), float(t), dtype=jnp.float32)
-            out = step_fn(self.params, latents, tt, context, context_null, gs)
+            out = step_fn(self.params, arg_ctx, latents, tt, context, context_null, gs)
             if collect_calib:
                 noise_pred, stats = out
                 for k, v in stats.items():

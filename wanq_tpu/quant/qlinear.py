@@ -63,6 +63,39 @@ class QuantCtx:
         return self.policies.get(name, FP_POLICY)
 
 
+def _ctx_flatten(ctx: QuantCtx):
+    """QuantCtx is a registered pytree so jitted step functions take it as
+    an ARGUMENT. Closing over it instead embeds the whole quant state
+    (GBs of int8 weights) as HLO literals — a multi-GB program that wedges
+    compilation. ``collect`` stays out of the tree (calibration mutates it
+    during tracing and passes the ctx by closure)."""
+    children = (ctx.state, ctx.rotations, ctx.scan_state)
+    aux = (
+        ctx.mode,
+        tuple(sorted(ctx.policies.items())),
+        ctx.attn,
+        ctx.cross_attn,
+    )
+    return children, aux
+
+
+def _ctx_unflatten(aux, children):
+    mode, policies, attn, cross_attn = aux
+    ctx = QuantCtx(
+        mode=mode,
+        policies=dict(policies),
+        state=children[0],
+        rotations=children[1],
+        attn=attn,
+        cross_attn=cross_attn,
+    )
+    ctx.scan_state = children[2]
+    return ctx
+
+
+jax.tree_util.register_pytree_node(QuantCtx, _ctx_flatten, _ctx_unflatten)
+
+
 def fp_linear(params: Params, x: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:
     """y = x @ w + b with bf16 MXU compute; bias added in f32."""
     w = params["w"].astype(compute_dtype)
