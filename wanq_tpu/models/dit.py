@@ -318,7 +318,13 @@ def _self_attention(
     k = rope_apply_padded(k, cos, sin, valid_len).astype(dtype)
     if plan is not None:
         q, k, v = plan.heads(q), plan.heads(k), plan.heads(v)
-    if ctx is not None and ctx.attn is not None and ctx.mode in ("sim", "int8"):
+    if ctx is not None and ctx.attn is not None and ctx.mode == "int8":
+        # hardware path: int8 flash kernel (q/k per-row, v per-channel,
+        # 127-level attn-map quant — ops/attn_int8.py)
+        from wanq_tpu.ops.attn_int8 import attention_int8
+
+        y = attention_int8(q, k, v, k_valid_len=valid_len)
+    elif ctx is not None and ctx.attn is not None and ctx.mode == "sim":
         from wanq_tpu.quant.attn import quantized_attention
 
         y = quantized_attention(q, k, v, ctx.attn, k_valid_len=valid_len)

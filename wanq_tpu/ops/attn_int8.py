@@ -18,7 +18,10 @@ On TPU both attention matmuls can genuinely run on the int8 MXU path
 Online-softmax bookkeeping (m, l, rescale) follows the standard flash
 algorithm in f32. The denominator l uses the *unquantized* p, so the
 attn-map quant error lands in the numerator only — matching the
-reference's post-softmax fake-quant semantics up to normalization.
+reference's post-softmax fake-quant semantics up to normalization. The
+probs quantize against the running block max rather than the global row
+max (SageAttention-style), which shifts the quant grid by ≤ a few steps
+vs the global-reference XLA implementation.
 """
 
 from __future__ import annotations
