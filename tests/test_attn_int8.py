@@ -24,9 +24,11 @@ def qkv():
 
 def test_quantize_qkv_roundtrip(qkv):
     q, k, v = qkv
-    qi, ki, vi, s_q, s_k, s_v = A.quantize_qkv_int8(q, k, v)
+    qi, ki, vi, s_q, s_k, s_v = A.quantize_qkv_int8(q, k, v, blk=128)
     assert qi.dtype == jnp.int8
-    q_deq = np.asarray(qi, np.float32) * np.asarray(s_q)[..., None]
+    assert s_q.shape == (1, 2, 2)  # one scale per (b, h, 128-token block)
+    sq_full = np.repeat(np.asarray(s_q), 128, axis=2)
+    q_deq = np.asarray(qi, np.float32) * sq_full[..., None]
     assert np.abs(q_deq - np.asarray(q)).max() <= np.asarray(s_q).max() * 0.51
     v_deq = np.asarray(vi, np.float32) * np.asarray(s_v)[:, :, None, :]
     assert np.abs(v_deq - np.asarray(v)).max() <= np.asarray(s_v).max() * 0.51
@@ -35,7 +37,7 @@ def test_quantize_qkv_roundtrip(qkv):
 def test_xla_reference_close_to_fp(qkv):
     q, k, v = qkv
     sm = 1.0 / math.sqrt(q.shape[-1])
-    qi, ki, vi, s_q, s_k, s_v = A.quantize_qkv_int8(q, k, v)
+    qi, ki, vi, s_q, s_k, s_v = A.quantize_qkv_int8(q, k, v, blk=128)
     got = np.asarray(A.attention_int8_xla(qi, ki, vi, s_q, s_k, s_v, sm))
     # FP attention in [B,S,H,D] layout
     fp = np.asarray(
@@ -50,7 +52,7 @@ def test_xla_reference_close_to_fp(qkv):
 def test_pallas_kernel_matches_xla_reference(qkv, k_valid_len):
     q, k, v = qkv
     sm = 1.0 / math.sqrt(q.shape[-1])
-    qi, ki, vi, s_q, s_k, s_v = A.quantize_qkv_int8(q, k, v)
+    qi, ki, vi, s_q, s_k, s_v = A.quantize_qkv_int8(q, k, v, blk=128)
     want = np.asarray(
         A.attention_int8_xla(qi, ki, vi, s_q, s_k, s_v, sm, k_valid_len)
     )
@@ -67,18 +69,23 @@ def test_pallas_kernel_matches_xla_reference(qkv, k_valid_len):
 
 
 def test_pallas_kernel_ragged_seq(qkv):
-    """Non-tile-aligned sequence (pads internally)."""
+    """Non-tile-aligned sequence: quantizer pads to the block, the
+    wrapper masks the KV tail and slices q."""
     q, k, v = qkv
     q, k, v = q[:, :, :200], k[:, :, :200], v[:, :, :200]
     sm = 1.0 / math.sqrt(q.shape[-1])
-    qi, ki, vi, s_q, s_k, s_v = A.quantize_qkv_int8(q, k, v)
-    want = np.asarray(A.attention_int8_xla(qi, ki, vi, s_q, s_k, s_v, sm))
+    qi, ki, vi, s_q, s_k, s_v = A.quantize_qkv_int8(q, k, v, blk=128)
+    assert qi.shape[2] == 256  # padded
+    want = np.asarray(
+        A.attention_int8_xla(qi, ki, vi, s_q, s_k, s_v, sm, k_valid_len=200)
+    )
     got = np.asarray(
-        A.attention_int8_pallas(qi, ki, vi, s_q, s_k, s_v, sm,
+        A.attention_int8_pallas(qi, ki, vi, s_q, s_k, s_v, sm, k_valid_len=200,
                                 blk_q=128, blk_k=128, interpret=True)
     )
-    assert got.shape == want.shape == (1, 2, 200, 128)
-    np.testing.assert_allclose(got, want, atol=4 / A.P_LEVELS)
+    assert got.shape == want.shape == (1, 2, 256, 128)
+    np.testing.assert_allclose(got[:, :, :200], want[:, :, :200],
+                               atol=4 / A.P_LEVELS)
 
 
 def test_attention_int8_wrapper_layout(qkv):

@@ -3,25 +3,24 @@ quantization on the TPU MXU.
 
 The reference can only *simulate* attention quant (fake-quant + explicit
 BMM, flash unsupported: quant_opensora.py:446 raises under flash_attn).
-On TPU both attention matmuls can genuinely run on the int8 MXU path
+On TPU both attention matmuls genuinely run on the int8 MXU path
 (2x the bf16 rate on v5e+):
 
-  QK^T   int8 q · int8 k with per-(head,token) scales folded into the
-         f32 online-softmax (exact w.r.t. the quantized q/k — scales
-         factor out of the matmul)
-  PV     the unnormalized probs p = exp(s - m) ∈ (0, 1] are quantized to
-         127 levels (the attn-map A8 quant, 'row' semantics with the row
-         scale folded into the softmax denominator) and accumulated as
-         int8 · int8; the per-(head,channel) v scales factor out and
-         apply once at the end
+  QK^T   int8 q · int8 k with per-(batch, head, seq-block) scales applied
+         as SMEM scalars inside the f32 online-softmax (exact w.r.t. the
+         quantized q/k — scales factor out of the matmul)
+  PV     the unnormalized probs p = exp(s - m) ∈ (0, 1] quantize to 127
+         levels (the attn-map A8 quant; the row scale folds into the
+         softmax denominator) and accumulate as int8 · int8; per-(head,
+         channel) v scales factor out and apply once at the end
 
-Online-softmax bookkeeping (m, l, rescale) follows the standard flash
-algorithm in f32. The denominator l uses the *unquantized* p, so the
-attn-map quant error lands in the numerator only — matching the
-reference's post-softmax fake-quant semantics up to normalization. The
-probs quantize against the running block max rather than the global row
-max (SageAttention-style), which shifts the quant grid by ≤ a few steps
-vs the global-reference XLA implementation.
+Quantization granularity: q/k use one scale per (b, h, 512-token block) —
+finer than per-tensor, coarse enough to ride SMEM (Mosaic requires VMEM
+blocks tiled (8,128); per-token scale vectors would need 128x lane
+broadcasts). v is per-(b, h, channel), matching the reference
+(quant_opensora.py:441-443). The probs quantize against the running block
+max (SageAttention-style), shifting the grid ≤ a few steps vs a
+global-max reference.
 """
 
 from __future__ import annotations
@@ -38,30 +37,44 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 _EPS = 1e-6
 P_LEVELS = 127.0  # attn-map quant levels (A8 sym)
+SUBLANES = 8
+
+
+def _rup(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
 
 
 # ---------------------------------------------------------------------------
-# pre-quantization of q/k/v (ref QuantizedAttention q/k per token-head row,
-# v per head-channel; quant_opensora.py:433-443)
+# pre-quantization
 # ---------------------------------------------------------------------------
 
 
 def quantize_qkv_int8(
-    q: jax.Array, k: jax.Array, v: jax.Array
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """q,k,v: [B, H, S, D] f32/bf16 → int8 values + scales
-    (s_q, s_k: [B,H,S]; s_v: [B,H,D])."""
+    q: jax.Array, k: jax.Array, v: jax.Array, blk: int = 512
+) -> Tuple[jax.Array, ...]:
+    """q,k,v: [B, H, S, D] → (qi, ki, vi int8 [B,H,S_pad,D],
+    s_q [B,H,S_pad/blk], s_k [B,H,S_pad/blk], s_v [B,H,D]).
 
-    def per_row(x):
-        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-        scale = jnp.maximum(absmax / 127.0, _EPS)
+    q/k: one scale per (b, h, blk-token block); v per (b, h, channel)
+    (ref quant_opensora.py:441-443). S pads to blk with zeros (zero rows
+    don't inflate block absmax)."""
+    b, h, s, d = q.shape
+    s_pad = _rup(s, blk)
+    if s_pad != s:
+        pad = ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    def per_block(x):
+        xb = x.astype(jnp.float32).reshape(b, h, s_pad // blk, blk, d)
+        absmax = jnp.max(jnp.abs(xb), axis=(3, 4))
+        scale = jnp.maximum(absmax / 127.0, _EPS)  # [B,H,nb]
         xi = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+            jnp.round(xb / scale[:, :, :, None, None]), -127, 127
         ).astype(jnp.int8)
-        return xi, scale
+        return xi.reshape(b, h, s_pad, d), scale
 
-    qi, s_q = per_row(q)
-    ki, s_k = per_row(k)
+    qi, s_q = per_block(q)
+    ki, s_k = per_block(k)
     absmax_v = jnp.max(jnp.abs(v.astype(jnp.float32)), axis=2)  # [B,H,D]
     s_v = jnp.maximum(absmax_v / 127.0, _EPS)
     vi = jnp.clip(
@@ -71,7 +84,7 @@ def quantize_qkv_int8(
 
 
 # ---------------------------------------------------------------------------
-# jnp reference
+# jnp reference (same math, full scores)
 # ---------------------------------------------------------------------------
 
 
@@ -79,22 +92,26 @@ def attention_int8_xla(
     qi, ki, vi, s_q, s_k, s_v, sm_scale: float,
     k_valid_len: Optional[int] = None,
 ) -> jax.Array:
-    """Reference implementation of the kernel semantics (f32, full scores)."""
-    s = jnp.einsum("bhqd,bhkd->bhqk", qi.astype(jnp.int32), ki.astype(jnp.int32),
-                   preferred_element_type=jnp.int32).astype(jnp.float32)
-    s = s * s_q[:, :, :, None] * s_k[:, :, None, :] * sm_scale
-    if k_valid_len is not None and k_valid_len < ki.shape[2]:
-        mask = jnp.arange(ki.shape[2]) < k_valid_len
-        s = jnp.where(mask[None, None, None, :], s, _NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    b, h, s, d = qi.shape
+    nqb, nkb = s_q.shape[2], s_k.shape[2]
+    blk_q, blk_k = s // nqb, s // nkb
+    sc = jnp.einsum("bhqd,bhkd->bhqk", qi.astype(jnp.int32), ki.astype(jnp.int32),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+    sq_full = jnp.repeat(s_q, blk_q, axis=2)
+    sk_full = jnp.repeat(s_k, blk_k, axis=2)
+    sc = sc * sq_full[:, :, :, None] * sk_full[:, :, None, :] * sm_scale
+    kv_len = min(k_valid_len, s) if k_valid_len is not None else s
+    if kv_len < s:
+        mask = jnp.arange(s) < kv_len
+        sc = jnp.where(mask[None, None, None, :], sc, _NEG_INF)
+    m = jnp.max(sc, axis=-1, keepdims=True)
+    p = jnp.exp(sc - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p_int = jnp.round(p * P_LEVELS)  # attn-map quant to 127 levels
+    p_int = jnp.round(p * P_LEVELS)
     acc = jnp.einsum("bhqk,bhkd->bhqd", p_int.astype(jnp.int32),
                      vi.astype(jnp.int32),
                      preferred_element_type=jnp.int32).astype(jnp.float32)
-    out = acc / (P_LEVELS * l) * s_v[:, :, None, :]
-    return out
+    return acc / (P_LEVELS * l) * s_v[:, :, None, :]
 
 
 # ---------------------------------------------------------------------------
@@ -103,7 +120,8 @@ def attention_int8_xla(
 
 
 def _flash_int8_kernel(
-    qi_ref, ki_ref, vi_ref, sq_ref, sk_ref, sv_ref,
+    sq_ref, sk_ref,  # scalar-prefetch-style SMEM scales
+    qi_ref, ki_ref, vi_ref, sv_ref,
     out_ref,
     m_ref, l_ref, acc_ref,
     *, k_steps: int, blk_k: int, sm_scale: float, kv_len: int,
@@ -122,26 +140,20 @@ def _flash_int8_kernel(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [blk_q, blk_k]
-    s = (
-        s_int.astype(jnp.float32)
-        * sq_ref[0, 0][:, None]
-        * sk_ref[0, 0][None, :]
-        * sm_scale
-    )
-    # KV-tail mask (model padding)
+    scale = sq_ref[0, 0, 0] * sk_ref[0, 0, 0] * sm_scale
+    s = s_int.astype(jnp.float32) * scale
+
     base = ik * blk_k
     if kv_len < k_steps * blk_k:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
         s = jnp.where(col < kv_len, s, _NEG_INF)
 
-    m_prev = m_ref[:, :1]  # [blk_q, 1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)
     l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
-    # attn-map quant: 127 levels of the unnormalized probs
     p_int = jnp.round(p * P_LEVELS).astype(jnp.int8)
     pv = jax.lax.dot_general(
         p_int, vi_ref[0, 0],
@@ -157,7 +169,7 @@ def _flash_int8_kernel(
     def _finish():
         l = jnp.maximum(l_ref[:, :1], _EPS)
         out_ref[0, 0] = (
-            acc_ref[:] / (P_LEVELS * l) * sv_ref[0, 0][None, :]
+            acc_ref[:] / (P_LEVELS * l) * sv_ref[0, 0, 0][None, :]
         ).astype(out_ref.dtype)
 
 
@@ -173,28 +185,21 @@ def attention_int8_pallas(
     blk_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Int8 flash attention. qi/ki/vi: int8 [B,H,S,D]; scales as in
-    quantize_qkv_int8. S is padded to the block size internally."""
+    """Int8 flash attention. qi/ki/vi int8 [B,H,S,D] (S divisible by the
+    block size — quantize_qkv_int8 pads); s_q/s_k [B,H,S/blk]; s_v [B,H,D]."""
     b, h, sq, d = qi.shape
     sk = ki.shape[2]
+    assert sq % blk_q == 0 and sk % blk_k == 0, (sq, sk, blk_q, blk_k)
+    assert s_q.shape[2] == sq // blk_q, "s_q blocking must match blk_q"
+    assert s_k.shape[2] == sk // blk_k, "s_k blocking must match blk_k"
     kv_len = min(k_valid_len, sk) if k_valid_len is not None else sk
 
-    def rup(x, m):
-        return (x + m - 1) // m * m
-
-    blk_q = min(blk_q, rup(sq, 128))
-    blk_k = min(blk_k, rup(sk, 128))
-    sq_p, sk_p = rup(sq, blk_q), rup(sk, blk_k)
-    if sq_p != sq:
-        qi = jnp.pad(qi, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
-        s_q = jnp.pad(s_q, ((0, 0), (0, 0), (0, sq_p - sq)), constant_values=_EPS)
-    if sk_p != sk:
-        ki = jnp.pad(ki, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
-        vi = jnp.pad(vi, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
-        s_k = jnp.pad(s_k, ((0, 0), (0, 0), (0, sk_p - sk)), constant_values=_EPS)
-
-    k_steps = sk_p // blk_k
-    grid = (b, h, sq_p // blk_q, k_steps)
+    k_steps = sk // blk_k
+    grid = (b, h, sq // blk_q, k_steps)
+    # v scales broadcast over 8 sublanes for a legal (8, 128k) VMEM tile
+    sv8 = jnp.broadcast_to(
+        s_v.astype(jnp.float32)[:, :, None, :], (b, h, SUBLANES, d)
+    )
 
     out = pl.pallas_call(
         functools.partial(
@@ -203,24 +208,24 @@ def attention_int8_pallas(
         ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda b, h, i, j: (b, h, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, h, i, j: (b, h, j),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, blk_q, d), lambda b, h, i, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, blk_k, d), lambda b, h, i, j: (b, h, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, blk_k, d), lambda b, h, i, j: (b, h, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, blk_q), lambda b, h, i, j: (b, h, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, blk_k), lambda b, h, i, j: (b, h, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda b, h, i, j: (b, h, 0),
+            pl.BlockSpec((1, 1, SUBLANES, d), lambda b, h, i, j: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, blk_q, d), lambda b, h, i, j: (b, h, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((blk_q, 128), jnp.float32),
             pltpu.VMEM((blk_q, 128), jnp.float32),
@@ -230,33 +235,36 @@ def attention_int8_pallas(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq_p * sk_p * d,
-            bytes_accessed=b * h * (sq_p * d * 2 + sk_p * d * 2 + sq_p * d * 4),
-            transcendentals=b * h * sq_p * sk_p,
+            flops=4 * b * h * sq * sk * d,
+            bytes_accessed=b * h * (sq * d * 2 + sk * d * 2 + sq * d * 4),
+            transcendentals=b * h * sq * sk,
         ),
         interpret=interpret,
-    )(qi, ki, vi, s_q.astype(jnp.float32), s_k.astype(jnp.float32),
-      s_v.astype(jnp.float32))
-    return out[:, :, :sq]
+    )(s_q.astype(jnp.float32), s_k.astype(jnp.float32),
+      qi, ki, vi, sv8)
+    return out
 
 
 def attention_int8(
     q: jax.Array, k: jax.Array, v: jax.Array,
     sm_scale: Optional[float] = None,
     k_valid_len: Optional[int] = None,
+    blk: int = 512,
 ) -> jax.Array:
     """End-to-end int8 attention: quantize q/k/v then run the kernel.
     q,k,v: [B, S, H, D] (model layout) → [B, S, H, D] f32."""
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    s_orig = q.shape[1]
     qh = jnp.swapaxes(q, 1, 2)
     kh = jnp.swapaxes(k, 1, 2)
     vh = jnp.swapaxes(v, 1, 2)
-    qi, ki, vi, s_q, s_k, s_v = quantize_qkv_int8(qh, kh, vh)
+    qi, ki, vi, s_q, s_k, s_v = quantize_qkv_int8(qh, kh, vh, blk=blk)
+    kv_len = k_valid_len if k_valid_len is not None else s_orig
     if jax.default_backend() == "tpu":
         out = attention_int8_pallas(qi, ki, vi, s_q, s_k, s_v, sm_scale,
-                                    k_valid_len)
+                                    k_valid_len=kv_len, blk_q=blk, blk_k=blk)
     else:
         out = attention_int8_xla(qi, ki, vi, s_q, s_k, s_v, sm_scale,
-                                 k_valid_len)
-    return jnp.swapaxes(out, 1, 2)
+                                 k_valid_len=kv_len)
+    return jnp.swapaxes(out[:, :, :s_orig], 1, 2)
