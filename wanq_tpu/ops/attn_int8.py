@@ -120,13 +120,14 @@ def attention_int8_xla(
 
 
 def _flash_int8_kernel(
-    sq_ref, sk_ref,  # scalar-prefetch-style SMEM scales
+    sq_ref, sk_ref,  # scalar-prefetch args (full [B,H,nb] arrays in SMEM)
     qi_ref, ki_ref, vi_ref, sv_ref,
     out_ref,
     m_ref, l_ref, acc_ref,
     *, k_steps: int, blk_k: int, sm_scale: float, kv_len: int,
 ):
-    ik = pl.program_id(3)
+    ib, ih = pl.program_id(0), pl.program_id(1)
+    iq, ik = pl.program_id(2), pl.program_id(3)
 
     @pl.when(ik == 0)
     def _init():
@@ -140,7 +141,7 @@ def _flash_int8_kernel(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [blk_q, blk_k]
-    scale = sq_ref[0, 0, 0] * sk_ref[0, 0, 0] * sm_scale
+    scale = sq_ref[ib, ih, iq] * sk_ref[ib, ih, ik] * sm_scale
     s = s_int.astype(jnp.float32) * scale
 
     base = ik * blk_k
@@ -201,36 +202,36 @@ def attention_int8_pallas(
         s_v.astype(jnp.float32)[:, :, None, :], (b, h, SUBLANES, d)
     )
 
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_int8_kernel, k_steps=k_steps, blk_k=blk_k,
-            sm_scale=sm_scale, kv_len=kv_len,
-        ),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # s_q, s_k ride SMEM whole, indexed by ids
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda b, h, i, j: (b, h, i),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda b, h, i, j: (b, h, j),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, blk_q, d), lambda b, h, i, j: (b, h, i, 0),
+            pl.BlockSpec((1, 1, blk_q, d), lambda b, h, i, j, *_: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, blk_k, d), lambda b, h, i, j: (b, h, j, 0),
+            pl.BlockSpec((1, 1, blk_k, d), lambda b, h, i, j, *_: (b, h, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, blk_k, d), lambda b, h, i, j: (b, h, j, 0),
+            pl.BlockSpec((1, 1, blk_k, d), lambda b, h, i, j, *_: (b, h, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, SUBLANES, d), lambda b, h, i, j: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, SUBLANES, d), lambda b, h, i, j, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, blk_q, d), lambda b, h, i, j: (b, h, i, 0),
+            (1, 1, blk_q, d), lambda b, h, i, j, *_: (b, h, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((blk_q, 128), jnp.float32),
             pltpu.VMEM((blk_q, 128), jnp.float32),
             pltpu.VMEM((blk_q, d), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_int8_kernel, k_steps=k_steps, blk_k=blk_k,
+            sm_scale=sm_scale, kv_len=kv_len,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
