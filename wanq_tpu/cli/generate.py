@@ -1,0 +1,168 @@
+"""Unified generation CLI covering every task (TPU-native rebuild of the
+stock Wan generate.py the reference smoke-tests drive, tests/test.sh):
+t2v / t2i (single-frame t2v) / i2v, FP or quantized.
+
+    python -m wanq_tpu.cli.generate --task i2v-14B --size 1280*720 \
+        --ckpt_dir <Wan2.1-I2V-14B> --image input.jpg --prompt "..."
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wanq_tpu.cli.common import (
+    add_common_args,
+    build_mesh_and_plan,
+    load_contexts,
+    load_params,
+    setup_logging,
+    validate_args,
+)
+from wanq_tpu.configs import MAX_AREA_CONFIGS, SIZE_CONFIGS, WAN_CONFIGS
+from wanq_tpu.pipelines.image2video import WanI2V
+from wanq_tpu.pipelines.text2video import WanT2V
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("wanq generate")
+    add_common_args(p)
+    p.add_argument("--image", type=str, default=None, help="input image (i2v)")
+    p.add_argument("--quant_config", type=str, default=None)
+    p.add_argument("--quant_params", type=str, default=None)
+    p.add_argument("--hardware", action="store_true")
+    return p.parse_args(argv)
+
+
+def _load_image(path: str) -> jnp.ndarray:
+    import imageio
+
+    img = np.asarray(imageio.imread(path), dtype=np.float32) / 127.5 - 1.0
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    return jnp.asarray(img[..., :3].transpose(2, 0, 1))  # [3, H, W]
+
+
+def _maybe_quant_ctx(args, cfg):
+    if not args.quant_config:
+        return None
+    from wanq_tpu.models.dit import linear_layer_names
+    from wanq_tpu.quant import QuantConfig
+    from wanq_tpu.quant.hadamard import rotation_for_dim
+    from wanq_tpu.quant.ptq import load_quant_state
+    from wanq_tpu.quant.qlinear import QuantCtx
+
+    qcfg = QuantConfig.from_yaml(args.quant_config)
+    names = linear_layer_names(cfg)
+    policies = {n: qcfg.resolve(n) for n in names}
+    assert args.quant_params, "--quant_config needs --quant_params (run ptq)"
+    state, seed = load_quant_state(args.quant_params)
+    rotations = {}
+    for n, st in state.items():
+        if policies[n].uses_rotation:
+            c_in = int(np.asarray(st.get("w_q", st.get("w_int8"))).shape[0])
+            if c_in not in rotations:
+                rotations[c_in] = jnp.asarray(
+                    rotation_for_dim(c_in, seed=seed).astype(np.float32)
+                )
+    return QuantCtx(
+        mode="int8" if args.hardware else "sim",
+        policies=policies, state=state, rotations=rotations,
+        attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg,
+    )
+
+
+def generate(args):
+    setup_logging()
+    validate_args(args)
+    cfg = WAN_CONFIGS[args.task]
+    is_i2v = cfg.model_type == "i2v"
+    if args.task.startswith("t2i"):
+        args.frame_num = 1
+
+    params = load_params(args, cfg)
+    context, context_null = load_contexts(args, cfg)
+    mesh, plan = build_mesh_and_plan(args)
+    if mesh is not None:
+        from wanq_tpu.parallel import shard_params
+
+        params = shard_params(params, mesh)
+    qctx = _maybe_quant_ctx(args, cfg)
+
+    common = dict(
+        frame_num=args.frame_num,
+        shift=args.sample_shift,
+        sample_solver=args.sample_solver,
+        sampling_steps=args.sample_steps,
+        guide_scale=args.sample_guide_scale,
+        seed=args.base_seed,
+    )
+    if is_i2v:
+        assert args.image, "--task i2v needs --image"
+        img = _load_image(args.image)
+        vae = clip = None
+        if args.ckpt_dir:
+            import os
+
+            from wanq_tpu.models.clip import CLIPModel
+            from wanq_tpu.models.vae import WanVAE
+
+            vae = WanVAE(vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint))
+            clip = CLIPModel(
+                checkpoint_path=os.path.join(args.ckpt_dir, cfg.clip_checkpoint)
+            )
+        pipe = WanI2V(cfg, params, quant_ctx=qctx, sp_size=args.ulysses_size,
+                      mesh=mesh, shardings=plan, vae=vae, clip=clip)
+        kw = {}
+        if vae is None:
+            # checkpoint-free smoke: random conditioning
+            lat_h = lat_w = None
+            from wanq_tpu.pipelines.image2video import i2v_latent_size
+
+            lat_h, lat_w = i2v_latent_size(cfg, img.shape[1:], MAX_AREA_CONFIGS[args.size])
+            lat_f = (args.frame_num - 1) // cfg.vae_stride[0] + 1
+            rng = np.random.default_rng(args.base_seed)
+            kw["clip_fea"] = jnp.asarray(
+                rng.normal(size=(1, 257, cfg.clip_dim)).astype(np.float32))
+            kw["y"] = jnp.asarray(rng.normal(
+                size=(cfg.in_dim - cfg.z_dim, lat_f, lat_h, lat_w)).astype(np.float32))
+        latents = pipe.generate(
+            img, jnp.asarray(context), jnp.asarray(context_null),
+            max_area=MAX_AREA_CONFIGS[args.size], **common, **kw,
+        )
+    else:
+        pipe = WanT2V(cfg, params, quant_ctx=qctx, sp_size=args.ulysses_size,
+                      mesh=mesh, shardings=plan)
+        latents = pipe.generate(
+            jnp.asarray(context), jnp.asarray(context_null),
+            size=SIZE_CONFIGS[args.size], **common,
+        )
+
+    save_file = args.save_file or f"gen_{args.task}_{args.size.replace('*','x')}.npz"
+    out = {"latents": np.asarray(latents)}
+    if args.ckpt_dir:
+        try:
+            import os
+
+            from wanq_tpu.models.vae import WanVAE
+            from wanq_tpu.utils.video import cache_video
+
+            vae = WanVAE(vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint))
+            video = vae.decode(latents)
+            out["video"] = np.asarray(video)
+            mp4 = save_file.replace(".npz", ".mp4")
+            cache_video(np.asarray(video), mp4, fps=cfg.sample_fps)
+            logging.info("wrote %s", mp4)
+        except FileNotFoundError as e:
+            logging.warning("VAE decode skipped: %s", e)
+    np.savez(save_file, **out)
+    logging.info("saved %s", save_file)
+    return save_file
+
+
+if __name__ == "__main__":
+    generate(parse_args())

@@ -99,6 +99,16 @@ def _w8a8_kernel(a_ref, w_ref, sa_ref, sw_ref, suma_ref, zpw_ref, bias_ref,
         out_ref[:] = out
 
 
+def _pick_block(dim: int, prefer: int) -> int:
+    """Largest power-of-two-ish block ≤ prefer dividing dim (min 128)."""
+    b = prefer
+    while b > 128 and dim % b:
+        b //= 2
+    while dim % b:
+        b //= 2
+    return max(b, 128) if dim % 128 == 0 else b
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
 )
@@ -110,9 +120,9 @@ def w8a8_linear_pallas(
     sum_a: Optional[jax.Array] = None,
     zp_w: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
-    block_m: int = 256,
-    block_n: int = 256,
-    block_k: int = 512,
+    block_m: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Tiled int8 MXU GEMM with the dequant epilogue fused in VMEM.
@@ -128,11 +138,9 @@ def w8a8_linear_pallas(
     has_bias = bias is not None
 
     bm = min(block_m, _round_up(m, 128))
-    bn = min(block_n, n)
-    bk = block_k
-    while k % bk:
-        bk //= 2
-    assert bk >= 128, f"K={k} not tileable"
+    bn = _pick_block(n, block_n)
+    bk = _pick_block(k, block_k)
+    assert bk >= 128 and bn >= 128, f"K={k}/N={n} not tileable"
     m_pad = _round_up(m, bm)
 
     if m_pad != m:
