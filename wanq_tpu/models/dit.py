@@ -292,22 +292,35 @@ def _self_attention(
     p: Params,
     name: str,
     ctx: Optional[QuantCtx],
-    x: jax.Array,
+    x: Optional[jax.Array],
     cfg: WanConfig,
     cos: jax.Array,
     sin: jax.Array,
     valid_len: int,
     dtype,
     plan=None,
+    prequant=None,
 ) -> jax.Array:
     """ref WanSelfAttention.forward (model.py:130-175). Under a sharding
     plan, q/k/v reshard from seq-sharded to head-sharded here — the Ulysses
-    all-to-all (ref usp_attn_forward, xdit_context_parallel.py:66-192)."""
-    b, s, _ = x.shape
+    all-to-all (ref usp_attn_forward, xdit_context_parallel.py:66-192).
+    ``prequant``: (q8, scale, sum) from the fused LN+modulate+quant op —
+    one shared int8 activation feeds all three projections (the reference's
+    QuantParams scratch pattern, quant_wanx_cuda.py:142)."""
     n, hd = cfg.num_heads, cfg.head_dim
-    q = qlinear(ctx, f"{name}.q", p["q"], x, dtype)
-    k = qlinear(ctx, f"{name}.k", p["k"], x, dtype)
-    v = qlinear(ctx, f"{name}.v", p["v"], x, dtype)
+    if prequant is not None:
+        from wanq_tpu.quant.qlinear import w8a8_from_prequant
+
+        q8, s_a, ssum = prequant
+        b, s = q8.shape[0], q8.shape[1]
+        q = w8a8_from_prequant(ctx, f"{name}.q", p["q"], q8, s_a, ssum)
+        k = w8a8_from_prequant(ctx, f"{name}.k", p["k"], q8, s_a, ssum)
+        v = w8a8_from_prequant(ctx, f"{name}.v", p["v"], q8, s_a, ssum)
+    else:
+        b, s, _ = x.shape
+        q = qlinear(ctx, f"{name}.q", p["q"], x, dtype)
+        k = qlinear(ctx, f"{name}.k", p["k"], x, dtype)
+        v = qlinear(ctx, f"{name}.v", p["v"], x, dtype)
     if cfg.qk_norm:
         q = rms_norm(q, p["norm_q"], cfg.eps)
         k = rms_norm(k, p["norm_k"], cfg.eps)
@@ -404,11 +417,26 @@ def block_forward(
     ee = (p["modulation"].astype(jnp.float32) + e).astype(jnp.float32)
     e0, e1, e2, e3, e4, e5 = [ee[:, i] for i in range(6)]
 
-    xn1 = layer_norm(x, cfg.eps) * (1.0 + e1[:, None, :]) + e0[:, None, :]
-    y = _self_attention(
-        p["self_attn"], f"{name}.self_attn", ctx, xn1.astype(dtype), cfg,
-        cos, sin, valid_len, dtype, plan=plan,
-    )
+    from wanq_tpu.quant.qlinear import int8_fusable
+
+    qkv_sites = [f"{name}.self_attn.{l}" for l in ("q", "k", "v")]
+    if int8_fusable(ctx, qkv_sites):
+        # fused LN + modulate + shared per-token int8 quant (one HBM pass
+        # instead of an f32 LN write + three act-quant passes; the analog of
+        # the reference's LayerNormGeneral + QuantParams, quant_wanx_cuda.py:142)
+        from wanq_tpu.ops.fused import ln_modulate_quant
+
+        prequant = ln_modulate_quant(x, e0, e1, eps=cfg.eps)
+        y = _self_attention(
+            p["self_attn"], f"{name}.self_attn", ctx, None, cfg,
+            cos, sin, valid_len, dtype, plan=plan, prequant=prequant,
+        )
+    else:
+        xn1 = layer_norm(x, cfg.eps) * (1.0 + e1[:, None, :]) + e0[:, None, :]
+        y = _self_attention(
+            p["self_attn"], f"{name}.self_attn", ctx, xn1.astype(dtype), cfg,
+            cos, sin, valid_len, dtype, plan=plan,
+        )
     x = x + y.astype(jnp.float32) * e2[:, None, :]
 
     if cfg.cross_attn_norm:
@@ -421,10 +449,35 @@ def block_forward(
     )
     x = x + y.astype(jnp.float32)
 
-    xn2 = layer_norm(x, cfg.eps) * (1.0 + e4[:, None, :]) + e3[:, None, :]
-    h = qlinear(ctx, f"{name}.ffn.0", p["ffn"]["0"], xn2.astype(dtype), dtype)
-    h = gelu_tanh(h).astype(dtype)
-    y = qlinear(ctx, f"{name}.ffn.2", p["ffn"]["2"], h, dtype)
+    ffn_sites = [f"{name}.ffn.0", f"{name}.ffn.2"]
+    if int8_fusable(ctx, ffn_sites, allow_mask=True):
+        # fused LN+modulate+quant → int8 GEMM (bf16 out) → fused GELU+quant
+        # → int8 GEMM (the reference's FFNWithCudaKernel gelu_quant_sum
+        # pipeline, quant_wanx_cuda.py:521-563)
+        from wanq_tpu.ops.fused import ln_modulate_quant, quant_sum
+        from wanq_tpu.quant.qlinear import w8a8_from_prequant
+
+        st0 = ctx.state[ffn_sites[0]]
+        st2 = ctx.state[ffn_sites[1]]
+        h8, s_a, ssum = ln_modulate_quant(
+            x, e3, e4, eps=cfg.eps, channel_scale=st0.get("channel_mask")
+        )
+        h = w8a8_from_prequant(ctx, ffn_sites[0], p["ffn"]["0"], h8, s_a, ssum,
+                               out_dtype=jnp.bfloat16)
+        bh, nh, ch = h.shape
+        h8b, s2, sm2 = quant_sum(
+            h.reshape(bh * nh, ch), gelu=True,
+            channel_scale=st2.get("channel_mask"),
+        )
+        y = w8a8_from_prequant(
+            ctx, ffn_sites[1], p["ffn"]["2"],
+            h8b.reshape(bh, nh, ch), s2.reshape(bh, nh), sm2.reshape(bh, nh),
+        )
+    else:
+        xn2 = layer_norm(x, cfg.eps) * (1.0 + e4[:, None, :]) + e3[:, None, :]
+        h = qlinear(ctx, f"{name}.ffn.0", p["ffn"]["0"], xn2.astype(dtype), dtype)
+        h = gelu_tanh(h).astype(dtype)
+        y = qlinear(ctx, f"{name}.ffn.2", p["ffn"]["2"], h, dtype)
     x = x + y.astype(jnp.float32) * e5[:, None, :]
     return x
 

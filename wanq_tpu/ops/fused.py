@@ -42,18 +42,25 @@ def _quant_rows(y: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     return q, scale, ssum
 
 
-def quant_sum_xla(x: jax.Array):
-    """ref host wrapper quant_sum (fused.cu:524). x: [M, C] → (q, s, sum)."""
-    return _quant_rows(x.astype(jnp.float32))
-
-
-def gelu_quant_sum_xla(x: jax.Array):
-    """tanh-GELU then quant (ref GeluQuantFuse, fused.cu:135 / host :647)."""
-    y = jax.nn.gelu(x.astype(jnp.float32), approximate=True)
+def quant_sum_xla(x: jax.Array, channel_scale=None):
+    """ref host wrapper quant_sum (fused.cu:524). x: [M, C] → (q, s, sum).
+    ``channel_scale`` optionally folds a SmoothQuant per-channel mask in."""
+    y = x.astype(jnp.float32)
+    if channel_scale is not None:
+        y = y * channel_scale[None, :]
     return _quant_rows(y)
 
 
-def ln_modulate_quant_xla(x, shift, scale_mod, eps: float = 1e-6):
+def gelu_quant_sum_xla(x: jax.Array, channel_scale=None):
+    """tanh-GELU then quant (ref GeluQuantFuse, fused.cu:135 / host :647)."""
+    y = jax.nn.gelu(x.astype(jnp.float32), approximate=True)
+    if channel_scale is not None:
+        y = y * channel_scale[None, :]
+    return _quant_rows(y)
+
+
+def ln_modulate_quant_xla(x, shift, scale_mod, eps: float = 1e-6,
+                          channel_scale=None):
     """LayerNorm (no affine) + DiT adaLN modulate + per-token quant + sum
     (ref LayernormT2iQuantFuse, fused.cu:235-300).
 
@@ -64,6 +71,8 @@ def ln_modulate_quant_xla(x, shift, scale_mod, eps: float = 1e-6):
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     ln = (xf - mu) * jax.lax.rsqrt(var + eps)
     y = ln * (1.0 + scale_mod[:, None, :]) + shift[:, None, :]
+    if channel_scale is not None:
+        y = y * channel_scale[None, None, :]
     return _quant_rows(y)
 
 
@@ -180,14 +189,14 @@ def ln_modulate_quant_pallas(
     return q[:, :n], s[:, 0, :n], ssum[:, 0, :n]
 
 
-def quant_sum(x: jax.Array, gelu: bool = False):
-    """Dispatch: Pallas on TPU, jnp elsewhere."""
-    if jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0:
-        return quant_sum_pallas(x, gelu=gelu)
-    return gelu_quant_sum_xla(x) if gelu else quant_sum_xla(x)
+def quant_sum(x: jax.Array, gelu: bool = False, channel_scale=None):
+    """Dispatch. XLA fuses absmax+round+sum into one pass well; the Pallas
+    variants exist for explicit control (interpret-tested)."""
+    return (gelu_quant_sum_xla(x, channel_scale) if gelu
+            else quant_sum_xla(x, channel_scale))
 
 
-def ln_modulate_quant(x, shift, scale_mod, eps: float = 1e-6):
-    if jax.default_backend() == "tpu" and x.shape[-1] % 128 == 0:
-        return ln_modulate_quant_pallas(x, shift, scale_mod, eps=eps)
-    return ln_modulate_quant_xla(x, shift, scale_mod, eps=eps)
+def ln_modulate_quant(x, shift, scale_mod, eps: float = 1e-6,
+                      channel_scale=None):
+    return ln_modulate_quant_xla(x, shift, scale_mod, eps=eps,
+                                 channel_scale=channel_scale)

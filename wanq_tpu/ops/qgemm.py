@@ -34,13 +34,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _epilogue(acc_i32, s_a, s_w, sum_a, zp_w, bias):
+def _epilogue(acc_i32, s_a, s_w, sum_a, zp_w, bias, out_dtype=jnp.float32):
     out = acc_i32.astype(jnp.float32) * (s_a[:, None] * s_w[None, :])
     if zp_w is not None:
         out = out + sum_a[:, None] * (zp_w * s_w)[None, :]
     if bias is not None:
         out = out + bias[None, :]
-    return out
+    return out.astype(out_dtype)
 
 
 def w8a8_linear_xla(
@@ -51,8 +51,9 @@ def w8a8_linear_xla(
     sum_a: Optional[jax.Array] = None,
     zp_w: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
-    """a_int8 [M,K] @ w_int8 [K,N] with fused dequant. Returns f32 [M,N]."""
+    """a_int8 [M,K] @ w_int8 [K,N] with fused dequant. Returns [M,N]."""
     acc = jax.lax.dot_general(
         a_int8,
         w_int8,
@@ -62,7 +63,7 @@ def w8a8_linear_xla(
     return _epilogue(acc, s_a.astype(jnp.float32), s_w.astype(jnp.float32),
                      None if sum_a is None else sum_a.astype(jnp.float32),
                      None if zp_w is None else zp_w.astype(jnp.float32),
-                     bias)
+                     bias, out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -204,6 +205,7 @@ def w8a8_linear(
     sum_a: Optional[jax.Array] = None,
     zp_w: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """Dispatch. Default is the XLA int8-dot path: on v5e it hits the MXU
     int8 units and XLA fuses the dequant epilogue, measured on-par with the
@@ -220,5 +222,7 @@ def w8a8_linear(
         and k % 128 == 0
         and n % 128 == 0
     ):
-        return w8a8_linear_pallas(a_int8, w_int8, s_a, s_w, sum_a, zp_w, bias)
-    return w8a8_linear_xla(a_int8, w_int8, s_a, s_w, sum_a, zp_w, bias)
+        return w8a8_linear_pallas(a_int8, w_int8, s_a, s_w, sum_a, zp_w,
+                                  bias).astype(out_dtype)
+    return w8a8_linear_xla(a_int8, w_int8, s_a, s_w, sum_a, zp_w, bias,
+                           out_dtype)

@@ -180,3 +180,55 @@ def qlinear(
         return y.reshape(b, n, -1)
 
     raise ValueError(f"unknown quant mode {ctx.mode}")
+
+
+def int8_fusable(ctx: Optional[QuantCtx], names, allow_mask: bool = False) -> bool:
+    """True when every site can take the fused int8 fast path: 8-bit static
+    weight + dynamic symmetric 8-bit act, no rotation; per-channel masks
+    only when the quantized activation has a single consumer."""
+    if ctx is None or ctx.mode != "int8":
+        return False
+    for n in names:
+        pol = ctx.policy(n)
+        if not pol.is_quantized or pol.uses_rotation:
+            return False
+        if pol.uses_channel_mask and not allow_mask:
+            return False
+        if pol.weight is None or pol.weight.active_bits != 8:
+            return False
+        if pol.act is None or not pol.act.sym or pol.act.active_bits != 8:
+            return False
+        st = ctx.state.get(n)
+        if st is None or "w_int8" not in st:
+            return False
+    return True
+
+
+def w8a8_from_prequant(
+    ctx: QuantCtx,
+    name: str,
+    params: Params,
+    q8: jax.Array,
+    s_a: jax.Array,
+    ssum: jax.Array,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """int8 GEMM from an already-quantized activation (produced by a fused
+    LN/GELU+quant op — the reference's QuantParams scratch-buffer pattern,
+    nn/base.py:3-26). q8: [B, N, C] int8; s_a/ssum: [B, N]."""
+    from wanq_tpu.ops.qgemm import w8a8_linear
+
+    st = ctx.state[name]
+    b, n, c = q8.shape
+    bias = params.get("b")
+    y = w8a8_linear(
+        q8.reshape(b * n, c),
+        st["w_int8"],
+        s_a.reshape(-1),
+        st["scale_w"],
+        ssum.reshape(-1),
+        st["zp_w_int"],
+        bias.astype(jnp.float32) if bias is not None else None,
+        out_dtype=out_dtype,
+    )
+    return y.reshape(b, n, -1)
