@@ -167,3 +167,30 @@ def test_seq_len_rounding(tiny):
     assert compute_seq_len(cfg, ts, sp_size=1) == 2 * 2 * 2
     assert compute_seq_len(cfg, ts, sp_size=8) == 8
     assert compute_seq_len(cfg, ts, sp_size=16) == 16
+
+
+def test_w4a8_hardware_path(tiny, contexts):
+    """W4A8 (QServe-style, csrc/qgemm/w4a8): 4-bit weights in int8
+    containers through the int8 MXU path, vs the W4 sim path."""
+    cfg, params = tiny
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": BASE_QCFG["remain_fp_regex"],
+        "weight": {"n_bits": 4, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+    })
+    policies, state, rotations = prepare_quant_state(
+        params, linear_layer_names(cfg), qcfg
+    )
+    st = state["blocks.0.self_attn.q"]
+    w4 = np.asarray(st["w_int8"])
+    assert w4.min() >= -8 and w4.max() <= 7  # int4 value range
+
+    rngk = jax.random.PRNGKey(5)
+    x = jax.random.normal(rngk, (1, cfg.in_dim, 2, 8, 8), dtype=jnp.float32)
+    t = jnp.asarray([500.0])
+    txt = jax.random.normal(jax.random.PRNGKey(6), (1, cfg.text_len, cfg.text_dim))
+    sim = dit_forward(params, cfg, x, t, txt, 32,
+                      ctx=QuantCtx(mode="sim", policies=policies, state=state))
+    hw = dit_forward(params, cfg, x, t, txt, 32,
+                     ctx=QuantCtx(mode="int8", policies=policies, state=state))
+    np.testing.assert_allclose(np.asarray(sim), np.asarray(hw), atol=5e-3, rtol=1e-2)

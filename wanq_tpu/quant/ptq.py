@@ -107,7 +107,8 @@ def prepare_layer_state(
     d, z = weight_quant_params(w_work, wcfg)
     st["delta_w"] = d
     st["zp_w"] = z
-    if wcfg.active_bits == 8 and targets in ("int8", "both"):
+    if wcfg.active_bits in (4, 8) and targets in ("int8", "both"):
+        # 4-bit weights ride the same int8 containers (W4A8, QServe-style)
         w_int8, scale_w, zp_w_int = weight_int_quant(w_work, wcfg)
         st["w_int8"] = w_int8
         st["scale_w"] = scale_w

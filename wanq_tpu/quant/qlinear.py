@@ -194,7 +194,7 @@ def int8_fusable(ctx: Optional[QuantCtx], names, allow_mask: bool = False) -> bo
             return False
         if pol.uses_channel_mask and not allow_mask:
             return False
-        if pol.weight is None or pol.weight.active_bits != 8:
+        if pol.weight is None or pol.weight.active_bits not in (4, 8):
             return False
         if pol.act is None or not pol.act.sym or pol.act.active_bits != 8:
             return False

@@ -228,11 +228,15 @@ def weight_int_quant(
 
     int8 value = clamp(round(w/scale) - zp, -128, 127); matches the reference
     INT8 export (quant_wanx_cuda.py:39-56). Dequant: w = (int + zp) * scale.
+    For 4-bit weights (the W4A8 QServe path, csrc/qgemm/w4a8/*.cu) the int4
+    values [-8, 7] are stored in int8 containers — the int8 MXU consumes them
+    directly; bit-packing is a memory optimization left to the weight loader.
     """
-    assert cfg.active_bits == 8, "int export currently supports 8-bit weights"
+    assert cfg.active_bits in (4, 8), "int export supports 4/8-bit weights"
     d, z = weight_quant_params(w_in_out, cfg)
     q = jnp.round(w_in_out.astype(jnp.float32) / d[None, :]) - z[None, :]
-    q = jnp.clip(q, -128, 127).astype(jnp.int8)
+    lo, hi = (-8, 7) if cfg.active_bits == 4 else (-128, 127)
+    q = jnp.clip(q, lo, hi).astype(jnp.int8)
     return q, d, z
 
 
