@@ -91,3 +91,14 @@ def test_rotation_invariance_f32_error_is_benign(rng):
 def test_rotation_shared_per_dim():
     assert np.array_equal(H.rotation_for_dim(96, 0), H.rotation_for_dim(96, 0))
     assert not np.array_equal(H.rotation_for_dim(96, 0), H.rotation_for_dim(96, 1))
+
+
+def test_rotate_weight_fwht_matches_dense(rng):
+    """FWHT weight rotation == dense Qᵀ·W (the O(n log n) PTQ fast path)."""
+    n, m = 96, 24
+    w = rng.normal(size=(n, m))
+    seed = H.derived_rotation_seed(n, 0)
+    q = H.rotation_for_dim(n, seed=0)
+    want = q.T @ w
+    got = H.rotate_weight_fwht(w, seed)
+    np.testing.assert_allclose(got, want, atol=1e-10)

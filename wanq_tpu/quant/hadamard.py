@@ -158,9 +158,32 @@ def random_hadamard_matrix(size: int, seed: int) -> np.ndarray:
     the rotation so PTQ and inference provably share the same Q.
     Returned as float64 on host; cast to f32 before device use.
     """
+    return matmul_hadU_np(np.diag(rotation_signs(size, seed)))
+
+
+def derived_rotation_seed(size: int, seed: int = 0) -> int:
+    """Per-dimension rotation seed (shared across layers of a dim, like the
+    reference's 'same across layers' note, quant_model.py:172)."""
+    return (seed * 1000003 + size) & 0x7FFFFFFF
+
+
+def rotation_signs(size: int, seed: int) -> np.ndarray:
+    """The ±1 diagonal of the randomized rotation for a given seed."""
     rng = np.random.default_rng(seed)
-    signs = rng.integers(0, 2, size=size).astype(np.float64) * 2.0 - 1.0
-    return matmul_hadU_np(np.diag(signs))
+    return rng.integers(0, 2, size=size).astype(np.float64) * 2.0 - 1.0
+
+
+def rotate_weight_fwht(w_in_out: np.ndarray, size_seed: int) -> np.ndarray:
+    """Weight-side rotation Qᵀ·W via the fast Walsh–Hadamard transform.
+
+    Q = diag(s)·Mᵀ (see random_hadamard_matrix), so Qᵀ W = M·diag(s)·W,
+    which is the FWHT applied down each weight column — O(C_in·log C_in·
+    C_out) instead of the dense O(C_in²·C_out) matmul (hours → seconds for
+    the 14B ffn dims). f64 on host, matching the reference's rotation
+    precision (quarot_quant_layer.py:41)."""
+    n = w_in_out.shape[0]
+    s = rotation_signs(n, size_seed)
+    return matmul_hadU_np((s[:, None] * np.asarray(w_in_out, np.float64)).T).T
 
 
 def rotation_for_dim(size: int, seed: int = 0) -> np.ndarray:
@@ -170,4 +193,4 @@ def rotation_for_dim(size: int, seed: int = 0) -> np.ndarray:
     in_features (quant_model.py:172 'same across layers'); we key the seed by
     (global seed, size) for the same sharing semantics.
     """
-    return random_hadamard_matrix(size, seed=(seed * 1000003 + size) & 0x7FFFFFFF)
+    return random_hadamard_matrix(size, seed=derived_rotation_seed(size, seed))

@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from wanq_tpu.quant.config import LayerPolicy, QuantConfig
-from wanq_tpu.quant.hadamard import rotation_for_dim
+from wanq_tpu.quant.hadamard import (
+    derived_rotation_seed,
+    rotate_weight_fwht,
+    rotation_for_dim,
+)
 from wanq_tpu.quant.quantizers import (
     QuantizerCfg,
     weight_fake_quant,
@@ -66,7 +70,7 @@ def prepare_layer_state(
     policy: LayerPolicy,
     w: jax.Array,
     act_absmax: Optional[np.ndarray],
-    rotation: Optional[np.ndarray],
+    rotation_seed: Optional[int],
     targets: str = "both",
 ) -> Dict[str, jax.Array]:
     """Quant state for one layer. w: [C_in, C_out] (f32).
@@ -94,11 +98,13 @@ def prepare_layer_state(
         wf = weight_fake_quant(wf, wcfg)
 
     if policy.uses_rotation:
-        assert rotation is not None
-        # x @ Q rotated activations pair with Q^T @ w weights; the weight-side
-        # rotation runs in host float64 (TPUs lack f64, hadamard.py docstring)
+        assert rotation_seed is not None
+        # x @ Q rotated activations pair with Q^T @ w weights; the weight side
+        # runs as a host-f64 FWHT — O(n log n) per column instead of the dense
+        # O(n^2) matmul the reference does (quarot_quant_layer.py:41), which
+        # would take hours at the 14B ffn dims
         wf = jnp.asarray(
-            (rotation.T @ np.asarray(wf, dtype=np.float64)).astype(np.float32)
+            rotate_weight_fwht(np.asarray(wf), rotation_seed).astype(np.float32)
         )
 
     w_work = wf
@@ -132,27 +138,31 @@ def prepare_quant_state(
     policies = {name: qcfg.resolve(name) for name in layer_names}
     calib_max = reduce_calib(calib) if calib is not None else {}
 
-    rotations_np: Dict[int, np.ndarray] = {}
+    rot_dims = set()
     state: Dict[str, Dict[str, jax.Array]] = {}
     for name, policy in policies.items():
         if not policy.is_quantized:
             continue
         w = params_get(params, name)["w"].astype(jnp.float32)
-        rot = None
+        rot_seed = None
         if policy.uses_rotation:
-            c_in = w.shape[0]
-            if c_in not in rotations_np:
-                rotations_np[c_in] = rotation_for_dim(c_in, seed=seed)
-            rot = rotations_np[c_in]
+            c_in = int(w.shape[0])
+            rot_dims.add(c_in)
+            rot_seed = derived_rotation_seed(c_in, seed)
         act_absmax = calib_max.get(name)
         if policy.uses_channel_mask and act_absmax is None:
             raise ValueError(
                 f"layer {name} uses {policy.method} but no calibration data "
                 f"was provided (expected key '{name}')"
             )
-        state[name] = prepare_layer_state(policy, w, act_absmax, rot, targets)
+        state[name] = prepare_layer_state(policy, w, act_absmax, rot_seed, targets)
 
-    rotations = {k: jnp.asarray(v.astype(np.float32)) for k, v in rotations_np.items()}
+    # activation-side rotations stay dense f32 matrices (they ride the MXU
+    # inside the forward); regenerated from the same seeds
+    rotations = {
+        d: jnp.asarray(rotation_for_dim(d, seed=seed).astype(np.float32))
+        for d in rot_dims
+    }
     return policies, state, rotations
 
 
