@@ -42,8 +42,18 @@ from wanq_tpu.quant import QuantConfig
 from wanq_tpu.quant.ptq import prepare_quant_state
 from wanq_tpu.quant.qlinear import QuantCtx
 
+# Speed-optimal W8A8 on this chip class: quantize the fused-producer sites
+# (self-attn q/k/v sharing one LN+quant pass, ffn through the
+# LN-quant→GEMM→GELU-quant→GEMM pipeline); keep o/cross projections FP —
+# thin 1536² GEMMs gain ~15% from int8 but lose more to standalone
+# act-quant passes (BENCH_NOTES.md). This also mirrors the reference's own
+# shipped Wan config, which keeps o and cross_attn FP
+# (quant_configs/config.yaml:4-8).
 FULL_W8A8 = {
-    "remain_fp_regex": r"text_embedding|time_embedding|time_projection|head\.head",
+    "remain_fp_regex": (
+        r"text_embedding|time_embedding|time_projection|head\.head|"
+        r"blocks\.\d+\.self_attn\.o|cross_attn"
+    ),
     "weight": {"n_bits": 8, "sym": False},
     "act": {"n_bits": 8, "sym": True},
 }

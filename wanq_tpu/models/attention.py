@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 
 _DEF_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-_FLASH_BLOCK = 512
+# swept on v5e at Wan shapes (BENCH_NOTES.md): 2048/1024 beats 512/512 by ~9%
+_FLASH_BLOCK_Q = 2048
+_FLASH_BLOCK_K = 1024
 
 
 def _sdpa_reference(
@@ -72,8 +74,8 @@ def attention(
     sk = k.shape[1]
     kv_len = min(k_valid_len, sk) if k_valid_len is not None else sk
 
-    blk_q = min(_FLASH_BLOCK, _round_up(sq, 128))
-    blk_k = min(_FLASH_BLOCK, _round_up(sk, 128))
+    blk_q = min(_FLASH_BLOCK_Q, _round_up(sq, 128))
+    blk_k = min(_FLASH_BLOCK_K, _round_up(sk, 128))
     sq_p = _round_up(sq, blk_q)
     sk_p = _round_up(sk, blk_k)
 
