@@ -102,3 +102,30 @@ def test_rotate_weight_fwht_matches_dense(rng):
     want = q.T @ w
     got = H.rotate_weight_fwht(w, seed)
     np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_native_fwht_matches_numpy_fallback(rng, monkeypatch):
+    """The C++ butterfly (wanq_tpu/native) and the numpy fallback are
+    bit-equivalent paths through matmul_hadU_np."""
+    from wanq_tpu import native
+
+    x = rng.normal(size=(5, 96))
+    with_native = H.matmul_hadU_np(x)
+    monkeypatch.setattr(native, "fwht_rows_f64", lambda a, k: None)
+    without = H.matmul_hadU_np(x)
+    if native.get_lib() is None:
+        pytest.skip("no C++ toolchain in this environment")
+    np.testing.assert_allclose(with_native, without, atol=1e-12)
+
+
+def test_native_fwht_direct(rng):
+    from wanq_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("no C++ toolchain in this environment")
+    x = rng.normal(size=(3, 64))
+    got = native.fwht_rows_f64(x, 1)
+    # unnormalized Hadamard transform: H_64 @ row
+    h = np.asarray(H.matmul_hadU_np(np.eye(64))) * np.sqrt(64)
+    want = x @ h.T
+    np.testing.assert_allclose(got, want, atol=1e-9)

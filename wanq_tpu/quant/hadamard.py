@@ -132,18 +132,30 @@ def matmul_hadU(x: jax.Array) -> jax.Array:
 
 
 def matmul_hadU_np(x: np.ndarray) -> np.ndarray:
-    """Host/float64 version of matmul_hadU for offline weight rotation."""
+    """Host/float64 version of matmul_hadU for offline weight rotation.
+
+    Uses the native C++ butterfly (wanq_tpu/native) when the toolchain is
+    available — allocation-free in-place stages vs a numpy temp per stage —
+    with a numpy fallback."""
     n = x.shape[-1]
     hadK, K = get_hadK(n)
     orig_shape = x.shape
-    inp = x.astype(np.float64).reshape(-1, n, 1)
-    L = n
-    while L > K:
-        inp = inp.reshape(inp.shape[0], L // 2, 2, inp.shape[-1])
-        inp = np.stack([inp[:, :, 0, :] + inp[:, :, 1, :],
-                        inp[:, :, 0, :] - inp[:, :, 1, :]], axis=2)
-        L //= 2
-        inp = inp.reshape(inp.shape[0], L, -1)
+
+    from wanq_tpu import native
+
+    flat = np.asarray(x, dtype=np.float64).reshape(-1, n)
+    out = native.fwht_rows_f64(flat, K)
+    if out is not None:
+        inp = out.reshape(-1, K, n // K)
+    else:
+        inp = flat.reshape(-1, n, 1)
+        L = n
+        while L > K:
+            inp = inp.reshape(inp.shape[0], L // 2, 2, inp.shape[-1])
+            inp = np.stack([inp[:, :, 0, :] + inp[:, :, 1, :],
+                            inp[:, :, 0, :] - inp[:, :, 1, :]], axis=2)
+            L //= 2
+            inp = inp.reshape(inp.shape[0], L, -1)
     if K > 1:
         inp = np.einsum("kj,bjr->bkr", hadK.astype(np.float64), inp)
     return inp.reshape(orig_shape) / math.sqrt(n)
