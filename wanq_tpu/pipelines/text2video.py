@@ -69,9 +69,21 @@ class WanT2V:
     sp_size: int = 1
     mesh: Optional[Any] = None  # jax.sharding.Mesh for multi-chip runs
     shardings: Optional[Any] = None  # parallel.ShardingPlan
+    # timestep-aware mixed precision (BASELINE.md config #4): descending
+    # [(t_threshold, ctx), ...] — the ctx of the first entry with
+    # t >= t_threshold is used for that denoise step (e.g. W8 early /
+    # W4 late). Falls back to quant_ctx when None or no entry matches.
+    quant_ctx_schedule: Optional[List[Tuple[float, Optional[QuantCtx]]]] = None
 
     def __post_init__(self):
         self._step_fn_cache: Dict[Tuple, Callable] = {}
+
+    def _ctx_for_timestep(self, t: float) -> Optional[QuantCtx]:
+        if self.quant_ctx_schedule:
+            for thresh, ctx in self.quant_ctx_schedule:
+                if t >= thresh:
+                    return ctx
+        return self.quant_ctx
 
     # -- jitted CFG denoise step ------------------------------------------
 
@@ -178,7 +190,11 @@ class WanT2V:
         all_stats: Dict[str, List[np.ndarray]] = {}
         for t in timesteps:
             tt = jnp.full((b,), float(t), dtype=jnp.float32)
-            out = step_fn(self.params, arg_ctx, latents, tt, context, context_null, gs)
+            step_ctx = arg_ctx
+            if self.quant_ctx_schedule and not collect_calib:
+                sched = self._ctx_for_timestep(float(t))
+                step_ctx = sched if (sched is not None and sched.mode in ("sim", "int8")) else None
+            out = step_fn(self.params, step_ctx, latents, tt, context, context_null, gs)
             if collect_calib:
                 noise_pred, stats = out
                 for k, v in stats.items():
