@@ -1,0 +1,95 @@
+"""Ring (context-parallel) attention over a mesh axis.
+
+TPU-native rebuild of the reference's ring degree (xfuser's hybrid
+Ulysses×Ring attention, xdit_context_parallel.py:179-184; the reference
+runs ring=1 in every published config, README.md:63-70). Sequence shards
+stay put; KV shards rotate around the ring with ``ppermute`` while each
+device folds partial attention into an online-softmax accumulator —
+KV communication overlaps the next partial-attention compute step.
+
+Use when the sequence no longer fits a single slice's Ulysses layout
+(cross-slice scaling); inside one slice Ulysses alone is cheaper."""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+_NEG_INF = -1e30
+
+
+def _partial_attn(q, k, v, scale, m, l, acc, kv_offset, kv_len):
+    """One online-softmax fold of q [B,Sq,H,D] against a KV shard
+    [B,Sk,H,D] whose global positions start at kv_offset."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    col = jnp.arange(k.shape[1]) + kv_offset
+    s = jnp.where((col < kv_len)[None, None, None, :], s, _NEG_INF)
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jnp.einsum("bhqk,bkhd->bhqd", p.astype(v.dtype), v)
+    acc_new = acc * alpha[..., 0][..., None] + pv.astype(jnp.float32)
+    return m_new, l_new, acc_new
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    axis: str = "sp",
+    scale: Optional[float] = None,
+    k_valid_len: Optional[int] = None,
+) -> jax.Array:
+    """q,k,v: [B, S, H, D] (global views, S sharded over ``axis``).
+
+    Returns [B, S, H, D] attention output sharded the same way. S must be
+    divisible by the axis size."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    n = mesh.shape[axis]
+    b, s, h, d = q.shape
+    assert s % n == 0, (s, n)
+    s_loc = s // n
+    kv_len = min(k_valid_len, s) if k_valid_len is not None else s
+
+    def local_fn(q_loc, k_loc, v_loc):
+        idx = jax.lax.axis_index(axis)
+        # mark the accumulators as axis-varying up front (their updates
+        # depend on axis_index; shard_map's carry typing requires it)
+        m0 = jax.lax.pvary(jnp.full((b, h, s_loc, 1), _NEG_INF, jnp.float32), (axis,))
+        l0 = jax.lax.pvary(jnp.zeros((b, h, s_loc, 1), jnp.float32), (axis,))
+        a0 = jax.lax.pvary(jnp.zeros((b, h, s_loc, d), jnp.float32), (axis,))
+
+        def body(i, carry):
+            k_cur, v_cur, m, l, acc = carry
+            # this KV shard originated at rank (idx - i) mod n
+            src = (idx - i) % n
+            # rotate for the NEXT step first so the send overlaps compute
+            perm = [(j, (j + 1) % n) for j in range(n)]
+            k_next = jax.lax.ppermute(k_cur, axis, perm)
+            v_next = jax.lax.ppermute(v_cur, axis, perm)
+            m, l, acc = _partial_attn(
+                q_loc, k_cur, v_cur, scale, m, l, acc,
+                kv_offset=src * s_loc, kv_len=kv_len,
+            )
+            return k_next, v_next, m, l, acc
+
+        _, _, m, l, acc = jax.lax.fori_loop(
+            0, n, body, (k_loc, v_loc, m0, l0, a0)
+        )
+        out = acc / jnp.maximum(l, 1e-20)
+        return jnp.transpose(out, (0, 2, 1, 3)).astype(q_loc.dtype)
+
+    spec = P(None, axis, None, None)
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+    )
+    return fn(q, k, v)
