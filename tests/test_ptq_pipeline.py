@@ -66,7 +66,8 @@ def test_calibration_sweep_collects_all_layers(tiny, contexts):
         *contexts, size=(32, 32), frame_num=5, sampling_steps=3, seed=7
     )
     names = set(linear_layer_names(cfg))
-    assert set(stats.keys()) == names
+    # every linear collected (plus the attention qk/v capture keys)
+    assert names <= set(stats.keys())
     q_stats = stats["blocks.0.self_attn.q"]
     assert q_stats.shape == (3, cfg.dim)  # [T, C]
     assert np.all(q_stats > 0)
@@ -194,3 +195,18 @@ def test_w4a8_hardware_path(tiny, contexts):
     hw = dit_forward(params, cfg, x, t, txt, 32,
                      ctx=QuantCtx(mode="int8", policies=policies, state=state))
     np.testing.assert_allclose(np.asarray(sim), np.asarray(hw), atol=5e-3, rtol=1e-2)
+
+
+def test_calibration_captures_attention_stats(tiny, contexts):
+    """qk/v attention-calibration capture (ref SaveActivationHook types,
+    get_calib_data_wanx.py:227-238): per-(head, dim) absmax."""
+    cfg, params = tiny
+    pipe = WanT2V(cfg, params, quant_ctx=QuantCtx(mode="calib"))
+    stats = pipe.collect_calibration(
+        *contexts, size=(32, 32), frame_num=5, sampling_steps=2, seed=7
+    )
+    for tag in ("q", "k", "v"):
+        key = f"blocks.0.self_attn.attn_{tag}"
+        assert key in stats, key
+        assert stats[key].shape == (2, cfg.num_heads, cfg.head_dim)
+        assert np.all(stats[key] >= 0)

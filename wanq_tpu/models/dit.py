@@ -329,6 +329,15 @@ def _self_attention(
     v = v.reshape(b, s, n, hd).astype(dtype)
     q = rope_apply_padded(q, cos, sin, valid_len).astype(dtype)
     k = rope_apply_padded(k, cos, sin, valid_len).astype(dtype)
+    if ctx is not None and ctx.mode == "calib":
+        # attention-calibration capture (ref SaveActivationHook types
+        # 'qk'/'v', get_calib_data_wanx.py:227-238): per-(head, dim) absmax
+        # of post-norm/rope q/k and of v — the inputs the attention
+        # quantizers consume
+        for tag, tensor in (("q", q), ("k", k), ("v", v)):
+            ctx.collect[f"{name}.attn_{tag}"] = jnp.max(
+                jnp.abs(tensor.astype(jnp.float32)), axis=(0, 1)
+            )
     if plan is not None:
         q, k, v = plan.heads(q), plan.heads(k), plan.heads(v)
     if ctx is not None and ctx.attn is not None and ctx.mode == "int8":
