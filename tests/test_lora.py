@@ -1,0 +1,94 @@
+"""LoRA adapter tests: zero-init identity, merge correctness, artifact
+roundtrip, and gradient flow through only the adapters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wanq_tpu.configs import tiny_config
+from wanq_tpu.models.dit import dit_forward, init_params, linear_layer_names
+from wanq_tpu.training.lora import (
+    apply_lora,
+    init_lora,
+    load_lora,
+    lora_layer_names,
+    save_lora,
+)
+
+
+def _setup():
+    from tests.conftest import randomize_head
+
+    cfg = tiny_config()
+    params = randomize_head(init_params(cfg, jax.random.PRNGKey(0)))
+    names = linear_layer_names(cfg)
+    return cfg, params, names
+
+
+def test_zero_init_is_identity(rng):
+    cfg, params, names = _setup()
+    lora = init_lora(params, names, rank=4)
+    merged = apply_lora(params, lora)
+    x = jnp.asarray(rng.normal(size=(1, cfg.in_dim, 2, 8, 8)).astype(np.float32))
+    t = jnp.asarray([500.0])
+    txt = jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+    o1 = dit_forward(params, cfg, x, t, txt, 32)
+    o2 = dit_forward(merged, cfg, x, t, txt, 32)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    # base params untouched
+    assert params["blocks"][0]["self_attn"]["q"]["w"] is not merged["blocks"][0]["self_attn"]["q"]["w"]
+
+
+def test_merge_math(rng):
+    cfg, params, names = _setup()
+    lora = init_lora(params, names, rank=4, seed=1)
+    name = "blocks.0.self_attn.q"
+    lora[name]["b"] = jnp.asarray(rng.normal(size=lora[name]["b"].shape).astype(np.float32))
+    merged = apply_lora(params, lora)
+    w0 = np.asarray(params["blocks"][0]["self_attn"]["q"]["w"], dtype=np.float32)
+    wm = np.asarray(merged["blocks"][0]["self_attn"]["q"]["w"], dtype=np.float32)
+    delta = np.asarray(lora[name]["a"]) @ np.asarray(lora[name]["b"])
+    np.testing.assert_allclose(wm - w0, delta, atol=1e-5)
+    # non-target layers untouched
+    np.testing.assert_array_equal(
+        np.asarray(merged["text_embedding"]["0"]["w"]),
+        np.asarray(params["text_embedding"]["0"]["w"]),
+    )
+
+
+def test_lora_grads_only_through_adapters(rng):
+    cfg, params, names = _setup()
+    lora = init_lora(params, names, rank=2)
+    x = jnp.asarray(rng.normal(size=(1, cfg.in_dim, 2, 8, 8)).astype(np.float32))
+    t = jnp.asarray([500.0])
+    txt = jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+
+    def loss(lora_tree):
+        out = dit_forward(apply_lora(params, lora_tree), cfg, x, t, txt, 32)
+        return jnp.mean(jnp.square(out))
+
+    grads = jax.grad(loss)(lora)
+    ga = np.asarray(grads["blocks.0.self_attn.q"]["a"])
+    gb = np.asarray(grads["blocks.0.self_attn.q"]["b"])
+    # with b=0, dL/da is 0 but dL/db is not
+    assert np.allclose(ga, 0)
+    assert not np.allclose(gb, 0)
+
+
+def test_lora_roundtrip(tmp_path):
+    cfg, params, names = _setup()
+    lora = init_lora(params, names, rank=4, seed=3)
+    p = save_lora(str(tmp_path / "lora.npz"), lora)
+    back = load_lora(p)
+    assert set(back) == set(lora)
+    np.testing.assert_array_equal(
+        np.asarray(back["blocks.0.ffn.0"]["a"]),
+        np.asarray(lora["blocks.0.ffn.0"]["a"]),
+    )
+
+
+def test_lora_layer_selection():
+    cfg, params, names = _setup()
+    sel = lora_layer_names(names, r"self_attn\.q")
+    assert all("self_attn.q" in n for n in sel)
+    assert len(sel) == cfg.num_layers

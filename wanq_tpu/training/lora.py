@@ -1,0 +1,116 @@
+"""LoRA adapters for the Wan DiT.
+
+TPU-native rebuild of the LoRA capability referenced by the distillation
+trainer's checkpoint helpers (wan/checkpoint.py save_lora_checkpoint /
+load-lora paths). Adapters live in their own pytree; the forward consumes
+``apply_lora(params, lora)`` — XLA fuses the rank-r update into the weight
+load, and only the adapter tree takes gradients/optimizer state."""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wanq_tpu.quant.ptq import params_get
+
+DEFAULT_TARGETS = r"self_attn\.(q|k|v|o)|ffn\.(0|2)"
+
+
+def lora_layer_names(layer_names, targets: str = DEFAULT_TARGETS):
+    pat = re.compile(targets)
+    return [n for n in layer_names if pat.search(n)]
+
+
+def init_lora(
+    params: Any,
+    layer_names,
+    rank: int = 16,
+    targets: str = DEFAULT_TARGETS,
+    seed: int = 0,
+    alpha: Optional[float] = None,
+) -> Dict[str, Dict[str, jax.Array]]:
+    """{layer_path: {a: [C_in, r], b: [r, C_out]}}; a ~ N(0, 1/r), b = 0
+    (standard LoRA init: the adapted model starts at the base model)."""
+    rng = np.random.default_rng(seed)
+    scale = (alpha or rank) / rank
+    lora: Dict[str, Dict[str, jax.Array]] = {"__scale__": jnp.float32(scale)}
+    for name in lora_layer_names(layer_names, targets):
+        w = params_get(params, name)["w"]
+        c_in, c_out = w.shape
+        lora[name] = {
+            "a": jnp.asarray(
+                (rng.standard_normal((c_in, rank)) / np.sqrt(rank)).astype(np.float32)
+            ),
+            "b": jnp.zeros((rank, c_out), jnp.float32),
+        }
+    return lora
+
+
+def apply_lora(params: Any, lora: Dict[str, Dict[str, jax.Array]]) -> Any:
+    """Merged params: w' = w + scale · a @ b per adapted layer (pure —
+    returns a new tree; jit fuses the update into consumers)."""
+    scale = lora.get("__scale__", 1.0)
+
+    def merge_path(tree, path, delta):
+        parts = path.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node[int(p)] if isinstance(node, list) else node[p]
+        leaf = node[parts[-1]]
+        node[parts[-1]] = dict(leaf) | {
+            "w": leaf["w"] + delta.astype(leaf["w"].dtype)
+        }
+
+    import copy
+
+    out = copy.copy(params)
+    out["blocks"] = [copy.copy(b) for b in params["blocks"]] if isinstance(
+        params["blocks"], list) else params["blocks"]
+    # shallow-copy nested dicts along adapted paths only
+    def deepcopy_path(tree, path):
+        parts = path.split(".")
+        node = tree
+        for p in parts[:-1]:
+            if isinstance(node, list):
+                i = int(p)
+                node[i] = copy.copy(node[i])
+                node = node[i]
+            else:
+                node[p] = copy.copy(node[p])
+                node = node[p]
+
+    for name, ab in lora.items():
+        if name == "__scale__":
+            continue
+        deepcopy_path(out, name)
+        delta = scale * jnp.dot(ab["a"], ab["b"], preferred_element_type=jnp.float32)
+        merge_path(out, name, delta)
+    return out
+
+
+def save_lora(path: str, lora) -> str:
+    flat = {}
+    for name, v in lora.items():
+        if name == "__scale__":
+            flat["__scale__"] = np.asarray(v)
+        else:
+            flat[f"{name}|a"] = np.asarray(v["a"])
+            flat[f"{name}|b"] = np.asarray(v["b"])
+    np.savez(path, **flat)
+    return path
+
+
+def load_lora(path: str):
+    data = np.load(path)
+    lora: Dict[str, Any] = {}
+    for key in data.files:
+        if key == "__scale__":
+            lora["__scale__"] = jnp.asarray(data[key])
+            continue
+        name, leaf = key.split("|")
+        lora.setdefault(name, {})[leaf] = jnp.asarray(data[key])
+    return lora
