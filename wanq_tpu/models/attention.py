@@ -12,7 +12,6 @@ wrapper pads q/k/v to the flash block size internally and slices the output.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 

@@ -25,7 +25,6 @@ Design decisions vs the reference:
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import Any, Dict, List, Optional, Tuple
 

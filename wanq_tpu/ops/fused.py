@@ -17,7 +17,7 @@ needed a kernel only because its epilogue wrote fp16 + quant in one pass.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ Use when the sequence no longer fits a single slice's Ulysses layout
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 

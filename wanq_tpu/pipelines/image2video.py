@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,6 @@ import numpy as np
 from wanq_tpu.configs import WanConfig
 from wanq_tpu.models.dit import dit_forward
 from wanq_tpu.pipelines.text2video import WanT2V
-from wanq_tpu.quant.qlinear import QuantCtx
 
 
 def i2v_latent_size(cfg: WanConfig, img_hw: Tuple[int, int], max_area: int):

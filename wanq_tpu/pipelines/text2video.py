@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wanq_tpu.configs import WanConfig
-from wanq_tpu.models.dit import dit_forward, linear_layer_names
+from wanq_tpu.models.dit import dit_forward
 from wanq_tpu.quant.qlinear import QuantCtx
 from wanq_tpu.solvers.dpm import (
     FlowDPMSolverMultistepScheduler,

@@ -33,12 +33,11 @@ from wanq_tpu.quant.hadamard import (
     rotation_for_dim,
 )
 from wanq_tpu.quant.quantizers import (
-    QuantizerCfg,
     weight_fake_quant,
     weight_int_quant,
     weight_quant_params,
 )
-from wanq_tpu.quant.smooth import channel_mask, clamp_act_absmax
+from wanq_tpu.quant.smooth import channel_mask
 
 Params = Dict[str, Any]
 

@@ -29,7 +29,7 @@ Weights use per-output-channel groups; activations use per-token groups.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
