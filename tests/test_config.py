@@ -108,3 +108,22 @@ def test_yaml_roundtrip(tmp_path):
     cfg = QuantConfig.from_yaml(str(p))
     assert cfg.resolve("blocks.0.self_attn.q").method == "viditq"
     assert cfg.calib_save_path.endswith("calib_data_wanx1.pth")
+
+
+def test_shipped_quant_configs_load_and_resolve():
+    """The repo's quant_configs/ YAMLs parse and resolve sensibly."""
+    import os
+
+    base = os.path.join(os.path.dirname(__file__), "..", "quant_configs")
+    wan = QuantConfig.from_yaml(os.path.join(base, "config.yaml"))
+    assert wan.resolve("blocks.0.self_attn.q").method == "viditq"
+    assert not wan.resolve("blocks.0.ffn.0").is_quantized
+
+    speed = QuantConfig.from_yaml(os.path.join(base, "wan_w8a8_speed.yaml"))
+    assert speed.resolve("blocks.0.ffn.0").is_quantized
+    assert not speed.resolve("blocks.0.self_attn.o").is_quantized
+
+    mixed = QuantConfig.from_yaml(os.path.join(base, "wan_w4a8_mixed.yaml"))
+    assert mixed.resolve("blocks.0.ffn.0").weight.active_bits == 4
+    assert mixed.resolve("blocks.0.self_attn.q").weight.active_bits == 8
+    assert not mixed.resolve("blocks.0.cross_attn.q").is_quantized
