@@ -107,6 +107,12 @@ def run(frame_num: int):
 
     t0 = time.time()
     params = stack_block_params(init_params_on_device(cfg, seed=0))
+    # the reference zero-inits head.head; randomize it so the fidelity
+    # check below carries signal
+    params["head"]["head"]["w"] = (
+        0.02 * jax.random.normal(jax.random.PRNGKey(7),
+                                 params["head"]["head"]["w"].shape)
+    ).astype(params["head"]["head"]["w"].dtype)
     jax.block_until_ready(params)
     log(f"on-device init: {time.time()-t0:.1f}s")
 
@@ -143,6 +149,15 @@ def run(frame_num: int):
     t0 = time.time()
     q_time = time_step(step_fn, params, ctx, latents, t, context, context_null, gs)
     log(f"w8a8 step: {q_time*1000:.1f} ms (total {time.time()-t0:.1f}s)")
+
+    # quant fidelity on one step (the BASELINE.md PSNR criterion)
+    from wanq_tpu.utils.metrics import quant_fidelity_report
+
+    fp_out = step_fn(params, None, latents, t, context, context_null, gs)
+    q_out = step_fn(params, ctx, latents, t, context, context_null, gs)
+    rep = quant_fidelity_report(np.asarray(fp_out), np.asarray(q_out))
+    log(f"W8A8 vs FP noise-pred fidelity: PSNR {rep['psnr_db']:.1f} dB, "
+        f"rel_err {rep['rel_err']:.4f}, cosine {rep['cosine']:.5f}")
 
     return fp_time, q_time
 

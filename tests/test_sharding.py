@@ -96,3 +96,18 @@ def test_ulysses_pipeline_generate(tiny):
     np.testing.assert_allclose(
         np.asarray(multi), np.asarray(single), atol=2e-4, rtol=1e-3
     )
+
+
+def test_t5_sharding(tiny):
+    from wanq_tpu.models.t5 import encoder_forward, init_t5_params, tiny_t5_config
+    from wanq_tpu.parallel import shard_t5_params
+
+    tcfg = tiny_t5_config()
+    tparams = init_t5_params(tcfg, seed=0)
+    ref = encoder_forward(tparams, tcfg, jnp.arange(24).reshape(2, 12) % tcfg.vocab_size, None)
+    mesh = make_mesh(1, 8, 1)
+    sharded = shard_t5_params(tparams, mesh)
+    emb = sharded["token_embedding"]
+    assert {s.data.shape for s in emb.addressable_shards} == {(tcfg.vocab_size // 8, tcfg.dim)}
+    got = encoder_forward(sharded, tcfg, jnp.arange(24).reshape(2, 12) % tcfg.vocab_size, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)

@@ -280,7 +280,7 @@ class T5EncoderModel:
 
     def __init__(self, text_len: int, checkpoint_path: Optional[str] = None,
                  tokenizer_path: str = "google/umt5-xxl",
-                 cfg: T5Config = UMT5_XXL, seed: int = 0):
+                 cfg: T5Config = UMT5_XXL, seed: int = 0, mesh=None):
         self.text_len = text_len
         self.cfg = cfg
         if checkpoint_path:
@@ -290,6 +290,11 @@ class T5EncoderModel:
             self.params = convert_t5_state_dict(sd, dtype=cfg.dtype)
         else:
             self.params = init_t5_params(cfg, seed=seed)
+        if mesh is not None:
+            # FSDP-style weight sharding (the reference t5_fsdp flag)
+            from wanq_tpu.parallel import shard_t5_params
+
+            self.params = shard_t5_params(self.params, mesh)
         from wanq_tpu.models.tokenizers import HuggingfaceTokenizer
 
         self.tokenizer = HuggingfaceTokenizer(

@@ -102,3 +102,23 @@ def shard_params(params: Any, mesh: Mesh):
     """Place params onto the mesh per the plan (one-time, at load)."""
     shardings = param_shardings(params, mesh)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def shard_t5_params(params: Any, mesh: Mesh):
+    """T5-encoder weight sharding (the reference applies the same FSDP
+    wrapper to T5, text2video.py:70-77): linear kernels on their output
+    dim, the 256k-row token embedding on its vocab dim."""
+
+    def spec_for(path: Tuple, leaf) -> NamedSharding:
+        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        fs = mesh.shape["fsdp"]
+        if keys and keys[-1] == "token_embedding" and leaf.ndim == 2:
+            if leaf.shape[0] % fs == 0:
+                return NamedSharding(mesh, P("fsdp", None))
+        if keys and keys[-1] == "w" and getattr(leaf, "ndim", 0) == 2:
+            if leaf.shape[1] % fs == 0:
+                return NamedSharding(mesh, P(None, "fsdp"))
+        return NamedSharding(mesh, P())
+
+    shardings = jax.tree_util.tree_map_with_path(spec_for, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
