@@ -113,7 +113,7 @@ def load_contexts(args, cfg) -> Tuple[np.ndarray, np.ndarray]:
         data = np.load(args.context_file)
         return data["context"], data["context_null"]
     if args.ckpt_dir:
-        from wanq_tpu.models.t5 import encode_prompts  # wired when T5 lands
+        from wanq_tpu.models.t5 import encode_prompts
 
         return encode_prompts(args.ckpt_dir, cfg, [args.prompt], [args.neg_prompt])
     rng = np.random.default_rng(args.base_seed)

@@ -87,7 +87,8 @@ def generate(args):
 
         params = shard_params(params, mesh)
 
-    ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations)
+    ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations,
+                   attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg)
     pipe = WanT2V(cfg, params, quant_ctx=ctx,
                   sp_size=args.ulysses_size, mesh=mesh, shardings=plan)
     t0 = time.time()

@@ -311,3 +311,17 @@ class T5EncoderModel:
         context = self._fwd(self.params, ids, mask)
         # zero out padding positions (ref trims to seq_lens, t5.py:512-513)
         return context * mask[:, :, None].astype(context.dtype)
+
+
+def encode_prompts(ckpt_dir: str, wan_cfg, prompts, neg_prompts, mesh=None):
+    """CLI hook: T5-encode positive/negative prompts from a Wan checkpoint
+    dir (ref text2video.py:180-190). Returns two [B, text_len, dim] arrays."""
+    import os
+
+    enc = T5EncoderModel(
+        wan_cfg.text_len,
+        checkpoint_path=os.path.join(ckpt_dir, wan_cfg.t5_checkpoint),
+        tokenizer_path=wan_cfg.t5_tokenizer,
+        mesh=mesh,
+    )
+    return np.asarray(enc(prompts)), np.asarray(enc(neg_prompts))
