@@ -12,7 +12,6 @@ wrapper pads q/k/v to the flash block size internally and slices the output.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 
@@ -31,8 +30,10 @@ _SPLASH_BLOCK_KV_COMPUTE = 1024
 _SPLASH_MIN_SEQ = 4096
 
 
-@functools.lru_cache(maxsize=16)
 def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float):
+    # NOTE: deliberately not cached — make_splash_mha closes over values
+    # created at call time, and reusing a kernel object across jit traces
+    # leaks tracers; construction is cheap (masks are lazy)
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk,
         splash_attention_mask as sm,
