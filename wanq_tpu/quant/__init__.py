@@ -23,3 +23,15 @@ from wanq_tpu.quant.hadamard import (
     rotation_for_dim,
 )
 from wanq_tpu.quant.smooth import channel_mask, clamp_act_absmax
+from wanq_tpu.quant.attn import (
+    AttnQuantCfg,
+    quantize_attn_map_block,
+    quantize_attn_map_row,
+    quantized_attention,
+)
+from wanq_tpu.quant.ptq import (
+    load_quant_state,
+    prepare_quant_state,
+    save_quant_state,
+)
+from wanq_tpu.quant.qlinear import QuantCtx, qlinear
