@@ -56,6 +56,42 @@ def test_w8a8_pallas_matches_xla(rng, m, asym, bias):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
 
 
+def test_pack_unpack_int4_roundtrip(rng):
+    from wanq_tpu.quant.quantizers import pack_int4, unpack_int4
+
+    q = jnp.asarray(rng.integers(-8, 8, (64, 32)).astype(np.int8))
+    packed = pack_int4(q)
+    assert packed.shape == (32, 32)
+    assert packed.nbytes == q.nbytes // 2
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), np.asarray(q))
+
+
+@pytest.mark.parametrize("asym,bias", [(True, True), (False, False)])
+def test_w4a8_packed_matches_w8a8(rng, asym, bias):
+    """Packed-int4 GEMM == int8-container GEMM on the same int4 values
+    (ref W4A8 kernel, csrc/qgemm/w4a8/w4a8_per_channel_gemm_cuda_qserve.cu)."""
+    from wanq_tpu.ops.qgemm import w4a8_linear_pallas, w4a8_linear_xla
+    from wanq_tpu.quant.quantizers import pack_int4
+
+    m, k, n = 160, 256, 128
+    a = jnp.asarray(rng.integers(-80, 80, (m, k)).astype(np.int8))
+    w4 = jnp.asarray(rng.integers(-8, 8, (k, n)).astype(np.int8))
+    s_a = jnp.asarray((0.01 * rng.random(m) + 0.005).astype(np.float32))
+    s_w = jnp.asarray((0.1 * rng.random(n) + 0.1).astype(np.float32))
+    sum_a = jnp.asarray(rng.random(m).astype(np.float32)) if asym else None
+    zp_w = jnp.asarray(rng.integers(-4, 4, n).astype(np.float32)) if asym else None
+    b = jnp.asarray(rng.random(n).astype(np.float32)) if bias else None
+
+    want = np.asarray(w8a8_linear_xla(a, w4, s_a, s_w, sum_a, zp_w, b))
+    packed = pack_int4(w4)
+    got_xla = np.asarray(w4a8_linear_xla(a, packed, s_a, s_w, sum_a, zp_w, b))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-5, atol=1e-3)
+    got_pl = np.asarray(w4a8_linear_pallas(
+        a, packed, s_a, s_w, sum_a, zp_w, b,
+        block_m=128, block_n=128, block_k=256, interpret=True))
+    np.testing.assert_allclose(got_pl, want, rtol=1e-5, atol=1e-3)
+
+
 def test_quant_sum_xla_matches_quantizer_math(rng):
     from wanq_tpu.quant.quantizers import act_dynamic_int_quant
 

@@ -183,7 +183,13 @@ def test_w4a8_hardware_path(tiny, contexts):
         params, linear_layer_names(cfg), qcfg
     )
     st = state["blocks.0.self_attn.q"]
-    w4 = np.asarray(st["w_int8"])
+    # true 4-bit packing: two int4 per byte along K -> half the int8 bytes
+    from wanq_tpu.quant.quantizers import unpack_int4
+
+    packed = st["w_int4"]
+    assert packed.shape[0] == cfg.dim // 2
+    assert packed.nbytes * 2 == cfg.dim * cfg.dim
+    w4 = np.asarray(unpack_int4(packed))
     assert w4.min() >= -8 and w4.max() <= 7  # int4 value range
 
     rngk = jax.random.PRNGKey(5)

@@ -312,9 +312,15 @@ def _self_attention(
 
         q8, s_a, ssum = prequant
         b, s = q8.shape[0], q8.shape[1]
-        q = w8a8_from_prequant(ctx, f"{name}.q", p["q"], q8, s_a, ssum)
-        k = w8a8_from_prequant(ctx, f"{name}.k", p["k"], q8, s_a, ssum)
-        v = w8a8_from_prequant(ctx, f"{name}.v", p["v"], q8, s_a, ssum)
+        # bf16 out: halves the GEMM-output HBM write; consumers (rms_norm,
+        # rope) recompute in f32 internally so only the epilogue rounding
+        # lands (PSNR-verified in bench)
+        q = w8a8_from_prequant(ctx, f"{name}.q", p["q"], q8, s_a, ssum,
+                               out_dtype=jnp.bfloat16)
+        k = w8a8_from_prequant(ctx, f"{name}.k", p["k"], q8, s_a, ssum,
+                               out_dtype=jnp.bfloat16)
+        v = w8a8_from_prequant(ctx, f"{name}.v", p["v"], q8, s_a, ssum,
+                               out_dtype=jnp.bfloat16)
     else:
         b, s, _ = x.shape
         q = qlinear(ctx, f"{name}.q", p["q"], x, dtype)

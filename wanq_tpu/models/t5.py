@@ -89,12 +89,15 @@ def relative_position_bucket(
         rel_buckets = np.zeros_like(rel_pos)
         rel_pos = -np.minimum(rel_pos, 0)
     max_exact = nb // 2
-    with np.errstate(divide="ignore"):
-        rel_large = max_exact + (
-            np.log(rel_pos.astype(np.float64) / max_exact)
-            / math.log(max_dist / max_exact)
-            * (nb - max_exact)
-        ).astype(np.int64)
+    # clamp to >=1 before the log: entries < max_exact take the exact branch
+    # in the where() below, so the clamp never changes a selected value but
+    # keeps log(0) (NaN -> int64 cast warnings) out of the table build
+    safe = np.maximum(rel_pos, 1).astype(np.float64)
+    rel_large = max_exact + (
+        np.log(safe / max_exact)
+        / math.log(max_dist / max_exact)
+        * (nb - max_exact)
+    ).astype(np.int64)
     rel_large = np.minimum(rel_large, nb - 1)
     rel_buckets = rel_buckets + np.where(rel_pos < max_exact, rel_pos, rel_large)
     return rel_buckets

@@ -135,11 +135,12 @@ def quant_sum_pallas(
 
 
 def _ln_mod_quant_kernel(x_ref, shift_ref, scale_ref, q_ref, s_ref, sum_ref, *, eps):
+    b = pl.program_id(0)
     x = x_ref[0].astype(jnp.float32)  # [bn, C]
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
     ln = (x - mu) * jax.lax.rsqrt(var + eps)
-    y = ln * (1.0 + scale_ref[0, :][None, :]) + shift_ref[0, :][None, :]
+    y = ln * (1.0 + scale_ref[b, :][None, :]) + shift_ref[b, :][None, :]
     absmax = jnp.max(jnp.abs(y), axis=-1)
     scale = jnp.maximum(absmax / 127.0, _EPS)
     q = jnp.clip(jnp.round(y / scale[:, None]), -128, 127)
@@ -171,8 +172,10 @@ def ln_modulate_quant_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bn, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            # full [B, C] resident in VMEM; row-indexed by program_id inside
+            # (a (1, C) block would violate the (8, 128) tiling rule)
+            pl.BlockSpec((b, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bn, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),

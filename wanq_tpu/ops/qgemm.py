@@ -197,6 +197,176 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# ---------------------------------------------------------------------------
+# W4A8: 4-bit packed weights (two int4 per int8 byte along K), QServe-style
+# (ref csrc/qgemm/w4a8/w4a8_per_channel_gemm_cuda_qserve.cu, decl
+# gemm_cuda.h:24-30). The packed weight lives in HBM at 0.5x the int8 bytes;
+# the unpack to int8 happens on-chip (in-VMEM in the Pallas kernel, fused
+# into the consumer by XLA otherwise) before the int8 MXU dot.
+# ---------------------------------------------------------------------------
+
+
+def _unpack_int4_rows(packed):
+    """[Kh, N] int8 → [2*Kh, N] int8 in [-8, 7]; row 2i = low nibble."""
+    kh, n = packed.shape
+    lo = (packed << 4) >> 4
+    hi = packed >> 4
+    return jnp.stack([lo, hi], axis=1).reshape(2 * kh, n)
+
+
+def w4a8_linear_xla(
+    a_int8: jax.Array,
+    w_packed: jax.Array,
+    s_a: jax.Array,
+    s_w: jax.Array,
+    sum_a: Optional[jax.Array] = None,
+    zp_w: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """a_int8 [M,K] @ unpack(w_packed [K//2,N]) with the same dequant
+    epilogue as w8a8 (int4 values share the int8 MXU path)."""
+    return w8a8_linear_xla(
+        a_int8, _unpack_int4_rows(w_packed), s_a, s_w, sum_a, zp_w, bias,
+        out_dtype,
+    )
+
+
+def _w4a8_kernel(a_ref, w_ref, sa_ref, sw_ref, suma_ref, zpw_ref, bias_ref,
+                 out_ref, acc_ref, *, k_steps: int, asym: bool, has_bias: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _unpack_int4_rows(w_ref[:])  # in-VMEM unpack prologue
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:],
+        w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == k_steps - 1)
+    def _finish():
+        s_a = sa_ref[0, :]
+        s_w = sw_ref[0, :]
+        out = acc_ref[:].astype(jnp.float32) * (s_a[:, None] * s_w[None, :])
+        if asym:
+            out = out + suma_ref[0, :][:, None] * (zpw_ref[0, :] * s_w)[None, :]
+        if has_bias:
+            out = out + bias_ref[0, :][None, :]
+        out_ref[:] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+)
+def w4a8_linear_pallas(
+    a_int8: jax.Array,
+    w_packed: jax.Array,
+    s_a: jax.Array,
+    s_w: jax.Array,
+    sum_a: Optional[jax.Array] = None,
+    zp_w: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    block_m: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Tiled W4A8 GEMM: packed int4 weight blocks ride HBM→VMEM at half the
+    int8 bytes and unpack in VMEM right before the MXU dot."""
+    m, k = a_int8.shape
+    kh, n = w_packed.shape
+    assert k == 2 * kh, (k, kh)
+    asym = zp_w is not None
+    has_bias = bias is not None
+
+    bm = min(block_m, _round_up(m, 128))
+    bn = _pick_block(n, block_n)
+    bk = _pick_block(k, block_k)
+    assert bk % 256 == 0, f"K tile {bk} must cover whole packed byte rows"
+    m_pad = _round_up(m, bm)
+
+    if m_pad != m:
+        a_int8 = jnp.pad(a_int8, ((0, m_pad - m), (0, 0)))
+        s_a = jnp.pad(s_a, (0, m_pad - m))
+        if sum_a is not None:
+            sum_a = jnp.pad(sum_a, (0, m_pad - m))
+
+    s_a2 = s_a.astype(jnp.float32)[None, :]
+    s_w2 = s_w.astype(jnp.float32)[None, :]
+    sum_a2 = (sum_a.astype(jnp.float32)[None, :] if asym
+              else jnp.zeros((1, m_pad), jnp.float32))
+    zp_w2 = (zp_w.astype(jnp.float32)[None, :] if asym
+             else jnp.zeros((1, n), jnp.float32))
+    bias2 = (bias.astype(jnp.float32)[None, :] if has_bias
+             else jnp.zeros((1, n), jnp.float32))
+
+    grid = (m_pad // bm, n // bn, k // bk)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a8_kernel, k_steps=grid[2], asym=asym, has_bias=has_bias
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j, kk: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j, kk: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=m_pad * k + k * n // 2 + m_pad * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_int8, w_packed, s_a2, s_w2, sum_a2, zp_w2, bias2)
+    return out[:m] if m_pad != m else out
+
+
+def w4a8_linear(
+    a_int8: jax.Array,
+    w_packed: jax.Array,
+    s_a: jax.Array,
+    s_w: jax.Array,
+    sum_a: Optional[jax.Array] = None,
+    zp_w: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Dispatch for packed-int4-weight GEMM (mirrors w8a8_linear)."""
+    import os
+
+    k = a_int8.shape[1]
+    n = w_packed.shape[1]
+    if (
+        os.environ.get("WANQ_PALLAS_QGEMM") == "1"
+        and jax.default_backend() == "tpu"
+        and k % 256 == 0
+        and n % 128 == 0
+    ):
+        return w4a8_linear_pallas(a_int8, w_packed, s_a, s_w, sum_a, zp_w,
+                                  bias).astype(out_dtype)
+    return w4a8_linear_xla(a_int8, w_packed, s_a, s_w, sum_a, zp_w, bias,
+                           out_dtype)
+
+
 def w8a8_linear(
     a_int8: jax.Array,
     w_int8: jax.Array,

@@ -77,6 +77,13 @@ class WanT2V:
 
     def __post_init__(self):
         self._step_fn_cache: Dict[Tuple, Callable] = {}
+        if self.quant_ctx_schedule:
+            threshs = [t for t, _ in self.quant_ctx_schedule]
+            if threshs != sorted(threshs, reverse=True):
+                raise ValueError(
+                    "quant_ctx_schedule thresholds must be strictly "
+                    f"descending (first-match semantics); got {threshs}"
+                )
 
     def _ctx_for_timestep(self, t: float) -> Optional[QuantCtx]:
         if self.quant_ctx_schedule:

@@ -33,6 +33,7 @@ from wanq_tpu.quant.hadamard import (
     rotation_for_dim,
 )
 from wanq_tpu.quant.quantizers import (
+    pack_int4,
     weight_fake_quant,
     weight_int_quant,
     weight_quant_params,
@@ -113,9 +114,14 @@ def prepare_layer_state(
     st["delta_w"] = d
     st["zp_w"] = z
     if wcfg.active_bits in (4, 8) and targets in ("int8", "both"):
-        # 4-bit weights ride the same int8 containers (W4A8, QServe-style)
         w_int8, scale_w, zp_w_int = weight_int_quant(w_work, wcfg)
-        st["w_int8"] = w_int8
+        if wcfg.active_bits == 4 and w_int8.shape[0] % 2 == 0:
+            # true 4-bit storage: two int4 per byte along K — 0.5x the int8
+            # container bytes in HBM (ref packed weights,
+            # csrc/qgemm/w4a8/w4a8_per_channel_gemm_cuda_qserve.cu)
+            st["w_int4"] = pack_int4(w_int8)
+        else:
+            st["w_int8"] = w_int8
         st["scale_w"] = scale_w
         st["zp_w_int"] = zp_w_int
     return st

@@ -160,26 +160,32 @@ def qlinear(
         return y
 
     if ctx.mode == "int8":
-        from wanq_tpu.ops.qgemm import w8a8_linear
-
         assert policy.act is not None and policy.act.sym, (
             "int8 path implements the Wan config: dynamic symmetric per-token "
             "act quant (quant_configs/config.yaml act.sym=True)"
         )
         q, s_a, sum_a = act_dynamic_int_quant(xf.reshape(b * n, c), sym=True)
         bias = params.get("b")
-        y = w8a8_linear(
-            q,
-            st["w_int8"],
-            s_a,
-            st["scale_w"],
-            sum_a,
-            st["zp_w_int"],
+        y = _int_linear(
+            st, q, s_a, sum_a,
             bias.astype(jnp.float32) if bias is not None else None,
+            jnp.float32,
         )
         return y.reshape(b, n, -1)
 
     raise ValueError(f"unknown quant mode {ctx.mode}")
+
+
+def _int_linear(st, q, s_a, sum_a, bias, out_dtype):
+    """Integer GEMM on the exported weight: W8A8 when the state carries
+    ``w_int8``, packed-int4 W4A8 when it carries ``w_int4``."""
+    from wanq_tpu.ops.qgemm import w4a8_linear, w8a8_linear
+
+    if "w_int4" in st:
+        return w4a8_linear(q, st["w_int4"], s_a, st["scale_w"], sum_a,
+                           st["zp_w_int"], bias, out_dtype=out_dtype)
+    return w8a8_linear(q, st["w_int8"], s_a, st["scale_w"], sum_a,
+                       st["zp_w_int"], bias, out_dtype=out_dtype)
 
 
 def int8_fusable(ctx: Optional[QuantCtx], names, allow_mask: bool = False) -> bool:
@@ -199,7 +205,7 @@ def int8_fusable(ctx: Optional[QuantCtx], names, allow_mask: bool = False) -> bo
         if pol.act is None or not pol.act.sym or pol.act.active_bits != 8:
             return False
         st = ctx.state.get(n)
-        if st is None or "w_int8" not in st:
+        if st is None or ("w_int8" not in st and "w_int4" not in st):
             return False
     return True
 
@@ -216,19 +222,15 @@ def w8a8_from_prequant(
     """int8 GEMM from an already-quantized activation (produced by a fused
     LN/GELU+quant op — the reference's QuantParams scratch-buffer pattern,
     nn/base.py:3-26). q8: [B, N, C] int8; s_a/ssum: [B, N]."""
-    from wanq_tpu.ops.qgemm import w8a8_linear
-
     st = ctx.state[name]
     b, n, c = q8.shape
     bias = params.get("b")
-    y = w8a8_linear(
+    y = _int_linear(
+        st,
         q8.reshape(b * n, c),
-        st["w_int8"],
         s_a.reshape(-1),
-        st["scale_w"],
         ssum.reshape(-1),
-        st["zp_w_int"],
         bias.astype(jnp.float32) if bias is not None else None,
-        out_dtype=out_dtype,
+        out_dtype,
     )
     return y.reshape(b, n, -1)

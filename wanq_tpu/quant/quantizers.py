@@ -229,8 +229,8 @@ def weight_int_quant(
     int8 value = clamp(round(w/scale) - zp, -128, 127); matches the reference
     INT8 export (quant_wanx_cuda.py:39-56). Dequant: w = (int + zp) * scale.
     For 4-bit weights (the W4A8 QServe path, csrc/qgemm/w4a8/*.cu) the int4
-    values [-8, 7] are stored in int8 containers — the int8 MXU consumes them
-    directly; bit-packing is a memory optimization left to the weight loader.
+    values land in [-8, 7]; :func:`pack_int4` stores them two-per-byte for
+    the packed HBM layout the W4A8 kernels consume.
     """
     assert cfg.active_bits in (4, 8), "int export supports 4/8-bit weights"
     d, z = weight_quant_params(w_in_out, cfg)
@@ -238,6 +238,31 @@ def weight_int_quant(
     lo, hi = (-8, 7) if cfg.active_bits == 4 else (-128, 127)
     q = jnp.clip(q, lo, hi).astype(jnp.int8)
     return q, d, z
+
+
+def pack_int4(q: jax.Array) -> jax.Array:
+    """Pack int4 values (int8 containers in [-8, 7]) two-per-byte along the
+    contraction axis: [K, N] int8 → [K//2, N] int8.
+
+    Row 2i rides the low nibble, row 2i+1 the high nibble — the HBM layout
+    of the reference's 4-bit packed weights (csrc/qgemm/w4a8/
+    w4a8_per_channel_gemm_cuda_qserve.cu; host decl gemm_cuda.h:24-30).
+    """
+    k, _ = q.shape
+    assert k % 2 == 0, f"K={k} must be even to pack int4 pairs"
+    lo = q[0::2].astype(jnp.uint8) & 0xF
+    hi = q[1::2].astype(jnp.uint8) & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[K//2, N] packed int8 → [K, N] int8 in [-8, 7] (sign-extended via
+    arithmetic shifts; the in-VMEM unpack of the W4A8 kernel prologue)."""
+    kh, n = packed.shape
+    lo = (packed << 4) >> 4  # arithmetic shifts on int8 sign-extend
+    hi = packed >> 4
+    out = jnp.stack([lo, hi], axis=1)  # [K//2, 2, N]
+    return out.reshape(2 * kh, n)
 
 
 def act_dynamic_int_quant(

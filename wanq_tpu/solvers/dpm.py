@@ -36,7 +36,9 @@ def _alpha_sigma(sigma: float) -> Tuple[float, float]:
 
 
 def _lambda(sigma: float) -> float:
+    # clamp both ends: sigma=1 (alpha=0) and sigma=0 otherwise hit log(0)
     alpha, s = _alpha_sigma(sigma)
+    alpha = max(alpha, 1e-12)
     s = max(s, 1e-12)
     return float(np.log(alpha) - np.log(s))
 

@@ -48,9 +48,18 @@ def cosine_similarity(a, b) -> float:
 
 def quant_fidelity_report(fp, quant) -> Dict[str, float]:
     """The per-run FP↔quant comparison the reference computes offline with
-    its eval scripts."""
-    return {
+    its eval scripts. Non-finite outputs are surfaced explicitly (the
+    TPU-side analog of the reference's in-path NaN asserts,
+    base_quantizer.py:113)."""
+    fp = np.asarray(fp)
+    quant = np.asarray(quant)
+    rep = {
         "psnr_db": latent_psnr(fp, quant),
         "rel_err": relative_error(fp, quant),
         "cosine": cosine_similarity(fp, quant),
     }
+    nonfinite = int(np.size(quant) - np.isfinite(quant).sum())
+    if nonfinite or not np.all(np.isfinite(fp)):
+        rep["nonfinite_quant"] = float(nonfinite)
+        rep["nonfinite_fp"] = float(np.size(fp) - np.isfinite(fp).sum())
+    return rep
