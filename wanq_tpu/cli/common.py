@@ -3,8 +3,8 @@ argparse + validation boilerplate, fp_generate.py:44-199).
 
 The reference's hard-coded developer paths (fp_generate.py:315,:490) are
 replaced with explicit flags. torchrun/NCCL init collapses to mesh flags:
---ulysses_size → 'sp' axis, --dit_fsdp → 'fsdp' axis, --ring_size accepted
-for CLI parity (ring attention not needed on a single pod slice; must be 1).
+--ulysses_size → 'sp' axis, --ring_size → 'ring' axis (hybrid Ulysses×ring
+context parallelism, ref fp_generate.py:248-259), --dit_fsdp → 'fsdp' axis.
 """
 
 from __future__ import annotations
@@ -70,10 +70,7 @@ def validate_args(args):
         f"size {args.size} unsupported for {args.task}: "
         f"{SUPPORTED_SIZES[args.task]}"
     )
-    assert args.ring_size == 1, (
-        "ring attention is not required on a single TPU slice; "
-        "use --ulysses_size for sequence parallelism"
-    )
+    assert args.ring_size >= 1, "--ring_size must be >= 1"
     if args.ckpt_dir is None and not args.random_init and args.context_file is None:
         raise SystemExit(
             "need --ckpt_dir, or --random_init (+ optional --context_file) "
@@ -97,13 +94,22 @@ def build_mesh_and_plan(args, n_params_hint: int = 0):
     import jax
 
     sp = args.ulysses_size
-    fsdp = args.fsdp_size if args.fsdp_size > 1 else (1 if not args.dit_fsdp else
-                                                      max(1, len(jax.devices()) // (sp * args.dp_size)))
-    total = args.dp_size * fsdp * sp
+    ring = args.ring_size
+    fsdp = args.fsdp_size if args.fsdp_size > 1 else (
+        1 if not args.dit_fsdp
+        else max(1, len(jax.devices()) // (sp * ring * args.dp_size))
+    )
+    total = args.dp_size * fsdp * sp * ring
     if total == 1:
         return None, None
-    mesh = make_mesh(args.dp_size, fsdp, sp)
+    mesh = make_mesh(args.dp_size, fsdp, sp, ring)
     return mesh, ShardingPlan(mesh)
+
+
+def seq_parallel_size(args) -> int:
+    """Degree seq_len must round up to: ulysses × ring
+    (ref text2video.py:170-172 rounds to sp_size = world // ring … × …)."""
+    return args.ulysses_size * args.ring_size
 
 
 def load_contexts(args, cfg) -> Tuple[np.ndarray, np.ndarray]:

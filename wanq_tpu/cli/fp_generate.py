@@ -49,7 +49,7 @@ def generate(args):
         params = shard_params(params, mesh)
         logging.info("mesh: %s", dict(mesh.shape))
 
-    pipe = WanT2V(cfg, params, sp_size=args.ulysses_size, mesh=mesh, shardings=plan)
+    pipe = WanT2V(cfg, params, sp_size=args.ulysses_size * args.ring_size, mesh=mesh, shardings=plan)
     t0 = time.time()
     latents = pipe.generate(
         jnp.asarray(context),

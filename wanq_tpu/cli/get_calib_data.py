@@ -63,7 +63,7 @@ def generate(args):
 
     pipe = WanT2V(
         cfg, params, quant_ctx=QuantCtx(mode="calib"),
-        sp_size=args.ulysses_size, mesh=mesh, shardings=plan,
+        sp_size=args.ulysses_size * args.ring_size, mesh=mesh, shardings=plan,
     )
     t0 = time.time()
     stats = pipe.collect_calibration(

@@ -90,7 +90,7 @@ def generate(args):
     ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations,
                    attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg)
     pipe = WanT2V(cfg, params, quant_ctx=ctx,
-                  sp_size=args.ulysses_size, mesh=mesh, shardings=plan)
+                  sp_size=args.ulysses_size * args.ring_size, mesh=mesh, shardings=plan)
     t0 = time.time()
     latents = pipe.generate(
         jnp.asarray(context),

@@ -345,7 +345,14 @@ def _self_attention(
             )
     if plan is not None:
         q, k, v = plan.heads(q), plan.heads(k), plan.heads(v)
-    if ctx is not None and ctx.attn is not None and ctx.mode == "int8":
+    if plan is not None and plan.ring_size > 1:
+        # hybrid Ulysses×ring: heads sharded over 'sp', seq over 'ring';
+        # KV shards rotate via ppermute (ref xFuserLongContextAttention,
+        # xdit_context_parallel.py:179-184)
+        y = plan.ring_attention(
+            q.astype(dtype), k.astype(dtype), v, k_valid_len=valid_len
+        )
+    elif ctx is not None and ctx.attn is not None and ctx.mode == "int8":
         # hardware path: int8 flash kernel (q/k per-row, v per-channel,
         # 127-level attn-map quant — ops/attn_int8.py)
         from wanq_tpu.ops.attn_int8 import attention_int8

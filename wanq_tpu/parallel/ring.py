@@ -7,8 +7,13 @@ stay put; KV shards rotate around the ring with ``ppermute`` while each
 device folds partial attention into an online-softmax accumulator —
 KV communication overlaps the next partial-attention compute step.
 
-Use when the sequence no longer fits a single slice's Ulysses layout
-(cross-slice scaling); inside one slice Ulysses alone is cheaper."""
+Composes with Ulysses: on a Mesh(('dp','fsdp','sp','ring')) the DiT
+shards tokens over ('sp','ring'); inside attention q/k/v reshard to
+heads-over-'sp' × seq-over-'ring' (the Ulysses all-to-all), and this
+kernel handles the remaining seq split over 'ring'. Use when the sequence
+no longer fits a single slice's Ulysses layout (cross-slice scaling);
+inside one slice Ulysses alone is cheaper.
+"""
 
 from __future__ import annotations
 
@@ -43,14 +48,18 @@ def ring_attention(
     k: jax.Array,
     v: jax.Array,
     mesh: Mesh,
-    axis: str = "sp",
+    axis: str = "ring",
     scale: Optional[float] = None,
     k_valid_len: Optional[int] = None,
+    qkv_spec: Optional[P] = None,
 ) -> jax.Array:
     """q,k,v: [B, S, H, D] (global views, S sharded over ``axis``).
 
-    Returns [B, S, H, D] attention output sharded the same way. S must be
-    divisible by the axis size."""
+    ``qkv_spec`` gives the full layout on a multi-axis mesh (e.g.
+    P('dp', 'ring', 'sp', None) for hybrid Ulysses×ring — heads over 'sp',
+    seq over 'ring'); defaults to seq-over-``axis`` only. Returns
+    [B, S, H, D] sharded the same way. S must be divisible by the axis size.
+    """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     n = mesh.shape[axis]
@@ -61,11 +70,12 @@ def ring_attention(
 
     def local_fn(q_loc, k_loc, v_loc):
         idx = jax.lax.axis_index(axis)
-        # mark the accumulators as axis-varying up front (their updates
-        # depend on axis_index; shard_map's carry typing requires it)
-        m0 = jax.lax.pvary(jnp.full((b, h, s_loc, 1), _NEG_INF, jnp.float32), (axis,))
-        l0 = jax.lax.pvary(jnp.zeros((b, h, s_loc, 1), jnp.float32), (axis,))
-        a0 = jax.lax.pvary(jnp.zeros((b, h, s_loc, d), jnp.float32), (axis,))
+        # accumulators derive from q_loc so their device-variance typing
+        # (dp/sp/ring axes) matches the carry folds below
+        qt = jnp.swapaxes(q_loc, 1, 2).astype(jnp.float32)  # [b, h, sq, d]
+        m0 = jnp.full_like(qt[..., :1], _NEG_INF)
+        l0 = jnp.zeros_like(qt[..., :1])
+        a0 = jnp.zeros_like(qt)
 
         def body(i, carry):
             k_cur, v_cur, m, l, acc = carry
@@ -87,7 +97,7 @@ def ring_attention(
         out = acc / jnp.maximum(l, 1e-20)
         return jnp.transpose(out, (0, 2, 1, 3)).astype(q_loc.dtype)
 
-    spec = P(None, axis, None, None)
+    spec = qkv_spec if qkv_spec is not None else P(None, axis, None, None)
     fn = jax.shard_map(
         local_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
     )

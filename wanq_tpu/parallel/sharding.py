@@ -17,9 +17,11 @@ collectives over ICI:
 * data par    → batch axis over 'dp' (the CFG cond/uncond pair can ride it)
 * RoPE        → applied on the *global* (logically unsharded) array, so the
                 reference's per-rank table offsets (:52-57) vanish
-* ring CP     → not needed at this scale; the flash kernel streams KV
-                blocks from HBM, and cross-slice ring attention can be
-                added as a shard_map/ppermute variant later
+* ring CP     → 'ring' mesh axis; tokens shard over ('sp','ring') and
+                attention keeps seq sharded over 'ring' while heads shard
+                over 'sp' — the xfuser hybrid Ulysses×Ring layout
+                (xdit_context_parallel.py:179-184); the KV rotation runs in
+                parallel.ring.ring_attention (shard_map + ppermute)
 """
 
 from __future__ import annotations
@@ -31,15 +33,17 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("dp", "fsdp", "sp")
+AXES = ("dp", "fsdp", "sp", "ring")
 
 
-def make_mesh(dp: int = 1, fsdp: int = 1, sp: int = 1, devices=None) -> Mesh:
-    n = dp * fsdp * sp
+def make_mesh(
+    dp: int = 1, fsdp: int = 1, sp: int = 1, ring: int = 1, devices=None
+) -> Mesh:
+    n = dp * fsdp * sp * ring
     if devices is None:
         devices = jax.devices()
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    dev = np.asarray(devices[:n]).reshape(dp, fsdp, sp)
+    dev = np.asarray(devices[:n]).reshape(dp, fsdp, sp, ring)
     return Mesh(dev, AXES)
 
 
@@ -50,19 +54,41 @@ class ShardingPlan:
 
     mesh: Mesh
 
+    @property
+    def ring_size(self) -> int:
+        return int(self.mesh.shape.get("ring", 1))
+
+    @property
+    def sp_size(self) -> int:
+        """Total sequence-parallel degree (what seq_len must round up to)."""
+        return int(self.mesh.shape.get("sp", 1)) * self.ring_size
+
     def _c(self, x, *spec):
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, P(*spec))
         )
 
     def tokens(self, x):
-        """[B, S, C] activations: batch over dp, tokens over sp."""
-        return self._c(x, "dp", "sp", None)
+        """[B, S, C] activations: batch over dp, tokens over sp×ring."""
+        return self._c(x, "dp", ("sp", "ring"), None)
 
     def heads(self, x):
-        """[B, S, H, D] attention operands: full seq, heads over sp
-        (the Ulysses all-to-all happens at this reshard)."""
-        return self._c(x, "dp", None, "sp", None)
+        """[B, S, H, D] attention operands: heads over sp, seq over ring
+        (the Ulysses all-to-all happens at this reshard; with ring=1 the
+        seq is fully gathered, the pure-Ulysses layout)."""
+        return self._c(x, "dp", "ring", "sp", None)
+
+    def heads_spec(self) -> P:
+        return P("dp", "ring", "sp", None)
+
+    def ring_attention(self, q, k, v, k_valid_len=None):
+        """Hybrid Ulysses×ring attention on head-sharded operands."""
+        from wanq_tpu.parallel.ring import ring_attention
+
+        return ring_attention(
+            q, k, v, self.mesh, axis="ring", k_valid_len=k_valid_len,
+            qkv_spec=self.heads_spec(),
+        )
 
     def latent(self, x):
         """[B, C, F, H, W] latents: batch over dp."""
