@@ -1,0 +1,135 @@
+"""14B-scale validation on the virtual 8-device mesh (VERDICT round-1
+missing #5/#6): AOT compile of the real 14B dims (40 layers, dim 5120,
+ffn 13824, 40 heads) with abstract weights + sharded W8A8 state, the
+streaming sharded checkpoint loader, and sharded PTQ."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from wanq_tpu.configs import WAN_CONFIGS, tiny_config
+from wanq_tpu.models.dit import init_params, linear_layer_names
+from wanq_tpu.parallel import make_mesh
+from wanq_tpu.parallel.aot import aot_validate
+from wanq_tpu.quant import QuantConfig
+from wanq_tpu.quant.ptq import prepare_quant_state
+
+W8A8 = {
+    "remain_fp_regex": r"text_embedding|time_embedding|time_projection|head\.head",
+    "weight": {"n_bits": 8, "sym": False},
+    "act": {"n_bits": 8, "sym": True},
+}
+
+
+def test_14b_fp_step_aot_compiles():
+    cfg = WAN_CONFIGS["t2v-14B"]
+    assert (cfg.dim, cfg.ffn_dim, cfg.num_heads, cfg.num_layers) == (
+        5120, 13824, 40, 40,
+    )
+    mesh = make_mesh(1, 2, 2, 2)
+    msg = aot_validate(cfg, mesh)
+    assert "aot ok" in msg
+
+
+@pytest.mark.slow
+def test_14b_w8a8_step_aot_compiles():
+    """The BASELINE.md tracked config #5 shape: 14B W8A8 over
+    fsdp x ulysses (x ring) — full SPMD partitioning at real dims."""
+    cfg = WAN_CONFIGS["t2v-14B"]
+    mesh = make_mesh(1, 2, 2, 2)
+    qcfg = QuantConfig.from_dict(W8A8)
+    msg = aot_validate(cfg, mesh, quant=qcfg)
+    assert "quant=w8a8" in msg
+
+
+def test_sharded_ptq_state_lands_on_mesh():
+    """prepare_quant_state(mesh=...) returns FSDP-sharded int8 weights and
+    runs the rotation on-device (no host f64 round trip)."""
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    names = linear_layer_names(cfg)
+    qcfg = QuantConfig.from_dict(W8A8)
+    mesh = make_mesh(1, 8, 1, 1)
+    _, state, _ = prepare_quant_state(
+        params, names, qcfg, targets="int8", mesh=mesh
+    )
+    st = state["blocks.0.ffn.0"]
+    w = st["w_int8"]
+    shard_shapes = {s.data.shape for s in w.addressable_shards}
+    assert shard_shapes == {(cfg.dim, cfg.ffn_dim // 8)}
+    assert {s.data.shape for s in st["scale_w"].addressable_shards} == {
+        (cfg.ffn_dim // 8,)
+    }
+
+
+def test_sharded_ptq_device_rotation_matches_host():
+    """viditq on-device f32 FWHT rotation vs the host f64 path: same quant
+    state to f32 tolerance (the documented f64→f32 deviation)."""
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    names = [n for n in linear_layer_names(cfg) if "ffn" in n]
+    qcfg = QuantConfig.from_dict({
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+        "viditq": {"alpha": 0.5665, "layer_name_regex": "ffn"},
+    })
+    calib = {n: np.abs(np.random.default_rng(1).normal(
+        size=(4, cfg.dim if n.endswith(".0") else cfg.ffn_dim))).astype(np.float32)
+        for n in names}
+    _, st_host, _ = prepare_quant_state(params, names, qcfg, calib=calib)
+    mesh = make_mesh(1, 2, 1, 1)
+    _, st_dev, _ = prepare_quant_state(
+        params, names, qcfg, calib=calib, mesh=mesh
+    )
+    for n in names:
+        np.testing.assert_allclose(
+            np.asarray(st_dev[n]["delta_w"]), np.asarray(st_host[n]["delta_w"]),
+            rtol=2e-3, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_dev[n]["w_q"]), np.asarray(st_host[n]["w_q"]),
+            rtol=2e-2, atol=2e-2,
+        )
+
+
+def test_streaming_sharded_checkpoint_load(tmp_path):
+    """Torch-layout safetensors -> streamed, FSDP-sharded pytree; parity
+    with the in-memory converter (the 14B-without-OOM loader path)."""
+    pytest.importorskip("safetensors")
+    from safetensors.numpy import save_file
+
+    from wanq_tpu.models.params import convert_state_dict, load_wan_checkpoint
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(0)
+    sd = {
+        "patch_embedding.weight": rng.normal(
+            size=(cfg.dim, cfg.in_dim, *cfg.patch_size)).astype(np.float32),
+        "patch_embedding.bias": rng.normal(size=(cfg.dim,)).astype(np.float32),
+        "blocks.0.self_attn.q.weight": rng.normal(
+            size=(cfg.dim, cfg.dim)).astype(np.float32),
+        "blocks.0.self_attn.q.bias": rng.normal(size=(cfg.dim,)).astype(np.float32),
+        "blocks.0.modulation": rng.normal(size=(1, 6, cfg.dim)).astype(np.float32),
+    }
+    save_file(sd, str(tmp_path / "diffusion_pytorch_model.safetensors"))
+
+    mesh = make_mesh(1, 8, 1, 1)
+    streamed = load_wan_checkpoint(str(tmp_path), dtype=jnp.float32, mesh=mesh)
+    inmem = convert_state_dict(sd, dtype=jnp.float32)
+
+    w = streamed["blocks"][0]["self_attn"]["q"]["w"]
+    assert {s.data.shape for s in w.addressable_shards} == {
+        (cfg.dim, cfg.dim // 8)
+    }
+    np.testing.assert_allclose(
+        np.asarray(w), np.asarray(inmem["blocks"][0]["self_attn"]["q"]["w"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(streamed["patch_embedding"]["w"]),
+        np.asarray(inmem["patch_embedding"]["w"]),
+    )

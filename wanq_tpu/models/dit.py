@@ -181,11 +181,9 @@ def init_params(cfg: WanConfig, key: jax.Array) -> Params:
     return params
 
 
-def init_params_on_device(cfg: WanConfig, seed: int = 0) -> Params:
-    """Random init generated *on device* by a single jitted program — no
-    host→device bulk transfer (the axon-relayed TPU moves ~32 MB/s, so
-    shipping 1.3B/14B random params from host is minutes of dead time).
-    Distributions mirror init_params."""
+def make_param_generator(cfg: WanConfig):
+    """Pure param-generator fn (key → params); the single source for
+    on-device init, abstract (eval_shape) params, and sharded-out init."""
 
     def gen(key):
         d = cfg.dim
@@ -233,7 +231,22 @@ def init_params_on_device(cfg: WanConfig, seed: int = 0) -> Params:
             })
         return params
 
-    return jax.jit(gen)(jax.random.PRNGKey(seed))
+    return gen
+
+
+def init_params_on_device(cfg: WanConfig, seed: int = 0) -> Params:
+    """Random init generated *on device* by a single jitted program — no
+    host→device bulk transfer (the axon-relayed TPU moves ~32 MB/s, so
+    shipping 1.3B/14B random params from host is minutes of dead time).
+    Distributions mirror init_params."""
+    return jax.jit(make_param_generator(cfg))(jax.random.PRNGKey(seed))
+
+
+def abstract_params(cfg: WanConfig) -> Params:
+    """ShapeDtypeStruct pytree of the model params — zero allocation; the
+    input to AOT compile-validation of large configs (14B) on meshes that
+    could not hold the real weights."""
+    return jax.eval_shape(make_param_generator(cfg), jax.random.PRNGKey(0))
 
 
 def linear_layer_names(cfg: WanConfig) -> List[str]:

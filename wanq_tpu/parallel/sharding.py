@@ -104,6 +104,19 @@ def _linear_spec(path_leaf: str) -> P:
     return P(None, "fsdp")
 
 
+def leaf_sharding(mesh: Mesh, leaf_name: str, ndim: int, shape) -> NamedSharding:
+    """FSDP storage sharding for one DiT param leaf: linear kernels split
+    on their output dim, matching biases on theirs, everything else
+    replicated. Shared by param_shardings (whole-pytree) and the streaming
+    checkpoint loader (per-tensor placement without a host-resident tree)."""
+    fs = mesh.shape["fsdp"]
+    if leaf_name == "w" and ndim == 2 and shape[1] % fs == 0:
+        return NamedSharding(mesh, P(None, "fsdp"))
+    if leaf_name == "b" and ndim == 1 and shape[0] % fs == 0:
+        return NamedSharding(mesh, P("fsdp"))
+    return NamedSharding(mesh, P())
+
+
 def param_shardings(params: Any, mesh: Mesh):
     """NamedSharding pytree for the DiT params: linear kernels sharded on
     their last (output) dim over 'fsdp', everything else replicated —
@@ -112,14 +125,9 @@ def param_shardings(params: Any, mesh: Mesh):
 
     def spec_for(path: Tuple, leaf) -> NamedSharding:
         keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
-        if keys and keys[-1] == "w" and getattr(leaf, "ndim", 0) == 2:
-            # shard output dim if divisible
-            if leaf.shape[1] % mesh.shape["fsdp"] == 0:
-                return NamedSharding(mesh, P(None, "fsdp"))
-        if keys and keys[-1] == "b" and getattr(leaf, "ndim", 0) == 1:
-            if leaf.shape[0] % mesh.shape["fsdp"] == 0:
-                return NamedSharding(mesh, P("fsdp"))
-        return NamedSharding(mesh, P())
+        name = keys[-1] if keys else ""
+        return leaf_sharding(mesh, name, getattr(leaf, "ndim", 0),
+                             getattr(leaf, "shape", ()))
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
