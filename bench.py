@@ -6,8 +6,12 @@ bf16 full-precision step measured in the same run (the reference's own
 kernel bench pattern: correctness harness elsewhere, FP16-vs-int8 timing
 here, kernels/bench/bench_gemm.py:34-95).
 
-Quant config: full W8A8 on every transformer-block linear (self/cross
-attn q/k/v/o + ffn), embeddings/head FP — the ViDiT-Q W8A8 setting.
+Quant config (FULL_W8A8 below — named for the workflow, scoped for speed):
+W8A8 on the fused-producer sites — self-attn q/k/v (one shared LN+quant
+pass) and both ffn linears; self_attn.o, cross-attn, embeddings and head
+stay FP. This mirrors the reference's shipped Wan config, which also
+keeps o/cross FP (quant_configs/config.yaml:4-8); thin 1536^2 GEMMs lose
+more to standalone act-quant passes than int8 buys (BENCH_NOTES.md).
 Shapes: 480*832, frame_num auto-reduced to fit the chip's HBM.
 
 Timing methodology: latents are chained through the step function
@@ -150,14 +154,25 @@ def run(frame_num: int):
     q_time = time_step(step_fn, params, ctx, latents, t, context, context_null, gs)
     log(f"w8a8 step: {q_time*1000:.1f} ms (total {time.time()-t0:.1f}s)")
 
-    # quant fidelity on one step (the BASELINE.md PSNR criterion)
-    from wanq_tpu.utils.metrics import quant_fidelity_report
+    # quant fidelity on a seeded set of steps: PSNR/rel-err/cosine plus the
+    # FPFVD-style FVD between the FP and W8A8 noise-pred sets
+    # (ref eval/video/readme.md:9-16; random-feature FVD — see utils/fvd.py)
+    from wanq_tpu.utils.fvd import fpfvd_report, latents_as_videos
 
-    fp_out = step_fn(params, None, latents, t, context, context_null, gs)
-    q_out = step_fn(params, ctx, latents, t, context, context_null, gs)
-    rep = quant_fidelity_report(np.asarray(fp_out), np.asarray(q_out))
-    log(f"W8A8 vs FP noise-pred fidelity: PSNR {rep['psnr_db']:.1f} dB, "
-        f"rel_err {rep['rel_err']:.4f}, cosine {rep['cosine']:.5f}")
+    fp_outs, q_outs = [], []
+    for s in range(4):
+        lat_s = jax.random.normal(jax.random.PRNGKey(10 + s), latents.shape,
+                                  jnp.float32)
+        fp_outs.append(np.asarray(
+            step_fn(params, None, lat_s, t, context, context_null, gs)))
+        q_outs.append(np.asarray(
+            step_fn(params, ctx, lat_s, t, context, context_null, gs)))
+    fp_set = np.concatenate(fp_outs, axis=0)
+    q_set = np.concatenate(q_outs, axis=0)
+    rep = fpfvd_report(latents_as_videos(fp_set), latents_as_videos(q_set))
+    log(f"W8A8 vs FP noise-pred fidelity (4 seeds): PSNR {rep['psnr_db']:.1f} dB, "
+        f"rel_err {rep['rel_err']:.4f}, cosine {rep['cosine']:.5f}, "
+        f"FVD(rand-feat) {rep['fvd_random_feat']:.2e}")
 
     return fp_time, q_time
 

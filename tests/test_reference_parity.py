@@ -110,6 +110,41 @@ def test_dynamic_act_quantizer_parity(ref_quant, rng, sym):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("sym", [True, False])
+def test_static_act_quantizer_running_minmax_parity(ref_quant, rng, sym):
+    """merge_minmax + params_from_minmax vs the reference StaticQuantizer's
+    running accumulation over two calibration batches
+    (base_quantizer.py:74-87) — the static-A8 math (VERDICT missing #7)."""
+    from wanq_tpu.quant.quantizers import (
+        QuantizerCfg, merge_minmax, params_from_minmax,
+    )
+
+    x1 = (rng.normal(size=(16, 64)) * 2).astype(np.float32)
+    x2 = (rng.normal(size=(16, 64)) * 5).astype(np.float32)
+    q = ref_quant.bq.StaticQuantizer({"n_bits": 8, "sym": sym})
+    with torch.no_grad():
+        if sym:
+            # reimplement the two-batch sym accumulation (the reference's
+            # update path hard-codes .to('cuda'))
+            absmax = torch.maximum(
+                torch.tensor(x1).abs().max(dim=1)[0],
+                torch.tensor(x2).abs().max(dim=1)[0],
+            )
+            delta_ref = (absmax / q.n_levels).unsqueeze(-1).numpy()
+            zp_ref = np.zeros_like(delta_ref)
+        else:
+            q.init_quant_params(torch.tensor(x1))
+            q.init_quant_params(torch.tensor(x2))
+            delta_ref = q.delta.numpy()
+            zp_ref = q.zero_point.numpy()
+
+    acc = merge_minmax(None, jnp.asarray(x1))
+    acc = merge_minmax(acc, jnp.asarray(x2))
+    d, z = params_from_minmax(acc[0], acc[1], QuantizerCfg(8, sym))
+    np.testing.assert_allclose(np.asarray(d), delta_ref, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(z), zp_ref, rtol=1e-6, atol=1e-8)
+
+
 def test_quantized_linear_forward_parity(ref_quant, rng):
     """Full QuantizedLinear forward vs our sim qlinear on identical
     weights/inputs (the Wan W8 asym / A8 sym config)."""

@@ -36,6 +36,11 @@ def parse_args(argv=None):
     p.add_argument("--quant_config", type=str, default=None,
                    help="quant YAML; its calib_data.save_path is the output")
     p.add_argument("--calib_save_path", type=str, default="calib_data.npz")
+    p.add_argument("--collect_minmax", action="store_true",
+                   help="also collect per-channel act min/max (static A8)")
+    p.add_argument("--attn_map_pool", type=int, default=0,
+                   help="pool factor for post-softmax attn-map capture "
+                        "(feeds generate_reorder_tables; 0 = off)")
     return p.parse_args(argv)
 
 
@@ -62,7 +67,12 @@ def generate(args):
         params = shard_params(params, mesh)
 
     pipe = WanT2V(
-        cfg, params, quant_ctx=QuantCtx(mode="calib"),
+        cfg, params,
+        quant_ctx=QuantCtx(
+            mode="calib",
+            collect_minmax=args.collect_minmax,
+            attn_map_pool=args.attn_map_pool,
+        ),
         sp_size=args.ulysses_size * args.ring_size, mesh=mesh, shardings=plan,
     )
     t0 = time.time()

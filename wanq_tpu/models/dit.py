@@ -356,6 +356,14 @@ def _self_attention(
             ctx.collect[f"{name}.attn_{tag}"] = jnp.max(
                 jnp.abs(tensor.astype(jnp.float32)), axis=(0, 1)
             )
+        if ctx.attn_map_pool:
+            # pooled post-softmax map (ref 'attn' hook type with max_pool2d
+            # downsample) — feeds generate_reorder_tables
+            from wanq_tpu.quant.attn import pooled_attn_map
+
+            ctx.collect[f"{name}.attn_map"] = pooled_attn_map(
+                q, k, ctx.attn_map_pool, k_valid_len=valid_len
+            )
     if plan is not None:
         q, k, v = plan.heads(q), plan.heads(k), plan.heads(v)
     if plan is not None and plan.ring_size > 1:
@@ -374,7 +382,10 @@ def _self_attention(
     elif ctx is not None and ctx.attn is not None and ctx.mode == "sim":
         from wanq_tpu.quant.attn import quantized_attention
 
-        y = quantized_attention(q, k, v, ctx.attn, k_valid_len=valid_len)
+        y = quantized_attention(
+            q, k, v, ctx.attn, k_valid_len=valid_len,
+            perm=ctx.attn_perms.get(name),
+        )
     else:
         y = attention(q, k, v, k_valid_len=valid_len)
     y = y.reshape(b, s, n * hd)

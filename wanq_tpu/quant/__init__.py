@@ -12,6 +12,8 @@ from wanq_tpu.quant.quantizers import (
     weight_int_quant,
     weight_quant_params,
     act_dynamic_int_quant,
+    pack_int4,
+    unpack_int4,
 )
 from wanq_tpu.quant.config import FP_POLICY, LayerPolicy, QuantConfig
 from wanq_tpu.quant.hadamard import (
@@ -25,6 +27,8 @@ from wanq_tpu.quant.hadamard import (
 from wanq_tpu.quant.smooth import channel_mask, clamp_act_absmax
 from wanq_tpu.quant.attn import (
     AttnQuantCfg,
+    generate_reorder_tables,
+    pooled_attn_map,
     quantize_attn_map_block,
     quantize_attn_map_row,
     quantized_attention,
@@ -33,5 +37,6 @@ from wanq_tpu.quant.ptq import (
     load_quant_state,
     prepare_quant_state,
     save_quant_state,
+    shard_quant_state,
 )
 from wanq_tpu.quant.qlinear import QuantCtx, qlinear

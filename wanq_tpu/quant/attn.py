@@ -146,6 +146,11 @@ def quantize_attn_map_block(
     nb = n_img // block_size
 
     if perm is not None:
+        assert perm.shape == (h, n_img), (
+            f"reorder table shape {perm.shape} != (heads, image tokens) "
+            f"({h}, {n_img}) — tables are geometry-specific; regenerate for "
+            "this latent size"
+        )
         img = jnp.take_along_axis(img, perm[None, :, :, None], axis=2)
         img = jnp.take_along_axis(img, perm[None, :, None, :], axis=3)
 
@@ -175,6 +180,92 @@ def quantize_attn_map_block(
         img_q = jnp.take_along_axis(img_q, inv[None, :, None, :], axis=3)
 
     return attn.at[:, :, nt:, nt:].set(img_q)
+
+
+def pooled_attn_map(
+    q: jax.Array,
+    k: jax.Array,
+    pool: int,
+    scale: Optional[float] = None,
+    k_valid_len: Optional[int] = None,
+    chunk: int = 1024,
+) -> jax.Array:
+    """Max-pooled post-softmax attention map for calibration.
+
+    q, k: [B, S, N, D] (post-rope). Returns [N, S//pool, S//pool] — the max
+    over batch of the 2D max-pooled softmax map (ref SaveActivationHook
+    'attn' type with max_pool2d downsample, get_calib_data_wanx.py:227-238).
+    Computed q-chunk at a time so the full S×S map never materializes.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, s, n, d = q.shape
+    assert s % pool == 0, (s, pool)
+    chunk = min(chunk, s)
+    while s % chunk:
+        chunk //= 2
+    chunk = max(chunk, pool)
+    assert chunk % pool == 0, (chunk, pool)
+    qh = jnp.swapaxes(q, 1, 2).astype(jnp.float32)  # [B, N, S, D]
+    kh = jnp.swapaxes(k, 1, 2).astype(jnp.float32)
+    kv_mask = None
+    if k_valid_len is not None and k_valid_len < s:
+        kv_mask = jnp.arange(s) < k_valid_len
+
+    def one_chunk(q_chunk):  # [B, N, chunk, D]
+        scores = jnp.einsum("bnqd,bnkd->bnqk", q_chunk * scale, kh)
+        if kv_mask is not None:
+            scores = jnp.where(kv_mask[None, None, None, :], scores,
+                               jnp.finfo(jnp.float32).min)
+        p = jax.nn.softmax(scores, axis=-1)
+        pb = p.reshape(b, n, chunk // pool, pool, s // pool, pool)
+        return jnp.max(pb, axis=(0, 3, 5))  # [N, chunk/pool, S/pool]
+
+    chunks = qh.reshape(b, n, s // chunk, chunk, d).transpose(2, 0, 1, 3, 4)
+    pooled = jax.lax.map(one_chunk, chunks)  # [n_chunks, N, chunk/p, S/p]
+    return pooled.transpose(1, 0, 2, 3).reshape(n, s // pool, s // pool)
+
+
+def generate_reorder_tables(
+    attn_maps: Dict[str, Any], pool: int = 1, iters: int = 8
+) -> Dict[str, Any]:
+    """Calibration-driven per-head token reorder tables.
+
+    ``attn_maps``: {layer: [H, Sp, Sp]} pooled post-softmax maps from
+    :func:`pooled_attn_map`. For each head, tokens are ordered by their
+    coordinate along the map's dominant singular vector (power iteration)
+    so rows with similar attention profiles land adjacently — which is
+    what tightens the per-block deltas of the blockwise quantizer. This is
+    the in-framework generator for the role the reference fills with
+    offline `optimal_reorder` tables (quant_attn.py:176-238,
+    reorder_file_path config). Returns {layer: perm [H, S]} int32 with
+    S = Sp·pool, consumable by :func:`quantize_attn_map_block` /
+    ``QuantCtx.attn_perms``.
+    """
+    import numpy as np
+
+    out = {}
+    for layer, maps in attn_maps.items():
+        maps = np.asarray(maps, dtype=np.float64)
+        h, sp, _ = maps.shape
+        perms = np.empty((h, sp * pool), dtype=np.int32)
+        for i in range(h):
+            a = maps[i]
+            v = np.ones(sp) / math.sqrt(sp)
+            for _ in range(iters):
+                v = a.T @ (a @ v)
+                nrm = np.linalg.norm(v)
+                if nrm < 1e-30:
+                    break
+                v = v / nrm
+            score = a @ v
+            order = np.argsort(score, kind="stable")
+            # expand pooled order back to token granularity (tokens inside
+            # a pool window keep their relative order)
+            tok = (order[:, None] * pool + np.arange(pool)[None, :]).reshape(-1)
+            perms[i] = tok.astype(np.int32)
+        out[layer] = perms
+    return out
 
 
 def quantized_attention(

@@ -91,7 +91,11 @@ class QuantConfig:
         )
         a = raw.get("act")
         self.act_cfg = (
-            QuantizerCfg(n_bits=_tuplify(a["n_bits"]), sym=bool(a.get("sym", False)))
+            QuantizerCfg(
+                n_bits=_tuplify(a["n_bits"]),
+                sym=bool(a.get("sym", False)),
+                dynamic=bool(a.get("dynamic", True)),
+            )
             if a
             else None
         )

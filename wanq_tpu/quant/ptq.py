@@ -56,13 +56,20 @@ def params_get(params: Params, path: str):
 
 def reduce_calib(calib: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """[T, C] per-call absmax stacks → per-channel max over timesteps,
-    clamped ≥ 1e-3 (ref ptq_wanx.py:336-341)."""
+    clamped ≥ 1e-3 (ref ptq_wanx.py:336-341). ``.act_min`` entries reduce
+    with min and skip the clamp (static-A8 running-min accumulation,
+    ref StaticQuantizer, base_quantizer.py:74-87)."""
     out = {}
     for name, arr in calib.items():
         a = np.asarray(arr, dtype=np.float32)
-        if a.ndim == 2:
-            a = a.max(axis=0)
-        out[name] = np.maximum(a, 1e-3)
+        if name.endswith(".act_min"):
+            out[name] = a.min(axis=0) if a.ndim == 2 else a
+        elif name.endswith(".act_max"):
+            out[name] = a.max(axis=0) if a.ndim == 2 else a
+        else:
+            if a.ndim == 2:
+                a = a.max(axis=0)
+            out[name] = np.maximum(a, 1e-3)
     return out
 
 
@@ -73,6 +80,7 @@ def prepare_layer_state(
     rotation_seed: Optional[int],
     targets: str = "both",
     rotate_on_device: bool = False,
+    act_minmax: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Dict[str, jax.Array]:
     """Quant state for one layer. w: [C_in, C_out] (f32).
 
@@ -136,6 +144,23 @@ def prepare_layer_state(
             st["w_int8"] = w_int8
         st["scale_w"] = scale_w
         st["zp_w_int"] = zp_w_int
+
+    if policy.act is not None and not policy.act.dynamic:
+        # static A8: per-tensor params frozen from the calibration sweep's
+        # running min/max (ref StaticQuantizer; our deployment group is
+        # per-tensor — the reference's group='tensor' configuration)
+        assert act_minmax is not None, (
+            "static act quant needs calibration min/max (run get_calib_data "
+            "with --collect_minmax)"
+        )
+        from wanq_tpu.quant.quantizers import params_from_minmax
+
+        amax, amin = act_minmax
+        x_max = jnp.asarray([np.maximum(np.max(amax), 0.0)], jnp.float32)
+        x_min = jnp.asarray([np.minimum(np.min(amin), 0.0)], jnp.float32)
+        d_a, zp_a = params_from_minmax(x_max, x_min, policy.act)
+        st["delta_a"] = d_a[:, 0]
+        st["zp_a"] = zp_a[:, 0]
     return st
 
 
@@ -206,9 +231,14 @@ def prepare_quant_state(
                 f"layer {name} uses {policy.method} but no calibration data "
                 f"was provided (expected key '{name}')"
             )
+        act_minmax = None
+        if f"{name}.act_max" in calib_max:
+            act_minmax = (calib_max[f"{name}.act_max"],
+                          calib_max[f"{name}.act_min"])
         state[name] = prepare_layer_state(
             policy, w, act_absmax, rot_seed, targets,
             rotate_on_device=mesh is not None,
+            act_minmax=act_minmax,
         )
 
     if mesh is not None:

@@ -58,6 +58,13 @@ class QuantCtx:
     # FP input seen this call (ref: SaveActivationHook 'default' type,
     # get_calib_data_wanx.py:240-267)
     collect: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
+    # calib extras: also collect per-channel act min/max (for static A8)
+    collect_minmax: bool = False
+    # calib extras: pool factor for post-softmax attn-map capture (0 = off)
+    attn_map_pool: int = 0
+    # per-layer attn-map reorder tables {layer: [H, S] int32} (ref
+    # optimal_reorder, quant_attn.py:176-238)
+    attn_perms: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
 
     def policy(self, name: str) -> LayerPolicy:
         return self.policies.get(name, FP_POLICY)
@@ -69,18 +76,20 @@ def _ctx_flatten(ctx: QuantCtx):
     (GBs of int8 weights) as HLO literals — a multi-GB program that wedges
     compilation. ``collect`` stays out of the tree (calibration mutates it
     during tracing and passes the ctx by closure)."""
-    children = (ctx.state, ctx.rotations, ctx.scan_state)
+    children = (ctx.state, ctx.rotations, ctx.scan_state, ctx.attn_perms)
     aux = (
         ctx.mode,
         tuple(sorted(ctx.policies.items())),
         ctx.attn,
         ctx.cross_attn,
+        ctx.collect_minmax,
+        ctx.attn_map_pool,
     )
     return children, aux
 
 
 def _ctx_unflatten(aux, children):
-    mode, policies, attn, cross_attn = aux
+    mode, policies, attn, cross_attn, collect_minmax, attn_map_pool = aux
     ctx = QuantCtx(
         mode=mode,
         policies=dict(policies),
@@ -88,8 +97,11 @@ def _ctx_unflatten(aux, children):
         rotations=children[1],
         attn=attn,
         cross_attn=cross_attn,
+        collect_minmax=collect_minmax,
+        attn_map_pool=attn_map_pool,
     )
     ctx.scan_state = children[2]
+    ctx.attn_perms = children[3]
     return ctx
 
 
@@ -128,8 +140,13 @@ def qlinear(
 
     if ctx.mode == "calib":
         c = x.shape[-1]
-        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)).reshape(-1, c), axis=0)
-        ctx.collect[name] = absmax
+        xf2 = x.astype(jnp.float32).reshape(-1, c)
+        ctx.collect[name] = jnp.max(jnp.abs(xf2), axis=0)
+        if ctx.collect_minmax:
+            # per-channel running min/max for static activation quant
+            # (ref StaticQuantizer accumulation, base_quantizer.py:74-87)
+            ctx.collect[f"{name}.act_max"] = jnp.max(xf2, axis=0)
+            ctx.collect[f"{name}.act_min"] = jnp.min(xf2, axis=0)
         return fp_linear(params, x, compute_dtype)
 
     if not policy.is_quantized:
@@ -147,7 +164,16 @@ def qlinear(
         xf = jnp.dot(xf, rot, preferred_element_type=jnp.float32)
 
     if ctx.mode == "sim":
-        if policy.act is not None:
+        if policy.act is not None and not policy.act.dynamic:
+            # static A8: calibration-frozen per-tensor params
+            # (ref StaticQuantizer.forward, base_quantizer.py:58-68)
+            from wanq_tpu.quant.quantizers import fake_quant
+
+            xq = fake_quant(
+                xf, st["delta_a"], st["zp_a"],
+                policy.act.active_bits, policy.act.sym,
+            )
+        elif policy.act is not None:
             xq = dynamic_fake_quant(xf.reshape(b * n, c), policy.act).reshape(b, n, c)
         else:
             xq = xf
@@ -161,10 +187,20 @@ def qlinear(
 
     if ctx.mode == "int8":
         assert policy.act is not None and policy.act.sym, (
-            "int8 path implements the Wan config: dynamic symmetric per-token "
+            "int8 path implements the Wan config: symmetric per-token "
             "act quant (quant_configs/config.yaml act.sym=True)"
         )
-        q, s_a, sum_a = act_dynamic_int_quant(xf.reshape(b * n, c), sym=True)
+        if not policy.act.dynamic:
+            # static-scale quant: no absmax pass (the analog of the
+            # reference's quant_sum_static kernel, fused.cu:586)
+            scale = st["delta_a"].reshape(())
+            q = jnp.clip(
+                jnp.round(xf.reshape(b * n, c) / scale), -128, 127
+            ).astype(jnp.int8)
+            s_a = jnp.full((b * n,), scale, jnp.float32)
+            sum_a = s_a * jnp.sum(q.astype(jnp.float32), axis=1)
+        else:
+            q, s_a, sum_a = act_dynamic_int_quant(xf.reshape(b * n, c), sym=True)
         bias = params.get("b")
         y = _int_linear(
             st, q, s_a, sum_a,
@@ -204,6 +240,8 @@ def int8_fusable(ctx: Optional[QuantCtx], names, allow_mask: bool = False) -> bo
             return False
         if pol.act is None or not pol.act.sym or pol.act.active_bits != 8:
             return False
+        if not pol.act.dynamic:
+            return False  # fused producers compute dynamic per-token scales
         st = ctx.state.get(n)
         if st is None or ("w_int8" not in st and "w_int4" not in st):
             return False

@@ -45,12 +45,16 @@ class QuantizerCfg:
 
     ``n_bits`` may be a tuple for mixed precision (ref:
     mixed_precision_quantizer.py:29-31); ``i_bitwidth`` selects the active
-    entry.
+    entry. ``dynamic`` selects per-call params (DynamicQuantizer) vs
+    calibration-frozen params (StaticQuantizer, base_quantizer.py:43-99);
+    weights are always static, activations default to dynamic (the Wan
+    config) with a config-selectable static-A8 mode.
     """
 
     n_bits: Union[int, Tuple[int, ...]] = 8
     sym: bool = False
     i_bitwidth: int = 0
+    dynamic: bool = True
 
     @property
     def is_mixed(self) -> bool:
