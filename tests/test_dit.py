@@ -180,3 +180,24 @@ def test_linear_layer_names_cover_reference_regexes():
     cfg_i2v = tiny_config(model_type="i2v", in_dim=36)
     names_i2v = dit.linear_layer_names(cfg_i2v)
     assert "blocks.0.cross_attn.k_img" in names_i2v
+
+
+def test_rope_interleaved_matches_pair_form(rng):
+    """The TPU layout-friendly x*ca + (x@P)*sb form == the pair/complex
+    reference form, including the identity-rotation padding tail."""
+    from wanq_tpu.models.rope import (
+        rope_apply_padded,
+        rope_apply_interleaved,
+        rope_tables,
+        rope_tables_interleaved,
+    )
+    import jax.numpy as jnp
+
+    grid, d = (2, 4, 4), 24
+    s_valid = 2 * 4 * 4
+    x = jnp.asarray(rng.normal(size=(2, s_valid + 8, 4, d)).astype(np.float32))
+    cos, sin = (jnp.asarray(a) for a in rope_tables(grid, d))
+    ca, sb = (jnp.asarray(a) for a in rope_tables_interleaved(grid, d))
+    want = np.asarray(rope_apply_padded(x, cos, sin, s_valid))
+    got = np.asarray(rope_apply_interleaved(x, ca, sb, s_valid))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -34,7 +34,7 @@ import numpy as np
 
 from wanq_tpu.configs import WanConfig
 from wanq_tpu.models.attention import attention
-from wanq_tpu.models.rope import rope_apply_padded, rope_tables
+from wanq_tpu.models.rope import rope_apply_interleaved, rope_tables_interleaved
 from wanq_tpu.quant.qlinear import QuantCtx, qlinear
 
 Params = Dict[str, Any]
@@ -57,10 +57,12 @@ def layer_norm(x: jax.Array, eps: float, w=None, b=None) -> jax.Array:
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
-    """fp32 RMSNorm with learnable gain (ref WanRMSNorm, model.py:73-89)."""
+    """fp32 RMSNorm with learnable gain (ref WanRMSNorm, model.py:73-89).
+    Output keeps x's dtype (one rounding at the end — bf16 inputs stay
+    bf16 at rest instead of widening the residual traffic to f32)."""
     xf = x.astype(jnp.float32)
     y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
-    return y.astype(x.dtype) * w
+    return (y * w.astype(jnp.float32)).astype(x.dtype)
 
 
 def gelu_tanh(x: jax.Array) -> jax.Array:
@@ -336,17 +338,23 @@ def _self_attention(
                                out_dtype=jnp.bfloat16)
     else:
         b, s, _ = x.shape
-        q = qlinear(ctx, f"{name}.q", p["q"], x, dtype)
-        k = qlinear(ctx, f"{name}.k", p["k"], x, dtype)
-        v = qlinear(ctx, f"{name}.v", p["v"], x, dtype)
+        # bf16 at rest from the projections on: norms/rope compute f32
+        # internally, one final rounding (matches the reference's fp16
+        # module dtype)
+        q = qlinear(ctx, f"{name}.q", p["q"], x, dtype).astype(dtype)
+        k = qlinear(ctx, f"{name}.k", p["k"], x, dtype).astype(dtype)
+        v = qlinear(ctx, f"{name}.v", p["v"], x, dtype).astype(dtype)
     if cfg.qk_norm:
         q = rms_norm(q, p["norm_q"], cfg.eps)
         k = rms_norm(k, p["norm_k"], cfg.eps)
     q = q.reshape(b, s, n, hd)
     k = k.reshape(b, s, n, hd)
     v = v.reshape(b, s, n, hd).astype(dtype)
-    q = rope_apply_padded(q, cos, sin, valid_len).astype(dtype)
-    k = rope_apply_padded(k, cos, sin, valid_len).astype(dtype)
+    # layout-friendly rope (x·ca + (x@P)·sb, see models/rope.py): f32
+    # compute inside the fusion, bf16 at rest — profiled ~10 ms/block
+    # cheaper than the pair-reshape form on TPU
+    q = rope_apply_interleaved(q, cos, sin, valid_len).astype(dtype)
+    k = rope_apply_interleaved(k, cos, sin, valid_len).astype(dtype)
     if ctx is not None and ctx.mode == "calib":
         # attention-calibration capture (ref SaveActivationHook types
         # 'qk'/'v', get_calib_data_wanx.py:227-238): per-(head, dim) absmax
@@ -606,7 +614,9 @@ def dit_forward(
         ci = layer_norm(ci, 1e-5, ip["4"]["w"], ip["4"]["b"]).astype(dtype)
         c = jnp.concatenate([ci, c], axis=1)
 
-    cos, sin = (jnp.asarray(a) for a in rope_tables(grid, cfg.head_dim))
+    cos, sin = (
+        jnp.asarray(a) for a in rope_tables_interleaved(grid, cfg.head_dim)
+    )
 
     xf = xq.astype(jnp.float32)
     if isinstance(params["blocks"], dict):

@@ -89,3 +89,59 @@ def rope_apply_padded(
     cos_p = jnp.concatenate([cos[:valid_len], jnp.ones((pad, cos.shape[1]), cos.dtype)])
     sin_p = jnp.concatenate([sin[:valid_len], jnp.zeros((pad, sin.shape[1]), sin.dtype)])
     return rope_apply(x, cos_p, sin_p)
+
+
+# ---------------------------------------------------------------------------
+# layout-friendly formulation (the TPU hot path)
+#
+# The pair convention out[2i] = x[2i]·c − x[2i+1]·s, out[2i+1] = x[2i]·s +
+# x[2i+1]·c is algebraically  out = x·ca + (x @ P)·sb  with interleaved
+# tables ca[s,2i]=ca[s,2i+1]=cos, sb[s,2i]=−sin, sb[s,2i+1]=+sin and P the
+# adjacent-pair-swap permutation. On TPU the reshape-into-[..,D/2,2] form
+# forces tiny trailing dims and T(2,128) relayouts (profiled at ~10 ms per
+# 1.3B block in pure data formatting); the ca/sb form is plain elementwise
+# on [.., D] lanes plus one 128×128 MXU matmul — no layout churn.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def rope_tables_interleaved(
+    grid: Tuple[int, int, int], head_dim: int, max_len: int = 1024
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(ca, sb) tables [seq_len, head_dim] for the x·ca + (x@P)·sb form."""
+    cos, sin = rope_tables(grid, head_dim, max_len)
+    ca = np.repeat(cos, 2, axis=1)
+    sb = np.repeat(sin, 2, axis=1)
+    sb[:, 0::2] = -sb[:, 0::2]
+    return ca, sb
+
+
+@functools.lru_cache(maxsize=4)
+def pairswap_matrix(d: int) -> np.ndarray:
+    """Permutation matrix swapping adjacent feature pairs (2i <-> 2i+1)."""
+    p = np.zeros((d, d), np.float32)
+    idx = np.arange(d)
+    p[idx, idx ^ 1] = 1.0
+    return p
+
+
+def rope_apply_interleaved(
+    x: jax.Array, ca: jax.Array, sb: jax.Array, valid_len: int
+) -> jax.Array:
+    """Layout-friendly rope on [B, S, N, D]; matches rope_apply_padded to
+    f32 rounding. Tables from rope_tables_interleaved (f32); compute is
+    f32 regardless of x dtype, output in x dtype."""
+    b, s, n, d = x.shape
+    if valid_len < s:
+        pad = s - valid_len
+        ca = jnp.concatenate([ca[:valid_len], jnp.ones((pad, d), ca.dtype)])
+        sb = jnp.concatenate([sb[:valid_len], jnp.zeros((pad, d), sb.dtype)])
+    # the swap matmul runs in x's dtype (a permutation — exact in any
+    # dtype on the swapped values); the rotation arithmetic runs f32
+    p = jnp.asarray(pairswap_matrix(d), x.dtype)
+    swapped = jnp.einsum(
+        "bsnd,de->bsne", x, p, preferred_element_type=jnp.float32
+    )
+    xf = x.astype(jnp.float32)
+    out = xf * ca[None, :, None, :] + swapped * sb[None, :, None, :]
+    return out.astype(x.dtype)
