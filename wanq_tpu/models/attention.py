@@ -50,7 +50,7 @@ def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float):
     )
 
 
-def _splash_path(q, k, v, scale, kv_len):
+def _splash_path(q, k, v, scale, kv_len, blk_kv=_SPLASH_BLOCK_KV):
     """Self-attention via the splash kernel. q,k,v: [B, S, N, D] with S
     already padded to the splash block; the sm_scale folds into q."""
     from jax.experimental.pallas.ops.tpu.splash_attention import (
@@ -58,7 +58,7 @@ def _splash_path(q, k, v, scale, kv_len):
     )
 
     b, s, n, d = q.shape
-    kernel = _splash_kernel(s, n, _SPLASH_BLOCK_Q, _SPLASH_BLOCK_KV, scale)
+    kernel = _splash_kernel(s, n, _SPLASH_BLOCK_Q, blk_kv, scale)
     qt = (jnp.swapaxes(q, 1, 2) * scale).astype(jnp.bfloat16)
     kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
     vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)
@@ -120,14 +120,20 @@ def attention(
     sk = k.shape[1]
     kv_len = min(k_valid_len, sk) if k_valid_len is not None else sk
 
-    # long self-attention rides the splash kernel (~20% over flash here)
+    # long self-attention rides the splash kernel (~20% over flash here).
+    # Sequences pre-aligned to 512 (compute_seq_len) skip the pad+slice
+    # round trip entirely; block_kv adapts to the largest divisor.
     if sq == sk and sq >= _SPLASH_MIN_SEQ and d == 128:
-        s_p = _round_up(sq, _SPLASH_BLOCK_KV)
+        s_p = _round_up(sq, _SPLASH_BLOCK_Q)
         if s_p != sq:
             pad = ((0, 0), (0, s_p - sq), (0, 0), (0, 0))
             q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-        out = _splash_path(q, k, v, scale, kv_len)
-        return out[:, :sq].astype(v.dtype)
+        blk_kv = next(
+            b for b in (_SPLASH_BLOCK_KV, 2048, 1024, _SPLASH_BLOCK_Q)
+            if s_p % b == 0
+        )
+        out = _splash_path(q, k, v, scale, kv_len, blk_kv)
+        return (out[:, :sq] if s_p != sq else out).astype(v.dtype)
 
     blk_q = min(_FLASH_BLOCK_Q, _round_up(sq, 128))
     blk_k = min(_FLASH_BLOCK_K, _round_up(sk, 128))

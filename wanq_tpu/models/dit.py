@@ -350,10 +350,19 @@ def _self_attention(
     q = q.reshape(b, s, n, hd)
     k = k.reshape(b, s, n, hd)
     v = v.reshape(b, s, n, hd).astype(dtype)
-    # layout-friendly rope (x·ca + (x@P)·sb, see models/rope.py): f32
-    # compute inside the fusion, bf16 at rest — profiled ~10 ms/block
-    # cheaper than the pair-reshape form on TPU
-    q = rope_apply_interleaved(q, cos, sin, valid_len).astype(dtype)
+    # layout-friendly rope (x·ca + pairswap(x)·sb, see models/rope.py):
+    # f32 compute inside the fusion, bf16 at rest — profiled ~10 ms/block
+    # cheaper than the pair-reshape form on TPU. On the plain-attention
+    # path the softmax scale folds into the q-side tables (one fewer
+    # full-tensor pass); the quant/ring attention paths apply their own.
+    plain_attn = not (
+        (plan is not None and plan.ring_size > 1)
+        or (ctx is not None and ctx.attn is not None
+            and ctx.mode in ("int8", "sim"))
+        or (ctx is not None and ctx.mode == "calib")
+    )
+    q_scale = (1.0 / math.sqrt(hd)) if plain_attn else 1.0
+    q = rope_apply_interleaved(q, cos, sin, valid_len, scale=q_scale).astype(dtype)
     k = rope_apply_interleaved(k, cos, sin, valid_len).astype(dtype)
     if ctx is not None and ctx.mode == "calib":
         # attention-calibration capture (ref SaveActivationHook types
@@ -395,7 +404,9 @@ def _self_attention(
             perm=ctx.attn_perms.get(name),
         )
     else:
-        y = attention(q, k, v, k_valid_len=valid_len)
+        # scale pre-folded into q's rope tables on the plain path
+        y = attention(q, k, v, scale=1.0 if plain_attn else None,
+                      k_valid_len=valid_len)
     y = y.reshape(b, s, n * hd)
     if plan is not None:
         y = plan.tokens(y)

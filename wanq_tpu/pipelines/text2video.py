@@ -50,12 +50,20 @@ def compute_target_shape(
     )
 
 
-def compute_seq_len(cfg: WanConfig, target_shape, sp_size: int = 1) -> int:
+def compute_seq_len(
+    cfg: WanConfig, target_shape, sp_size: int = 1, align: Optional[int] = None
+) -> int:
     """Token count rounded up to the sequence-parallel degree
-    (ref text2video.py:170-172)."""
+    (ref text2video.py:170-172) and — for long sequences — to the flash
+    block size (512), so attention kernels get block-aligned operands
+    without a pad+slice round trip per block (the DiT already pads and
+    masks tokens past the valid length)."""
     _, f, h, w = target_shape
     tokens = (h // cfg.patch_size[1]) * (w // cfg.patch_size[2]) * f
-    return int(math.ceil(tokens / sp_size)) * sp_size
+    if align is None:
+        align = 512 if tokens >= 4096 else 1
+    m = math.lcm(sp_size, align)
+    return int(math.ceil(tokens / m)) * m
 
 
 @dataclasses.dataclass
