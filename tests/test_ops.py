@@ -92,6 +92,58 @@ def test_w4a8_packed_matches_w8a8(rng, asym, bias):
     np.testing.assert_allclose(got_pl, want, rtol=1e-5, atol=1e-3)
 
 
+def test_w4a4_group_quant_roundtrip(rng):
+    """Group quant error bound: |x - dequant| <= scale/2 per element."""
+    from wanq_tpu.quant.quantizers import act_group_int4_quant, weight_group_int4_quant
+
+    x = jnp.asarray((rng.normal(size=(16, 256)) * 3).astype(np.float32))
+    q, s = act_group_int4_quant(x, group=128)
+    assert q.shape == (16, 256) and s.shape == (16, 2)
+    deq = np.asarray(q, np.float32).reshape(16, 2, 128) * np.asarray(s)[..., None]
+    err = np.abs(deq.reshape(16, 256) - np.asarray(x))
+    assert (err <= np.repeat(np.asarray(s), 128, axis=1) * 0.5 + 1e-6).all()
+
+    w = jnp.asarray((rng.normal(size=(256, 64))).astype(np.float32))
+    qw, sw = weight_group_int4_quant(w, group=128)
+    assert qw.shape == (256, 64) and sw.shape == (2, 64)
+    assert int(np.abs(np.asarray(qw)).max()) <= 7
+
+
+@pytest.mark.parametrize("bias", [True, False])
+def test_w4a4_atom_gemm_parity(rng, bias):
+    """Atom-style W4A4 (ref csrc/qgemm/w4a4/atom.cu): XLA group-scaled
+    reference == Pallas kernel == f32 dequant ground truth."""
+    from wanq_tpu.ops.qgemm import w4a4_linear_pallas, w4a4_linear_xla
+    from wanq_tpu.quant.quantizers import (
+        act_group_int4_quant,
+        pack_int4,
+        weight_group_int4_quant,
+    )
+
+    m, k, n = 160, 512, 128
+    x = jnp.asarray((rng.normal(size=(m, k)) * 2).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(k, n)) * 0.05).astype(np.float32))
+    b = jnp.asarray(rng.random(n).astype(np.float32)) if bias else None
+
+    q, s_a = act_group_int4_quant(x)
+    qw, s_w = weight_group_int4_quant(w)
+    packed = pack_int4(qw)
+
+    # ground truth: f32 GEMM of the dequantized operands
+    deq_a = np.asarray(q, np.float32).reshape(m, 4, 128) * np.asarray(s_a)[..., None]
+    deq_w = np.asarray(qw, np.float32).reshape(4, 128, n) * np.asarray(s_w)[:, None, :]
+    want = deq_a.reshape(m, k) @ deq_w.reshape(k, n)
+    if bias is not None and b is not None:
+        want = want + np.asarray(b)[None]
+
+    got_xla = np.asarray(w4a4_linear_xla(q, packed, s_a, s_w, b))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-4, atol=1e-3)
+    got_pl = np.asarray(w4a4_linear_pallas(
+        q, packed, s_a, s_w, b, block_m=128, block_n=128, block_k=256,
+        interpret=True))
+    np.testing.assert_allclose(got_pl, want, rtol=1e-4, atol=1e-3)
+
+
 def test_quant_sum_xla_matches_quantizer_math(rng):
     from wanq_tpu.quant.quantizers import act_dynamic_int_quant
 

@@ -207,10 +207,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _unpack_int4_rows(packed):
-    """[Kh, N] int8 → [2*Kh, N] int8 in [-8, 7]; row 2i = low nibble."""
+    """[Kh, N] int8 → [2*Kh, N] int8 in [-8, 7]; row 2i = low nibble.
+
+    Shift-free: Mosaic does not legalize int8 vector shifts (arith.shli),
+    so the nibble split runs as exact f32 multiply/floor arithmetic
+    (values are in ±128 — exactly representable)."""
     kh, n = packed.shape
-    lo = (packed << 4) >> 4
-    hi = packed >> 4
+    pf = packed.astype(jnp.float32)
+    hi_f = jnp.floor(pf * 0.0625)          # arithmetic >> 4
+    lo_u = pf - hi_f * 16.0                # low nibble in [0, 15]
+    lo_f = jnp.where(lo_u >= 8.0, lo_u - 16.0, lo_u)
+    lo = lo_f.astype(jnp.int8)
+    hi = hi_f.astype(jnp.int8)
     return jnp.stack([lo, hi], axis=1).reshape(2 * kh, n)
 
 
@@ -365,6 +373,192 @@ def w4a8_linear(
                                   bias).astype(out_dtype)
     return w4a8_linear_xla(a_int8, w_packed, s_a, s_w, sum_a, zp_w, bias,
                            out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# W4A4 (Atom-style, ref csrc/qgemm/w4a4/atom.cu): int4 weight AND int4
+# activation, group-quantized along K (GROUP_SIZE 128) with one scale per
+# (row, group) / (group, col). Per-group scales cannot fold into a single
+# epilogue, so accumulation interleaves: for each K-group,
+#   acc += (A_g @ W_g) * s_a[:, g] ⊗ s_w[g, :]
+# The Pallas kernel unpacks the packed int4 weight in VMEM and applies the
+# group scaling in the f32 accumulator; int4 values ride the int8 MXU.
+# ---------------------------------------------------------------------------
+
+
+def w4a4_linear_xla(
+    a_int4: jax.Array,
+    w_packed: jax.Array,
+    s_a: jax.Array,
+    s_w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    group: int = 128,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """a_int4 [M,K] (int8 containers) @ unpack(w_packed [K//2,N]) with
+    per-group dequant. s_a: [M, K//group]; s_w: [K//group, N]."""
+    m, k = a_int4.shape
+    n = w_packed.shape[1]
+    g = k // group
+    w = _unpack_int4_rows(w_packed)
+    a3 = a_int4.reshape(m, g, group)
+    w3 = w.reshape(g, group, n)
+    # per-group int32 partial products, scaled and summed in f32
+    acc = jnp.zeros((m, n), jnp.float32)
+    for i in range(g):
+        p = jax.lax.dot_general(
+            a3[:, i], w3[i],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = acc + p.astype(jnp.float32) * (
+            s_a[:, i][:, None] * s_w[i][None, :]
+        )
+    if bias is not None:
+        acc = acc + bias[None, :]
+    return acc.astype(out_dtype)
+
+
+def _w4a4_kernel(a_ref, w_ref, sa_ref, sw_ref, bias_ref, out_ref, acc_ref,
+                 *, k_steps: int, groups_per_block: int, group: int,
+                 has_bias: bool):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _unpack_int4_rows(w_ref[:])  # [bk, bn] int8
+    a = a_ref[:]                     # [bm, bk] int8
+    for gi in range(groups_per_block):
+        p = jax.lax.dot_general(
+            a[:, gi * group:(gi + 1) * group],
+            w[gi * group:(gi + 1) * group, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        # scales live as full [G, M]/[G, N] arrays in VMEM (G is small);
+        # row indexed by the global group id
+        gid = kk * groups_per_block + gi
+        acc_ref[:] += p.astype(jnp.float32) * (
+            sa_ref[gid, :][:, None] * sw_ref[gid, :][None, :]
+        )
+
+    @pl.when(kk == k_steps - 1)
+    def _finish():
+        out = acc_ref[:]
+        if has_bias:
+            out = out + bias_ref[0, :][None, :]
+        out_ref[:] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "block_m", "block_n", "block_k", "interpret"),
+)
+def w4a4_linear_pallas(
+    a_int4: jax.Array,
+    w_packed: jax.Array,
+    s_a: jax.Array,
+    s_w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    group: int = 128,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Tiled Atom-style W4A4 GEMM. K tiles cover whole groups; the per-
+    (row, group) × (group, col) scaling happens in the f32 accumulator."""
+    m, k = a_int4.shape
+    kh, n = w_packed.shape
+    assert k == 2 * kh, (k, kh)
+    assert k % group == 0
+    has_bias = bias is not None
+
+    bm = min(block_m, _round_up(m, 128))
+    bn = _pick_block(n, block_n)
+    bk = _pick_block(k, block_k)
+    assert bk % (2 * group) == 0 or bk == k, (bk, group)
+    gpb = bk // group
+    m_pad = _round_up(m, bm)
+    g = k // group
+
+    if m_pad != m:
+        a_int4 = jnp.pad(a_int4, ((0, m_pad - m), (0, 0)))
+        s_a = jnp.pad(s_a, ((0, m_pad - m), (0, 0)))
+
+    # scales ride group-major so one K-tile sees contiguous [gpb] rows
+    s_a_t = s_a.astype(jnp.float32).T  # [G, M]
+    s_w_f = s_w.astype(jnp.float32)    # [G, N]
+    bias2 = (bias.astype(jnp.float32)[None, :] if has_bias
+             else jnp.zeros((1, n), jnp.float32))
+
+    grid = (m_pad // bm, n // bn, k // bk)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4a4_kernel, k_steps=grid[2], groups_per_block=gpb,
+            group=group, has_bias=has_bias,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            # all G group-scale rows stay resident (G ≤ ~70; block covers
+            # the full group dim so the (8,128) tiling rule is satisfied)
+            pl.BlockSpec((g, bm), lambda i, j, kk: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=m_pad * k + k * n // 2 + m_pad * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_int4, w_packed, s_a_t, s_w_f, bias2)
+    return out[:m] if m_pad != m else out
+
+
+def w4a4_linear(
+    a: jax.Array,
+    w_packed: jax.Array,
+    s_w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    group: int = 128,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Full W4A4 linear from an FP activation: dynamic per-(token, group)
+    int4 act quant + Atom GEMM. a: [M, K] float."""
+    from wanq_tpu.quant.quantizers import act_group_int4_quant
+
+    q, s_a = act_group_int4_quant(a, group)
+    import os
+
+    k = q.shape[1]
+    n = w_packed.shape[1]
+    if (
+        os.environ.get("WANQ_PALLAS_QGEMM") == "1"
+        and jax.default_backend() == "tpu"
+        and k % 256 == 0
+        and n % 128 == 0
+    ):
+        return w4a4_linear_pallas(q, w_packed, s_a, s_w, bias,
+                                  group=group).astype(out_dtype)
+    return w4a4_linear_xla(q, w_packed, s_a, s_w, bias, group=group,
+                           out_dtype=out_dtype)
 
 
 def w8a8_linear(

@@ -12,6 +12,8 @@ from wanq_tpu.quant.quantizers import (
     weight_int_quant,
     weight_quant_params,
     act_dynamic_int_quant,
+    act_group_int4_quant,
+    weight_group_int4_quant,
     pack_int4,
     unpack_int4,
 )

@@ -269,6 +269,46 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
     return out.reshape(2 * kh, n)
 
 
+# ---------------------------------------------------------------------------
+# W4A4 group quantization (Atom-style, ref csrc/qgemm/w4a4/atom.cu:
+# GROUP_SIZE-128 int4 for both weight and activation, one scale per
+# (row, K-group)). int4 values ride int8 containers into the MXU; weights
+# additionally pack two-per-byte for HBM storage.
+# ---------------------------------------------------------------------------
+
+GROUP_SIZE_W4A4 = 128
+
+
+def act_group_int4_quant(
+    x: jax.Array, group: int = GROUP_SIZE_W4A4
+) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric per-(token, K-group) int4 quant.
+
+    x: [M, K] → (q int8 in [-7,7] [M,K], scale f32 [M, K//group])."""
+    m, k = x.shape
+    assert k % group == 0, (k, group)
+    xf = x.astype(jnp.float32).reshape(m, k // group, group)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(absmax / 7.0, _EPS_SYM)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -8, 7).astype(jnp.int8)
+    return q.reshape(m, k), scale
+
+
+def weight_group_int4_quant(
+    w_in_out: jax.Array, group: int = GROUP_SIZE_W4A4
+) -> Tuple[jax.Array, jax.Array]:
+    """Static symmetric per-(K-group, out-channel) int4 weight quant.
+
+    w: [K, N] → (q int8 in [-7,7] [K,N], scale f32 [K//group, N])."""
+    k, n = w_in_out.shape
+    assert k % group == 0, (k, group)
+    wf = w_in_out.astype(jnp.float32).reshape(k // group, group, n)
+    absmax = jnp.max(jnp.abs(wf), axis=1)
+    scale = jnp.maximum(absmax / 7.0, _EPS_SYM)
+    q = jnp.clip(jnp.round(wf / scale[:, None, :]), -8, 7).astype(jnp.int8)
+    return q.reshape(k, n), scale
+
+
 def act_dynamic_int_quant(
     x: jax.Array, sym: bool = True
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
