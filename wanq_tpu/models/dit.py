@@ -433,6 +433,11 @@ def _cross_attention(
         context_img, context_txt = context[:, :257], context[:, 257:]
     else:
         context_txt = context
+    # NOTE: in int8 mode cross-attention deliberately runs the SIMULATION
+    # quantizer (quantized_attention), not the int8 flash kernel — at
+    # KV = text_len (512) the int8 MXU path cannot pay for its quant
+    # producers on this hardware (BENCH_NOTES.md); the reference's hw
+    # path likewise keeps cross-attn FP (quant_wanx_cuda.py:136).
 
     q = qlinear(ctx, f"{name}.q", p["q"], x, dtype)
     k = qlinear(ctx, f"{name}.k", p["k"], context_txt, dtype)
@@ -568,6 +573,7 @@ def dit_forward(
     clip_fea: Optional[jax.Array] = None,
     y: Optional[jax.Array] = None,
     plan=None,
+    remat: bool = False,
 ) -> jax.Array:
     """Denoising forward (ref WanModel.forward, model.py:539-631).
 
@@ -576,6 +582,10 @@ def dit_forward(
     Returns [B, C_out, F, H, W] float32.
     ``plan``: optional wanq_tpu.parallel.ShardingPlan for GSPMD multi-chip
     execution (ref usp_dit_forward, xdit_context_parallel.py).
+    ``remat``: rematerialize each block under autodiff (jax.checkpoint) —
+    activation memory drops from O(layers) to O(1) blocks, the standard
+    TPU trade for 14B-scale training (the reference leans on torch FSDP
+    activation offload instead).
     """
     dtype = cfg.dtype
     if y is not None:
@@ -635,7 +645,8 @@ def dit_forward(
         # smaller XLA graph than the unrolled loop — essential for 14B
         # compile times). Produced by stack_block_params().
         xf, scan_stats = _scan_blocks(
-            params["blocks"], ctx, xf, e0, c, cfg, cos, sin, valid_len, plan
+            params["blocks"], ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
+            remat=remat,
         )
         if ctx is not None and ctx.mode == "calib":
             # unstack per-block stats into reference-style names
@@ -644,10 +655,15 @@ def dit_forward(
                     ctx.collect[f"blocks.{i}.{suffix}"] = arr[i]
     else:
         for i in range(cfg.num_layers):
-            xf = block_forward(
-                params["blocks"][i], f"blocks.{i}", ctx, xf, e0, c, cfg,
-                cos, sin, valid_len, plan=plan,
-            )
+            def body(bp, xf_, e0_, c_, _i=i):
+                return block_forward(
+                    bp, f"blocks.{_i}", ctx, xf_, e0_, c_, cfg,
+                    cos, sin, valid_len, plan=plan,
+                )
+
+            if remat:
+                body = jax.checkpoint(body)
+            xf = body(params["blocks"][i], xf, e0, c)
 
     out = head_forward(params, xf, e, cfg, ctx)
     return unpatchify(out.astype(jnp.float32), grid, cfg.patch_size, cfg.out_dim)
@@ -704,7 +720,8 @@ def make_scan_ctx(ctx: QuantCtx, num_layers: int) -> QuantCtx:
     return new
 
 
-def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan):
+def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
+                 remat: bool = False):
     stacked_state: Dict[str, Any] = {}
     if ctx is not None and ctx.scan_state is not None:
         stacked_state = ctx.scan_state
@@ -734,5 +751,9 @@ def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan):
             }
         return y, ys
 
+    if remat:
+        # rematerialize each scanned block under autodiff: activation
+        # memory O(1) blocks instead of O(layers)
+        body = jax.checkpoint(body)
     xf, stats = jax.lax.scan(body, xf, (bp_stacked, stacked_state))
     return xf, stats
