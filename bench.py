@@ -154,10 +154,12 @@ def run(frame_num: int):
     q_time = time_step(step_fn, params, ctx, latents, t, context, context_null, gs)
     log(f"w8a8 step: {q_time*1000:.1f} ms (total {time.time()-t0:.1f}s)")
 
-    # quant fidelity on a seeded set of steps: PSNR/rel-err/cosine plus the
-    # FPFVD-style FVD between the FP and W8A8 noise-pred sets
+    # quant fidelity on a seeded set of steps: PSNR/rel-err/cosine on the
+    # RAW latent noise-preds (all 16 channels — same basis as round 1),
+    # plus FPFVD-style FVD on the video adaptation
     # (ref eval/video/readme.md:9-16; random-feature FVD — see utils/fvd.py)
-    from wanq_tpu.utils.fvd import fpfvd_report, latents_as_videos
+    from wanq_tpu.utils.fvd import fvd, latents_as_videos
+    from wanq_tpu.utils.metrics import quant_fidelity_report
 
     fp_outs, q_outs = [], []
     for s in range(4):
@@ -169,7 +171,9 @@ def run(frame_num: int):
             step_fn(params, ctx, lat_s, t, context, context_null, gs)))
     fp_set = np.concatenate(fp_outs, axis=0)
     q_set = np.concatenate(q_outs, axis=0)
-    rep = fpfvd_report(latents_as_videos(fp_set), latents_as_videos(q_set))
+    rep = quant_fidelity_report(fp_set, q_set)
+    rep["fvd_random_feat"] = fvd(latents_as_videos(fp_set),
+                                 latents_as_videos(q_set))
     log(f"W8A8 vs FP noise-pred fidelity (4 seeds): PSNR {rep['psnr_db']:.1f} dB, "
         f"rel_err {rep['rel_err']:.4f}, cosine {rep['cosine']:.5f}, "
         f"FVD(rand-feat) {rep['fvd_random_feat']:.2e}")

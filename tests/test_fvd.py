@@ -57,7 +57,7 @@ def test_fpfvd_report_on_latents():
     lat_q = lat_fp + 0.02 * rng.standard_normal(lat_fp.shape).astype(np.float32)
     vids_fp = latents_as_videos(lat_fp)
     vids_q = latents_as_videos(lat_q)
-    assert vids_fp.shape == (4, 4, 8, 5 * 8, 3)  # 16ch -> 5 groups of 3
+    assert vids_fp.shape == (4, 4, 8, 6 * 8, 3)  # 16ch zero-pads to 18 -> 6 groups
     rep = fpfvd_report(vids_fp, vids_q)
     assert "fvd_random_feat" in rep and rep["fvd_random_feat"] > 0
     assert rep["psnr_db"] > 20

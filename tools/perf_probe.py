@@ -214,8 +214,9 @@ def main():
 
         e = jax.random.normal(ks[2], (B, 6, C), jnp.float32) * 0.1
         ctxt = jax.random.normal(ks[3], (B, 512, C), jnp.bfloat16)
-        cos = jnp.ones((S, 64), jnp.float32)
-        sin = jnp.zeros((S, 64), jnp.float32)
+        # identity rotation in the interleaved (S, head_dim) table form
+        cos = jnp.ones((S, 128), jnp.float32)
+        sin = jnp.zeros((S, 128), jnp.float32)
 
         def blk_fp(bp, x, e, ctxt):
             return block_forward(bp, "blocks.0", None, x, e, ctxt, cfg, cos, sin, S)

@@ -25,7 +25,14 @@ def _load(path: str) -> np.ndarray:
     if "latents" in data.files:
         return data["latents"], True
     arr = data[data.files[0]]
-    return arr, arr.ndim == 5 and arr.shape[1] <= 64  # latent-ish heuristic
+    if arr.ndim != 5:
+        raise SystemExit(
+            f"{path}: expected a 5-D array (videos [N,T,H,W,3] or latents "
+            f"[N,C,F,h,w]); got shape {arr.shape}. Save under an explicit "
+            "'videos' or 'latents' key to disambiguate."
+        )
+    # videos are channels-last RGB; anything else is a latent stack
+    return arr, arr.shape[-1] != 3
 
 
 def main(argv=None):

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wanq_tpu.cli.common import (
+    seq_parallel_size,
     add_common_args,
     build_mesh_and_plan,
     load_contexts,
@@ -49,7 +50,7 @@ def generate(args):
         params = shard_params(params, mesh)
         logging.info("mesh: %s", dict(mesh.shape))
 
-    pipe = WanT2V(cfg, params, sp_size=args.ulysses_size * args.ring_size, mesh=mesh, shardings=plan)
+    pipe = WanT2V(cfg, params, sp_size=seq_parallel_size(args), mesh=mesh, shardings=plan)
     t0 = time.time()
     latents = pipe.generate(
         jnp.asarray(context),

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wanq_tpu.cli.common import (
+    seq_parallel_size,
     add_common_args,
     build_mesh_and_plan,
     load_contexts,
@@ -73,7 +74,7 @@ def generate(args):
             collect_minmax=args.collect_minmax,
             attn_map_pool=args.attn_map_pool,
         ),
-        sp_size=args.ulysses_size * args.ring_size, mesh=mesh, shardings=plan,
+        sp_size=seq_parallel_size(args), mesh=mesh, shardings=plan,
     )
     t0 = time.time()
     stats = pipe.collect_calibration(

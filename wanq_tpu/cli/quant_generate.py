@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wanq_tpu.cli.common import (
+    seq_parallel_size,
     add_common_args,
     build_mesh_and_plan,
     load_contexts,
@@ -90,7 +91,7 @@ def generate(args):
     ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations,
                    attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg)
     pipe = WanT2V(cfg, params, quant_ctx=ctx,
-                  sp_size=args.ulysses_size * args.ring_size, mesh=mesh, shardings=plan)
+                  sp_size=seq_parallel_size(args), mesh=mesh, shardings=plan)
     t0 = time.time()
     latents = pipe.generate(
         jnp.asarray(context),

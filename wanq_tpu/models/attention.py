@@ -40,10 +40,13 @@ def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float):
     )
 
     mask = sm.MultiHeadMask([sm.FullMask((s, s)) for _ in range(h)])
+    bkv = min(blk_kv, s)
     sizes = sk.BlockSizes(
         block_q=min(blk_q, s),
-        block_kv=min(blk_kv, s),
-        block_kv_compute=min(_SPLASH_BLOCK_KV_COMPUTE, s),
+        block_kv=bkv,
+        # must divide block_kv (kernel requirement) — clamps when the
+        # adaptive picker selects a kv block below the default compute tile
+        block_kv_compute=min(_SPLASH_BLOCK_KV_COMPUTE, bkv, s),
     )
     return sk.make_splash_mha(
         mask=mask, head_shards=1, q_seq_shards=1, block_sizes=sizes

@@ -387,6 +387,12 @@ def _self_attention(
         # hybrid Ulysses×ring: heads sharded over 'sp', seq over 'ring';
         # KV shards rotate via ppermute (ref xFuserLongContextAttention,
         # xdit_context_parallel.py:179-184)
+        if ctx is not None and ctx.attn is not None and ctx.mode in ("int8", "sim"):
+            raise NotImplementedError(
+                "attention-map quantization is not implemented under ring "
+                "context parallelism (the ring kernel folds KV shards "
+                "online); run with --ring_size 1 or drop the attn section"
+            )
         y = plan.ring_attention(
             q.astype(dtype), k.astype(dtype), v, k_valid_len=valid_len
         )

@@ -66,6 +66,12 @@ def reduce_calib(calib: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
             out[name] = a.min(axis=0) if a.ndim == 2 else a
         elif name.endswith(".act_max"):
             out[name] = a.max(axis=0) if a.ndim == 2 else a
+        elif ".attn_" in name:
+            # attention captures (attn_q/k/v absmax [T,H,D]; attn_map
+            # pooled softmax maps [T,H,Sp,Sp]): reduce over the sweep but
+            # NO 1e-3 clamp — softmax probabilities at long S live far
+            # below it, and the clamp exists for smooth-quant denominators
+            out[name] = a.max(axis=0) if a.ndim >= 2 else a
         else:
             if a.ndim == 2:
                 a = a.max(axis=0)
@@ -149,6 +155,15 @@ def prepare_layer_state(
         # static A8: per-tensor params frozen from the calibration sweep's
         # running min/max (ref StaticQuantizer; our deployment group is
         # per-tensor — the reference's group='tensor' configuration)
+        if policy.uses_channel_mask or policy.uses_rotation:
+            raise ValueError(
+                "static activation quant cannot combine with "
+                f"{policy.method}: calibration min/max are collected on the "
+                "raw input but the mask/rotation transforms the activation "
+                "before quantization — the frozen scales would be wrong. "
+                "Use dynamic act quant with this method (the reference "
+                "does the same)."
+            )
         assert act_minmax is not None, (
             "static act quant needs calibration min/max (run get_calib_data "
             "with --collect_minmax)"

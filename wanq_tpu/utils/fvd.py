@@ -159,11 +159,12 @@ def latents_as_videos(latents) -> np.ndarray:
     the loop (bench.py's seeded pair)."""
     z = np.asarray(latents, np.float32)
     b, c, f, h, w = z.shape
-    c3 = (c // 3) * 3
-    if c3 == 0:
-        z = np.repeat(z, 3, axis=1)
-        c3 = 3
-    z = z[:, :c3]
+    # zero-pad channels up to a multiple of 3 — every latent channel
+    # contributes to the features (dropping the remainder would blind the
+    # metric to defects concentrated there)
+    c3 = -(-c // 3) * 3
+    if c3 != c:
+        z = np.concatenate([z, np.zeros((b, c3 - c, f, h, w), z.dtype)], axis=1)
     g = c3 // 3
     # [B, 3, g, F, h, w] -> tile the g channel-groups along width
     z = z.reshape(b, 3, g, f, h, w).transpose(0, 3, 4, 2, 5, 1)
