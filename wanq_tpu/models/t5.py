@@ -33,6 +33,7 @@ class T5Config:
     dim_ffn: int = 10240
     num_heads: int = 64
     num_layers: int = 24  # encoder layers
+    decoder_layers: int = 24
     num_buckets: int = 32
     shared_pos: bool = False
     param_dtype: str = "bfloat16"
@@ -159,6 +160,78 @@ def _ffn(p: Params, cfg: T5Config, x):
                    preferred_element_type=jnp.float32)
 
 
+def decoder_forward(
+    params: Params,
+    cfg: T5Config,
+    ids: jax.Array,
+    mask: Optional[jax.Array] = None,
+    encoder_states: Optional[jax.Array] = None,
+    encoder_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """ref T5Decoder.forward (t5.py:350-369): causal self-attention with
+    unidirectional relative-position bias, cross-attention over encoder
+    states, gated-GELU FFN. ids: [B, S] → [B, S, dim].
+
+    Unused by every Wan pipeline (the DiT consumes encoder states only) —
+    implemented for full T5Model surface parity; no pretrained decoder
+    checkpoint ships with Wan2.1."""
+    b, s = ids.shape
+    x = params["token_embedding"][ids].astype(jnp.float32)
+
+    causal = np.tril(np.ones((s, s), np.float32))
+    if mask is None:
+        m3 = jnp.asarray(causal)[None]  # [1, S, S]
+    else:
+        # 2-D key mask ∧ causal (ref :355-358)
+        m3 = jnp.asarray(causal)[None] * mask.astype(jnp.float32)[:, None, :]
+
+    shared_bias = None
+    if cfg.shared_pos:
+        shared_bias = rel_pos_bias(
+            params["pos_embedding"]["embedding"], s, s, cfg.num_buckets, False
+        )
+    for i in range(cfg.decoder_layers):
+        bp = params["blocks"][i]
+        bias = shared_bias if cfg.shared_pos else rel_pos_bias(
+            bp["pos_embedding"]["embedding"], s, s, cfg.num_buckets, False
+        )
+        h = t5_layer_norm(x, bp["norm1"]["w"])
+        x = x + _attention(bp["self_attn"], cfg, h, mask=m3, pos_bias=bias)
+        h = t5_layer_norm(x, bp["norm2"]["w"])
+        x = x + _attention(bp["cross_attn"], cfg, h, context=encoder_states,
+                           mask=encoder_mask)
+        h = t5_layer_norm(x, bp["norm3"]["w"])
+        x = x + _ffn(bp["ffn"], cfg, h)
+    return t5_layer_norm(x, params["norm"]["w"]).astype(jnp.float32)
+
+
+def t5_model_forward(
+    params: Params,
+    cfg: T5Config,
+    encoder_ids: jax.Array,
+    encoder_mask: Optional[jax.Array],
+    decoder_ids: jax.Array,
+    decoder_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """ref T5Model.forward (t5.py:407-411): encode → decode → vocab head.
+    Returns logits [B, S_dec, vocab]."""
+    enc_view = {
+        "token_embedding": params["token_embedding"],
+        "blocks": params["encoder"]["blocks"],
+        "norm": params["encoder"]["norm"],
+    }
+    dec_view = {
+        "token_embedding": params["token_embedding"],
+        "blocks": params["decoder"]["blocks"],
+        "norm": params["decoder"]["norm"],
+    }
+    enc = encoder_forward(enc_view, cfg, encoder_ids, encoder_mask)
+    dec = decoder_forward(dec_view, cfg, decoder_ids, decoder_mask,
+                          encoder_states=enc, encoder_mask=encoder_mask)
+    return jnp.dot(dec.astype(cfg.dtype), params["head"]["w"].astype(cfg.dtype),
+                   preferred_element_type=jnp.float32)
+
+
 def encoder_forward(
     params: Params, cfg: T5Config, ids: jax.Array, mask: Optional[jax.Array] = None
 ) -> jax.Array:
@@ -215,15 +288,55 @@ def init_t5_params(cfg: T5Config, seed: int = 0, encoder_only: bool = True) -> P
             },
         }
 
-    params = {
-        "token_embedding": jnp.asarray(
-            rng.standard_normal((cfg.vocab_size, cfg.dim)).astype(np.float32),
-            dtype=dtype,
-        ),
-        "blocks": [block() for _ in range(cfg.num_layers)],
-        "norm": {"w": jnp.ones((cfg.dim,), jnp.float32)},
+    def dec_block():
+        b = block()
+        return {
+            "norm1": b["norm1"],
+            "self_attn": b["attn"],
+            "norm2": {"w": jnp.ones((cfg.dim,), jnp.float32)},
+            "cross_attn": {
+                "q": lin(cfg.dim, cfg.dim_attn, (cfg.dim * cfg.dim_attn) ** -0.5),
+                "k": lin(cfg.dim, cfg.dim_attn, cfg.dim**-0.5),
+                "v": lin(cfg.dim, cfg.dim_attn, cfg.dim**-0.5),
+                "o": lin(cfg.dim_attn, cfg.dim,
+                         (cfg.num_heads * cfg.head_dim) ** -0.5),
+            },
+            "norm3": b["norm2"],
+            "ffn": b["ffn"],
+            "pos_embedding": {
+                "embedding": jnp.asarray(
+                    (rng.standard_normal((cfg.num_buckets, cfg.num_heads))
+                     * (2 * cfg.num_buckets * cfg.num_heads) ** -0.5).astype(np.float32)
+                )
+            },
+        }
+
+    token_embedding = jnp.asarray(
+        rng.standard_normal((cfg.vocab_size, cfg.dim)).astype(np.float32),
+        dtype=dtype,
+    )
+    if encoder_only:
+        return {
+            "token_embedding": token_embedding,
+            "blocks": [block() for _ in range(cfg.num_layers)],
+            "norm": {"w": jnp.ones((cfg.dim,), jnp.float32)},
+        }
+    # full T5Model: shared token embedding, encoder + decoder stacks,
+    # vocab head (ref T5Model, t5.py:372-411)
+    return {
+        "token_embedding": token_embedding,
+        "encoder": {
+            "blocks": [block() for _ in range(cfg.num_layers)],
+            "norm": {"w": jnp.ones((cfg.dim,), jnp.float32)},
+        },
+        "decoder": {
+            "blocks": [dec_block() for _ in range(cfg.decoder_layers)],
+            "norm": {"w": jnp.ones((cfg.dim,), jnp.float32)},
+        },
+        "head": {"w": jnp.asarray(
+            (rng.standard_normal((cfg.dim, cfg.vocab_size))
+             * cfg.dim**-0.5).astype(np.float32), dtype=dtype)},
     }
-    return params
 
 
 def convert_t5_state_dict(sd: Dict[str, Any], dtype=jnp.bfloat16) -> Params:
