@@ -76,6 +76,8 @@ def generate(args):
             out["video"] = np.asarray(video)
         except (ImportError, FileNotFoundError) as e:
             logging.warning("VAE decode skipped: %s", e)
+    if not save_file.endswith(".npz"):
+        save_file += ".npz"  # np.savez appends it anyway; log the real path
     np.savez(save_file, **out)
     logging.info("saved %s", save_file)
     return save_file
