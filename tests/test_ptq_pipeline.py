@@ -216,3 +216,28 @@ def test_calibration_captures_attention_stats(tiny, contexts):
         assert key in stats, key
         assert stats[key].shape == (2, cfg.num_heads, cfg.head_dim)
         assert np.all(stats[key] >= 0)
+
+
+def test_rebuild_rotations_handles_packed_int4(tiny):
+    """Rotation-dim recovery from a loaded quant state must work when the
+    state carries only packed w_int4 (K/2 rows)."""
+    from wanq_tpu.quant.ptq import rebuild_rotations
+
+    cfg, params = tiny
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": r"text_embedding|time_embedding|time_projection|head\.head",
+        "weight": {"n_bits": 4, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+        "quarot": {"layer_name_regex": "ffn"},
+    })
+    names = linear_layer_names(cfg)
+    policies = {n: qcfg.resolve(n) for n in names}
+    _, state, want_rot = prepare_quant_state(
+        params, names, qcfg, targets="int8"
+    )
+    st = state["blocks.0.ffn.0"]
+    assert "w_int4" in st and "w_q" not in st
+    got = rebuild_rotations(state, policies, seed=0)
+    assert set(got.keys()) == set(want_rot.keys())
+    for d in got:
+        np.testing.assert_array_equal(np.asarray(got[d]), np.asarray(want_rot[d]))

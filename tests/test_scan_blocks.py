@@ -97,3 +97,77 @@ def test_init_params_on_device_structure(setup):
     assert ref_tree == dev_tree
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(dev)):
         assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_scan_ctx_carries_attention_quant():
+    """Attention-quant config must survive the scan-over-blocks ctx
+    rebuild (a dropped ctx.attn silently ran FP attention)."""
+    from wanq_tpu.configs import tiny_config
+    from wanq_tpu.models.dit import (
+        dit_forward,
+        init_params,
+        linear_layer_names,
+        make_scan_ctx,
+        stack_block_params,
+    )
+    from wanq_tpu.quant import QuantConfig
+    from wanq_tpu.quant.ptq import prepare_quant_state
+    from wanq_tpu.quant.qlinear import QuantCtx
+
+    from tests.conftest import randomize_head
+
+    cfg = tiny_config()
+    lp = randomize_head(init_params(cfg, jax.random.PRNGKey(0)))
+    sp = stack_block_params(randomize_head(init_params(cfg, jax.random.PRNGKey(0))))
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": r"text_embedding|time_embedding|time_projection|head\.head",
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+        "attn": {"qk": {"n_bits": 4}, "v": {"n_bits": 4}},
+    })
+    pol, st, rot = prepare_quant_state(lp, linear_layer_names(cfg), qcfg)
+    base = QuantCtx(mode="sim", policies=pol, state=st, rotations=rot,
+                    attn=qcfg.attn_cfg)
+    sctx = make_scan_ctx(base, cfg.num_layers)
+    assert sctx.attn is not None
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.in_dim, 2, 8, 8))
+    t = jnp.asarray([500.0])
+    c = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim))
+    with_attnq = dit_forward(sp, cfg, x, t, c, 32, ctx=sctx)
+    no_attnq = dit_forward(
+        sp, cfg, x, t, c, 32,
+        ctx=make_scan_ctx(QuantCtx(mode="sim", policies=pol, state=st,
+                                   rotations=rot), cfg.num_layers),
+    )
+    # 4-bit qk/v quantization must actually change the output under scan
+    assert not np.allclose(np.asarray(with_attnq), np.asarray(no_attnq))
+
+
+def test_scan_rejects_attn_perms():
+    from wanq_tpu.configs import tiny_config
+    from wanq_tpu.models.dit import (
+        dit_forward, init_params, linear_layer_names, make_scan_ctx,
+        stack_block_params,
+    )
+    from wanq_tpu.quant import QuantConfig
+    from wanq_tpu.quant.ptq import prepare_quant_state
+    from wanq_tpu.quant.qlinear import QuantCtx
+
+    cfg = tiny_config()
+    lp = init_params(cfg, jax.random.PRNGKey(0))
+    sp = stack_block_params(init_params(cfg, jax.random.PRNGKey(0)))
+    qcfg = QuantConfig.from_dict({
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+    })
+    pol, st, rot = prepare_quant_state(lp, linear_layer_names(cfg), qcfg)
+    ctx = make_scan_ctx(QuantCtx(mode="sim", policies=pol, state=st,
+                                 rotations=rot), cfg.num_layers)
+    ctx.attn_perms = {"blocks.0.self_attn": jnp.zeros((4, 32), jnp.int32)}
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.in_dim, 2, 8, 8))
+    with pytest.raises(NotImplementedError, match="reorder"):
+        dit_forward(sp, cfg, x, jnp.asarray([500.0]),
+                    jax.random.normal(jax.random.PRNGKey(2),
+                                      (1, cfg.text_len, cfg.text_dim)),
+                    32, ctx=ctx)

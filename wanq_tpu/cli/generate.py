@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wanq_tpu.cli.common import (
+    seq_parallel_size,
     add_common_args,
     build_mesh_and_plan,
     load_contexts,
@@ -52,8 +53,7 @@ def _maybe_quant_ctx(args, cfg):
         return None
     from wanq_tpu.models.dit import linear_layer_names
     from wanq_tpu.quant import QuantConfig
-    from wanq_tpu.quant.hadamard import rotation_for_dim
-    from wanq_tpu.quant.ptq import load_quant_state
+    from wanq_tpu.quant.ptq import load_quant_state, rebuild_rotations
     from wanq_tpu.quant.qlinear import QuantCtx
 
     qcfg = QuantConfig.from_yaml(args.quant_config)
@@ -61,14 +61,7 @@ def _maybe_quant_ctx(args, cfg):
     policies = {n: qcfg.resolve(n) for n in names}
     assert args.quant_params, "--quant_config needs --quant_params (run ptq)"
     state, seed = load_quant_state(args.quant_params)
-    rotations = {}
-    for n, st in state.items():
-        if policies[n].uses_rotation:
-            c_in = int(np.asarray(st.get("w_q", st.get("w_int8"))).shape[0])
-            if c_in not in rotations:
-                rotations[c_in] = jnp.asarray(
-                    rotation_for_dim(c_in, seed=seed).astype(np.float32)
-                )
+    rotations = rebuild_rotations(state, policies, seed)
     return QuantCtx(
         mode="int8" if args.hardware else "sim",
         policies=policies, state=state, rotations=rotations,
@@ -101,10 +94,11 @@ def generate(args):
         guide_scale=args.sample_guide_scale,
         seed=args.base_seed,
     )
+    vae = None
     if is_i2v:
         assert args.image, "--task i2v needs --image"
         img = _load_image(args.image)
-        vae = clip = None
+        clip = None
         if args.ckpt_dir:
             import os
 
@@ -115,7 +109,7 @@ def generate(args):
             clip = CLIPModel(
                 checkpoint_path=os.path.join(args.ckpt_dir, cfg.clip_checkpoint)
             )
-        pipe = WanI2V(cfg, params, quant_ctx=qctx, sp_size=args.ulysses_size,
+        pipe = WanI2V(cfg, params, quant_ctx=qctx, sp_size=seq_parallel_size(args),
                       mesh=mesh, shardings=plan, vae=vae, clip=clip)
         kw = {}
         if vae is None:
@@ -135,7 +129,7 @@ def generate(args):
             max_area=MAX_AREA_CONFIGS[args.size], **common, **kw,
         )
     else:
-        pipe = WanT2V(cfg, params, quant_ctx=qctx, sp_size=args.ulysses_size,
+        pipe = WanT2V(cfg, params, quant_ctx=qctx, sp_size=seq_parallel_size(args),
                       mesh=mesh, shardings=plan)
         latents = pipe.generate(
             jnp.asarray(context), jnp.asarray(context_null),
@@ -151,7 +145,8 @@ def generate(args):
             from wanq_tpu.models.vae import WanVAE
             from wanq_tpu.utils.video import cache_video
 
-            vae = WanVAE(vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint))
+            if vae is None:  # t2v branch; i2v already loaded it
+                vae = WanVAE(vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint))
             video = vae.decode(latents)
             out["video"] = np.asarray(video)
             mp4 = save_file.replace(".npz", ".mp4")

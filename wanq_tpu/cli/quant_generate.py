@@ -29,7 +29,6 @@ from wanq_tpu.configs import SIZE_CONFIGS, WAN_CONFIGS
 from wanq_tpu.models.dit import linear_layer_names
 from wanq_tpu.pipelines.text2video import WanT2V
 from wanq_tpu.quant import QuantConfig
-from wanq_tpu.quant.hadamard import rotation_for_dim
 from wanq_tpu.quant.ptq import load_quant_state, prepare_quant_state
 from wanq_tpu.quant.qlinear import QuantCtx
 
@@ -62,17 +61,10 @@ def generate(args):
     policies = {n: qcfg.resolve(n) for n in names}
 
     if args.quant_params:
+        from wanq_tpu.quant.ptq import rebuild_rotations
+
         state, seed = load_quant_state(args.quant_params)
-        # rotations are regenerated from the stored seed (quant state does
-        # not serialize them; ref quant_model.py:172)
-        rotations = {}
-        for n, st in state.items():
-            if policies[n].uses_rotation:
-                c_in = int(np.asarray(st.get("w_q", st.get("w_int8"))).shape[0])
-                if c_in not in rotations:
-                    rotations[c_in] = jnp.asarray(
-                        rotation_for_dim(c_in, seed=seed).astype(np.float32)
-                    )
+        rotations = rebuild_rotations(state, policies, seed)
         logging.info("loaded quant state: %d layers (seed %d)", len(state), seed)
     else:
         calib = dict(np.load(args.calib_data)) if args.calib_data else None

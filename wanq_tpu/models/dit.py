@@ -720,9 +720,11 @@ def make_scan_ctx(ctx: QuantCtx, num_layers: int) -> QuantCtx:
     other, stacked = stack_quant_state(ctx, num_layers)
     new = QuantCtx(
         mode=ctx.mode, policies=ctx.policies, state=other,
-        rotations=ctx.rotations,
+        rotations=ctx.rotations, attn=ctx.attn, cross_attn=ctx.cross_attn,
+        collect_minmax=ctx.collect_minmax, attn_map_pool=ctx.attn_map_pool,
     )
     new.scan_state = stacked
+    new.attn_perms = ctx.attn_perms
     return new
 
 
@@ -738,11 +740,25 @@ def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
     policies = ctx.policies if ctx is not None else {}
     rotations = ctx.rotations if ctx is not None else {}
 
+    if ctx is not None and ctx.attn_perms:
+        raise NotImplementedError(
+            "attn-map reorder tables are per-block and cannot ride the "
+            "uniform scan body; use list-form (unstacked) block params "
+            "with QuantCtx.attn_perms"
+        )
+
     def body(carry, xs):
         bp, bstate = xs
         sub = None
         if ctx is not None:
-            sub = QuantCtx(mode=mode, rotations=rotations)
+            # carry EVERY per-ctx behavior flag into the per-block view —
+            # dropping attn/cross_attn here would silently disable
+            # attention quantization under scan
+            sub = QuantCtx(
+                mode=mode, rotations=rotations, attn=ctx.attn,
+                cross_attn=ctx.cross_attn, collect_minmax=ctx.collect_minmax,
+                attn_map_pool=ctx.attn_map_pool,
+            )
             sub.policies = {
                 k: v for k, v in policies.items() if k.startswith(_SCAN_NAME + ".")
             }

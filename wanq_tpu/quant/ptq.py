@@ -298,6 +298,33 @@ def load_quant_state(path: str) -> Tuple[Dict[str, Dict[str, jax.Array]], int]:
     return state, seed
 
 
+def rebuild_rotations(
+    state: Dict[str, Dict[str, jax.Array]],
+    policies: Mapping[str, LayerPolicy],
+    seed: int,
+) -> Dict[int, jax.Array]:
+    """Regenerate the activation-side rotation matrices for a loaded quant
+    state (rotations are not serialized; ref quant_model.py:172). The
+    in_features dim comes from whichever deployed-weight entry exists —
+    packed int4 weights store K/2 rows."""
+    rotations: Dict[int, jax.Array] = {}
+    for n, st in state.items():
+        pol = policies.get(n)
+        if pol is None or not pol.uses_rotation:
+            continue
+        if "w_q" in st or "w_int8" in st:
+            c_in = int(st.get("w_q", st.get("w_int8")).shape[0])
+        elif "w_int4" in st:
+            c_in = 2 * int(st["w_int4"].shape[0])
+        else:
+            raise KeyError(f"no deployed weight entry in quant state for {n}")
+        if c_in not in rotations:
+            rotations[c_in] = jnp.asarray(
+                rotation_for_dim(c_in, seed=seed).astype(np.float32)
+            )
+    return rotations
+
+
 def load_reference_calib(path: str) -> Dict[str, np.ndarray]:
     """Load a reference calib_data_wanx1.pth artifact (torch dict of
     {layer_name: [N_calls, C]} absmax stacks) for scale-dict parity checks."""
