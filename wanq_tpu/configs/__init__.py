@@ -53,6 +53,11 @@ class WanConfig:
     num_train_timesteps: int = 1000
     sample_fps: int = 16
     param_dtype: str = "bfloat16"
+    # dtype of the residual stream between blocks. The reference rides its
+    # fp16 module dtype with fp32 norm/modulation pockets (model.py:314-317);
+    # float32 here is the conservative default, bfloat16 trades ~8 mantissa
+    # bits of the stream for less HBM traffic (norms still compute f32).
+    residual_dtype: str = "float32"
 
     @property
     def head_dim(self) -> int:
@@ -62,6 +67,10 @@ class WanConfig:
     def dtype(self):
         return jnp.dtype(self.param_dtype)
 
+    @property
+    def res_dtype(self):
+        return jnp.dtype(self.residual_dtype)
+
 
 # default negative prompt (ref: shared_config.py:16)
 SAMPLE_NEG_PROMPT = (
@@ -70,7 +79,12 @@ SAMPLE_NEG_PROMPT = (
     "毁容的，形态畸形的肢体，手指融合，静止不动的画面，杂乱的背景，三条腿，背景人很多，倒着走"
 )
 
-t2v_1_3B = WanConfig(name="t2v-1.3B")
+# shipped configs ride a bf16 residual stream — the analog of the
+# reference's fp16 module dtype (model.py autocast; norms/modulation stay
+# f32 pockets). Measured on v5e: -80..-90 ms/step both precisions at a
+# stream drift (55 dB PSNR vs an f32 stream) on par with W8A8's own
+# quantization noise. Tests/tiny configs keep the f32 default.
+t2v_1_3B = WanConfig(name="t2v-1.3B", residual_dtype="bfloat16")
 
 t2v_14B = WanConfig(
     name="t2v-14B",
@@ -78,11 +92,13 @@ t2v_14B = WanConfig(
     ffn_dim=13824,
     num_heads=40,
     num_layers=40,
+    residual_dtype="bfloat16",
 )
 
 i2v_14B = WanConfig(
     name="i2v-14B",
     model_type="i2v",
+    residual_dtype="bfloat16",
     dim=5120,
     ffn_dim=13824,
     num_heads=40,

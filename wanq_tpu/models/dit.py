@@ -512,7 +512,7 @@ def block_forward(
             p["self_attn"], f"{name}.self_attn", ctx, xn1.astype(dtype), cfg,
             cos, sin, valid_len, dtype, plan=plan,
         )
-    x = x + y.astype(jnp.float32) * e2[:, None, :]
+    x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e2[:, None, :]).astype(x.dtype)
 
     if cfg.cross_attn_norm:
         xn3 = layer_norm(x, cfg.eps, p["norm3"]["w"], p["norm3"]["b"])
@@ -522,7 +522,7 @@ def block_forward(
         p["cross_attn"], f"{name}.cross_attn", ctx, xn3.astype(dtype),
         context, cfg, dtype,
     )
-    x = x + y.astype(jnp.float32)
+    x = (x.astype(jnp.float32) + y.astype(jnp.float32)).astype(x.dtype)
 
     ffn_sites = [f"{name}.ffn.0", f"{name}.ffn.2"]
     if int8_fusable(ctx, ffn_sites, allow_mask=True):
@@ -553,7 +553,7 @@ def block_forward(
         h = qlinear(ctx, f"{name}.ffn.0", p["ffn"]["0"], xn2.astype(dtype), dtype)
         h = gelu_tanh(h).astype(dtype)
         y = qlinear(ctx, f"{name}.ffn.2", p["ffn"]["2"], h, dtype)
-    x = x + y.astype(jnp.float32) * e5[:, None, :]
+    x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e5[:, None, :]).astype(x.dtype)
     return x
 
 
@@ -645,7 +645,7 @@ def dit_forward(
         jnp.asarray(a) for a in rope_tables_interleaved(grid, cfg.head_dim)
     )
 
-    xf = xq.astype(jnp.float32)
+    xf = xq.astype(cfg.res_dtype)  # residual-stream dtype (configs)
     if isinstance(params["blocks"], dict):
         # stacked-block form: one compiled block body via lax.scan (30-40x
         # smaller XLA graph than the unrolled loop — essential for 14B
