@@ -41,6 +41,15 @@ def main(argv=None):
     p.add_argument("--quant", required=True, help="quantized outputs (.npz)")
     p.add_argument("--feat_dim", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--clip_metrics", action="store_true",
+        help="also compute CLIP-Temp / temporal-flicker / FP-vs-quant CLIP "
+        "frame cosine via the in-repo CLIP tower (utils/clip_metrics.py)",
+    )
+    p.add_argument(
+        "--clip_checkpoint", default=None,
+        help="Wan CLIP .pth for real CLIP features (random init otherwise)",
+    )
     args = p.parse_args(argv)
 
     from wanq_tpu.utils.fvd import I3DLikeFeatures, fpfvd_report, latents_as_videos
@@ -57,6 +66,17 @@ def main(argv=None):
         fp, q, feature_fn=None if args.feat_dim == 256 and args.seed == 0
         else I3DLikeFeatures(args.feat_dim, args.seed)
     )
+
+    if args.clip_metrics:
+        from wanq_tpu.models.clip import CLIP_XLM_ROBERTA_VIT_H_14, CLIPModel
+        from wanq_tpu.utils.clip_metrics import clip_fidelity_report
+
+        clip = CLIPModel(CLIP_XLM_ROBERTA_VIT_H_14,
+                         checkpoint_path=args.clip_checkpoint)
+        rep.update(clip_fidelity_report(fp, q, clip.params, clip.cfg))
+        if not args.clip_checkpoint:
+            rep["clip_random_init"] = 1.0  # flag: rank-preserving probe only
+
     print(json.dumps({k: float(v) for k, v in rep.items()}))
     return rep
 
