@@ -92,3 +92,39 @@ def test_lora_layer_selection():
     sel = lora_layer_names(names, r"self_attn\.q")
     assert all("self_attn.q" in n for n in sel)
     assert len(sel) == cfg.num_layers
+
+def test_lora_checkpoint_roundtrip(tmp_path):
+    """save_lora_checkpoint / resume_lora_checkpoint (ref wan/checkpoint.py
+    :248-302): adapters + optimizer state + config metadata."""
+    import optax
+
+    from wanq_tpu.training.lora import (
+        resume_lora_checkpoint,
+        save_lora_checkpoint,
+    )
+
+    cfg, params, names = _setup()
+    lora = init_lora(params, names, rank=4, alpha=8.0, seed=3)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(lora)
+    # advance the optimizer once so its state is non-trivial
+    grads = jax.tree.map(jnp.ones_like, lora)
+    updates, opt_state = tx.update(grads, opt_state, lora)
+    lora = optax.apply_updates(lora, updates)
+
+    d = save_lora_checkpoint(str(tmp_path), 17, lora, opt_state,
+                             rank=4, alpha=8.0)
+    assert d.endswith("lora-checkpoint-17")
+    back, opt_back, step, meta = resume_lora_checkpoint(
+        d, opt_state_target=tx.init(lora))
+    assert step == 17
+    assert meta["lora_params"]["lora_rank"] == 4
+    assert meta["lora_params"]["lora_alpha"] == 8.0
+    np.testing.assert_array_equal(
+        np.asarray(back["blocks.0.ffn.0"]["a"]),
+        np.asarray(lora["blocks.0.ffn.0"]["a"]))
+    got_mu = jax.tree.leaves(opt_back)
+    want_mu = jax.tree.leaves(opt_state)
+    assert len(got_mu) == len(want_mu)
+    for g, w in zip(got_mu, want_mu):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w))

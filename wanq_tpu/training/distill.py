@@ -112,6 +112,55 @@ def make_distill_step(
     return step
 
 
+def make_lora_distill_step(
+    model_cfg: WanConfig,
+    dcfg: DistillConfig,
+    tx,
+    plan=None,
+) -> Callable:
+    """LoRA-mode distillation: gradients flow only through the adapter
+    tree; the base weights double as the frozen teacher (the reference's
+    PEFT-on-FSDP training, whose checkpoints save_lora_checkpoint
+    serializes — wan/checkpoint.py:248-287).
+
+    The step signature mirrors make_distill_step with (lora, ema_lora,
+    opt_state, base_params, ...) — base params are never updated."""
+    from wanq_tpu.training.lora import apply_lora
+
+    def loss_fn(lora, base_params, x0, noise, t, context, null_context, g):
+        sigma = (t / dcfg.num_train_timesteps)[:, None, None, None, None]
+        xt = (1.0 - sigma) * x0 + sigma * noise
+        v_student = dit_forward(
+            apply_lora(base_params, lora), model_cfg, xt, t, context,
+            dcfg.seq_len, plan=plan
+        )
+        tcond = dit_forward(
+            base_params, model_cfg, xt, t, context, dcfg.seq_len, plan=plan
+        )
+        tuncond = dit_forward(
+            base_params, model_cfg, xt, t, null_context, dcfg.seq_len, plan=plan
+        )
+        v_teacher = jax.lax.stop_gradient(tuncond + g * (tcond - tuncond))
+        return jnp.mean(jnp.square(v_student - v_teacher))
+
+    @jax.jit
+    def step(lora, ema_lora, opt_state, base_params, x0, noise, t,
+             context, null_context, g):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            lora, base_params, x0, noise, t, context, null_context, g
+        )
+        updates, opt_state = tx.update(grads, opt_state, lora)
+        scale = lora.get("__scale__")
+        lora = optax.apply_updates(lora, updates)
+        if scale is not None:  # alpha/r stays a constant hyperparameter
+            lora = dict(lora) | {"__scale__": scale}
+        ema_lora = ema_update(ema_lora, lora, dcfg.ema_decay)
+        gnorm = optax.global_norm(grads)
+        return lora, ema_lora, opt_state, loss, gnorm
+
+    return step
+
+
 def distill_step(
     state: TrainState,
     step_fn: Callable,

@@ -54,6 +54,9 @@ def apply_lora(params: Any, lora: Dict[str, Dict[str, jax.Array]]) -> Any:
     """Merged params: w' = w + scale · a @ b per adapted layer (pure —
     returns a new tree; jit fuses the update into consumers)."""
     scale = lora.get("__scale__", 1.0)
+    if isinstance(scale, jnp.ndarray):
+        # alpha/r is a hyperparameter, not a trainable leaf
+        scale = jax.lax.stop_gradient(scale)
 
     def merge_path(tree, path, delta):
         parts = path.split(".")
@@ -114,3 +117,63 @@ def load_lora(path: str):
         name, leaf = key.split("|")
         lora.setdefault(name, {})[leaf] = jnp.asarray(data[key])
     return lora
+
+
+def save_lora_checkpoint(
+    output_dir: str,
+    step: int,
+    lora,
+    opt_state: Any = None,
+    rank: Optional[int] = None,
+    alpha: Optional[float] = None,
+    targets: str = DEFAULT_TARGETS,
+) -> str:
+    """Training checkpoint: adapters + optimizer state + config metadata
+    under ``lora-checkpoint-{step}/`` (ref wan/checkpoint.py
+    save_lora_checkpoint :248-287 — lora weights via peft, lora_optimizer.pt,
+    lora_config.json; the FSDP rank-0 gather is unnecessary in a
+    single-controller program)."""
+    import json
+    import os
+
+    save_dir = os.path.join(output_dir, f"lora-checkpoint-{step}")
+    os.makedirs(save_dir, exist_ok=True)
+    save_lora(os.path.join(save_dir, "lora_weights.npz"), lora)
+    if opt_state is not None:
+        from wanq_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(os.path.join(save_dir, "lora_optimizer"), opt_state)
+    any_ab = next(v for k, v in lora.items() if k != "__scale__")
+    r = rank if rank is not None else int(any_ab["a"].shape[1])
+    cfg = {
+        "step": step,
+        "lora_params": {
+            "lora_rank": r,
+            "lora_alpha": float(alpha) if alpha is not None
+            else float(lora.get("__scale__", 1.0)) * r,
+            "target_modules": targets,
+        },
+    }
+    with open(os.path.join(save_dir, "lora_config.json"), "w") as f:
+        json.dump(cfg, f, indent=4)
+    return save_dir
+
+
+def resume_lora_checkpoint(checkpoint_dir: str, opt_state_target: Any = None):
+    """→ (lora, opt_state | None, step, config) (ref resume_lora_optimizer
+    :290-302). ``opt_state_target`` is the freshly-initialized optimizer
+    state whose structure the restore targets (orbax needs the pytree
+    skeleton)."""
+    import json
+    import os
+
+    with open(os.path.join(checkpoint_dir, "lora_config.json")) as f:
+        cfg = json.load(f)
+    lora = load_lora(os.path.join(checkpoint_dir, "lora_weights.npz"))
+    opt_state = None
+    opt_path = os.path.join(checkpoint_dir, "lora_optimizer")
+    if os.path.exists(opt_path):
+        from wanq_tpu.utils.checkpoint import load_checkpoint
+
+        opt_state = load_checkpoint(opt_path, target=opt_state_target)
+    return lora, opt_state, int(cfg["step"]), cfg
