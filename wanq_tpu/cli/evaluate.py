@@ -4,10 +4,13 @@ FP output set and a quantized output set).
 
     python -m wanq_tpu.cli.evaluate --fp fp_videos.npz --quant q_videos.npz
 
-Inputs: .npz files holding one array each — either videos [N, T, H, W, 3]
-(key 'videos', or the first array) or DiT latents [N, C, F, h, w] (key
-'latents'; adapted via latents_as_videos). The reference's VBench /
-DOVER / CLIP suites remain external tooling (SURVEY.md L8 note).
+Inputs: .npz files holding one array each — videos [N, T, H, W, 3]
+(key 'videos', or the first array), DiT latents [N, C, F, h, w] (key
+'latents'; adapted via latents_as_videos), or t2i images [N, H, W, 3]
+(key 'images'; scored with FPFID per eval/image/readme.md).
+--clip_metrics adds CLIP-Temp / flicker / FP-vs-quant CLIP frame cosine
+via the in-repo tower (utils/clip_metrics.py). The reference's VBench /
+DOVER / ImageReward suites remain external tooling (SURVEY.md L8 note).
 """
 
 from __future__ import annotations
@@ -18,21 +21,26 @@ import json
 import numpy as np
 
 
-def _load(path: str) -> np.ndarray:
+def _load(path: str):
+    """→ (array, kind) with kind in {'videos', 'latents', 'images'}."""
     data = np.load(path)
     if "videos" in data.files:
-        return data["videos"], False
+        return data["videos"], "videos"
     if "latents" in data.files:
-        return data["latents"], True
+        return data["latents"], "latents"
+    if "images" in data.files:
+        return data["images"], "images"
     arr = data[data.files[0]]
+    if arr.ndim == 4 and arr.shape[-1] == 3:  # t2i outputs [N, H, W, 3]
+        return arr, "images"
     if arr.ndim != 5:
         raise SystemExit(
-            f"{path}: expected a 5-D array (videos [N,T,H,W,3] or latents "
-            f"[N,C,F,h,w]); got shape {arr.shape}. Save under an explicit "
-            "'videos' or 'latents' key to disambiguate."
+            f"{path}: expected videos [N,T,H,W,3], latents [N,C,F,h,w], or "
+            f"images [N,H,W,3]; got shape {arr.shape}. Save under an "
+            "explicit 'videos'/'latents'/'images' key to disambiguate."
         )
     # videos are channels-last RGB; anything else is a latent stack
-    return arr, arr.shape[-1] != 3
+    return arr, "videos" if arr.shape[-1] == 3 else "latents"
 
 
 def main(argv=None):
@@ -54,18 +62,27 @@ def main(argv=None):
 
     from wanq_tpu.utils.fvd import I3DLikeFeatures, fpfvd_report, latents_as_videos
 
-    fp, fp_lat = _load(args.fp)
-    q, q_lat = _load(args.quant)
-    if fp_lat:
-        fp = latents_as_videos(fp)
-    if q_lat:
-        q = latents_as_videos(q)
+    fp, fp_kind = _load(args.fp)
+    q, q_kind = _load(args.quant)
+    if fp_kind == "latents":
+        fp, fp_kind = latents_as_videos(fp), "videos"
+    if q_kind == "latents":
+        q, q_kind = latents_as_videos(q), "videos"
     assert fp.shape == q.shape, (fp.shape, q.shape)
+    assert fp_kind == q_kind, (fp_kind, q_kind)
 
-    rep = fpfvd_report(
-        fp, q, feature_fn=None if args.feat_dim == 256 and args.seed == 0
-        else I3DLikeFeatures(args.feat_dim, args.seed)
-    )
+    if fp_kind == "images":  # t2i: FPFID (eval/image/readme.md)
+        from wanq_tpu.utils.image_metrics import InceptionLikeFeatures, fpfid_report
+
+        rep = fpfid_report(
+            fp, q, feature_fn=None if args.feat_dim == 256 and args.seed == 0
+            else InceptionLikeFeatures(args.feat_dim, args.seed)
+        )
+    else:
+        rep = fpfvd_report(
+            fp, q, feature_fn=None if args.feat_dim == 256 and args.seed == 0
+            else I3DLikeFeatures(args.feat_dim, args.seed)
+        )
 
     if args.clip_metrics:
         from wanq_tpu.models.clip import CLIP_XLM_ROBERTA_VIT_H_14, CLIPModel
@@ -73,7 +90,9 @@ def main(argv=None):
 
         clip = CLIPModel(CLIP_XLM_ROBERTA_VIT_H_14,
                          checkpoint_path=args.clip_checkpoint)
-        rep.update(clip_fidelity_report(fp, q, clip.params, clip.cfg))
+        fp_v = fp[:, None] if fp_kind == "images" else fp
+        q_v = q[:, None] if q_kind == "images" else q
+        rep.update(clip_fidelity_report(fp_v, q_v, clip.params, clip.cfg))
         if not args.clip_checkpoint:
             rep["clip_random_init"] = 1.0  # flag: rank-preserving probe only
 
