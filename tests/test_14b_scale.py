@@ -47,6 +47,23 @@ def test_14b_w8a8_step_aot_compiles():
     assert "quant=w8a8" in msg
 
 
+@pytest.mark.slow
+def test_14b_w8a8_deployment_memory_layout():
+    """The deployment layout: full_shard + FP-copy strip (the reference's
+    hardware refactor deletes FP weights, quant_wanx.py:137-185).
+    Per-device residency must fit a single v5e (16 GB)."""
+    import re
+
+    cfg = WAN_CONFIGS["t2v-14B"]
+    mesh = make_mesh(1, 2, 2, 2)
+    qcfg = QuantConfig.from_dict(W8A8)
+    msg = aot_validate(cfg, mesh, quant=qcfg, full_shard=True, strip_fp=True)
+    gb = float(re.search(r"args=([\d.]+)GB/device", msg).group(1))
+    assert gb < 16.0, msg
+    # int8 weights 8-way sharded = ~1.75 GB + embeddings/head
+    assert gb < 4.0, msg
+
+
 def test_sharded_ptq_state_lands_on_mesh():
     """prepare_quant_state(mesh=...) returns FSDP-sharded int8 weights and
     runs the rotation on-device (no host f64 round trip)."""
@@ -133,3 +150,17 @@ def test_streaming_sharded_checkpoint_load(tmp_path):
         np.asarray(streamed["patch_embedding"]["w"]),
         np.asarray(inmem["patch_embedding"]["w"]),
     )
+
+
+def test_14b_full_shard_cuts_per_device_args():
+    """full_shard stores weights over fsdp x sp x ring: per-device argument
+    bytes drop vs fsdp-only storage on the same mesh."""
+    import re
+
+    cfg = WAN_CONFIGS["t2v-14B"]
+    mesh = make_mesh(1, 2, 2, 2)
+    base = aot_validate(cfg, mesh)
+    full = aot_validate(cfg, mesh, full_shard=True)
+    gb = lambda m: float(re.search(r"args=([\d.]+)GB/device", m).group(1))
+    # weights dominate the args; 8-way vs 2-way storage
+    assert gb(full) < gb(base) * 0.45, (base, full)

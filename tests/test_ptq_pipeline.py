@@ -241,3 +241,36 @@ def test_rebuild_rotations_handles_packed_int4(tiny):
     assert set(got.keys()) == set(want_rot.keys())
     for d in got:
         np.testing.assert_array_equal(np.asarray(got[d]), np.asarray(want_rot[d]))
+
+
+def test_strip_quantized_weights_int8_parity(tiny):
+    """The hardware-refactor FP-copy deletion (ref quant_wanx.py:137-185):
+    int8 and sim forwards are bit-identical with stripped FP weights;
+    FP-kept layers and biases survive."""
+    from wanq_tpu.quant.ptq import strip_quantized_weights
+
+    cfg, params = tiny
+    qcfg = QuantConfig.from_dict(BASE_QCFG)
+    policies, state, rotations = prepare_quant_state(
+        params, linear_layer_names(cfg), qcfg, calib=None, seed=0
+    )
+    stripped = strip_quantized_weights(params, policies)
+    # quantized layers' w (self-attn q/k/v under the shipped Wan regex)
+    # became placeholders; FP-kept layers and biases are intact
+    assert stripped["blocks"][0]["self_attn"]["q"]["w"].shape == (1, 1)
+    assert stripped["blocks"][0]["ffn"]["0"]["w"].shape == params["blocks"][0]["ffn"]["0"]["w"].shape
+    assert stripped["head"]["head"]["w"].shape == params["head"]["head"]["w"].shape
+    np.testing.assert_array_equal(
+        np.asarray(stripped["blocks"][0]["self_attn"]["q"]["b"]),
+        np.asarray(params["blocks"][0]["self_attn"]["q"]["b"]))
+    # original tree untouched
+    assert params["blocks"][0]["self_attn"]["q"]["w"].shape != (1, 1)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.in_dim, 2, 8, 8), dtype=jnp.float32)
+    t = jnp.asarray([500.0])
+    txt = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.text_len, cfg.text_dim))
+    for mode in ("sim", "int8"):
+        ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations)
+        ref = dit_forward(params, cfg, x, t, txt, 32, ctx=ctx)
+        got = dit_forward(stripped, cfg, x, t, txt, 32, ctx=ctx)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

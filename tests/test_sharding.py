@@ -36,14 +36,14 @@ def inputs(tiny):
     return x, t, txt
 
 
-def _run(cfg, params, inputs, mesh_dims=None):
+def _run(cfg, params, inputs, mesh_dims=None, full_shard=False):
     x, t, txt = inputs
     seq_len = 4 * 4 * 4
     if mesh_dims is None:
         return dit_forward(params, cfg, x, t, txt, seq_len)
     mesh = make_mesh(*mesh_dims)
     plan = ShardingPlan(mesh)
-    sharded = shard_params(params, mesh)
+    sharded = shard_params(params, mesh, full_shard)
     fwd = jax.jit(
         lambda p, x, t, c: dit_forward(p, cfg, x, t, c, seq_len, plan=plan)
     )
@@ -86,6 +86,31 @@ def test_param_sharding_actually_shards(tiny):
     # output dim split over 8 devices
     shard_shapes = {s.data.shape for s in w.addressable_shards}
     assert shard_shapes == {(cfg.dim, cfg.dim // 8)}
+
+
+def test_full_shard_stores_over_all_non_dp_axes(tiny):
+    """--full_shard: weight storage over fsdp×sp×ring (the reference's
+    dit_fsdp-on-all-8-ranks layout, fsdp.py:10-33 + ulysses_size 8)."""
+    cfg, params = tiny
+    mesh = make_mesh(1, 2, 2, 2)
+    sharded = shard_params(params, mesh, full_shard=True)
+    w = sharded["blocks"][0]["self_attn"]["q"]["w"]
+    assert {s.data.shape for s in w.addressable_shards} == {
+        (cfg.dim, cfg.dim // 8)
+    }
+    # fsdp-only storage on the same mesh keeps 4x more per device
+    base = shard_params(params, mesh)
+    wb = base["blocks"][0]["self_attn"]["q"]["w"]
+    assert {s.data.shape for s in wb.addressable_shards} == {
+        (cfg.dim, cfg.dim // 2)
+    }
+
+
+def test_full_shard_forward_matches_single_device(tiny, inputs):
+    cfg, params = tiny
+    ref = np.asarray(_run(cfg, params, inputs))
+    got = np.asarray(_run(cfg, params, inputs, (1, 2, 2, 2), full_shard=True))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
 
 
 def test_ulysses_pipeline_generate(tiny):

@@ -57,6 +57,10 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
     p.add_argument("--dit_fsdp", action="store_true")
     p.add_argument("--t5_fsdp", action="store_true")
     p.add_argument("--fsdp_size", type=int, default=1)
+    p.add_argument("--full_shard", action="store_true",
+                   help="store weights sharded over EVERY non-dp mesh axis "
+                        "(the reference's --dit_fsdp-on-all-ranks memory "
+                        "layout when combined with --ulysses_size/--ring_size)")
     p.add_argument("--offload_model", type=str, default=None,
                    help="accepted for reference-CLI parity; HBM residency "
                         "is managed by XLA on TPU")

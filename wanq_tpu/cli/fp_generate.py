@@ -47,7 +47,7 @@ def generate(args):
     if mesh is not None:
         from wanq_tpu.parallel import shard_params
 
-        params = shard_params(params, mesh)
+        params = shard_params(params, mesh, getattr(args, 'full_shard', False))
         logging.info("mesh: %s", dict(mesh.shape))
 
     pipe = WanT2V(cfg, params, sp_size=seq_parallel_size(args), mesh=mesh, shardings=plan)

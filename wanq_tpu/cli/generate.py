@@ -83,7 +83,7 @@ def generate(args):
     if mesh is not None:
         from wanq_tpu.parallel import shard_params
 
-        params = shard_params(params, mesh)
+        params = shard_params(params, mesh, getattr(args, 'full_shard', False))
     qctx = _maybe_quant_ctx(args, cfg)
 
     common = dict(

@@ -65,7 +65,7 @@ def generate(args):
     if mesh is not None:
         from wanq_tpu.parallel import shard_params
 
-        params = shard_params(params, mesh)
+        params = shard_params(params, mesh, getattr(args, 'full_shard', False))
 
     pipe = WanT2V(
         cfg, params,

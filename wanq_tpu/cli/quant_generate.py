@@ -78,7 +78,7 @@ def generate(args):
     if mesh is not None:
         from wanq_tpu.parallel import shard_params
 
-        params = shard_params(params, mesh)
+        params = shard_params(params, mesh, getattr(args, 'full_shard', False))
 
     ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations,
                    attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg)

@@ -71,7 +71,7 @@ def convert_tensor(key: str, v: np.ndarray, dtype):
     return key, v, jnp.float32
 
 
-def _place(arr: np.ndarray, dtype, path: str, mesh) -> Any:
+def _place(arr: np.ndarray, dtype, path: str, mesh, full_shard=False) -> Any:
     """Host→device placement of one converted tensor; sharded over the mesh
     when given (never materializing more than one tensor on host)."""
     import jax
@@ -82,10 +82,14 @@ def _place(arr: np.ndarray, dtype, path: str, mesh) -> Any:
     from wanq_tpu.parallel.sharding import leaf_sharding
 
     leaf_name = path.rsplit(".", 1)[-1]
-    return jax.device_put(arr, leaf_sharding(mesh, leaf_name, arr.ndim, arr.shape))
+    return jax.device_put(
+        arr, leaf_sharding(mesh, leaf_name, arr.ndim, arr.shape, full_shard)
+    )
 
 
-def convert_state_dict(sd: Dict[str, Any], dtype=jnp.bfloat16, mesh=None) -> Dict[str, Any]:
+def convert_state_dict(
+    sd: Dict[str, Any], dtype=jnp.bfloat16, mesh=None, full_shard=False
+) -> Dict[str, Any]:
     """torch-layout state dict {name: array} → wanq_tpu params pytree."""
     params: Dict[str, Any] = {}
     for key, val in sd.items():
@@ -93,12 +97,12 @@ def convert_state_dict(sd: Dict[str, Any], dtype=jnp.bfloat16, mesh=None) -> Dic
         if conv is None:
             continue
         path, arr, leaf_dtype = conv
-        _set(params, path, _place(arr, leaf_dtype, path, mesh))
+        _set(params, path, _place(arr, leaf_dtype, path, mesh, full_shard))
     return params
 
 
 def load_wan_checkpoint(
-    ckpt_dir: str, dtype=jnp.bfloat16, mesh=None
+    ckpt_dir: str, dtype=jnp.bfloat16, mesh=None, full_shard=False
 ) -> Dict[str, Any]:
     """Load a Wan2.1 diffusers checkpoint dir (sharded safetensors +
     index json, the format WanModel.from_pretrained consumes).
@@ -128,5 +132,5 @@ def load_wan_checkpoint(
                 if conv is None:
                     continue
                 path, arr, leaf_dtype = conv
-                _set(params, path, _place(arr, leaf_dtype, path, mesh))
+                _set(params, path, _place(arr, leaf_dtype, path, mesh, full_shard))
     return params

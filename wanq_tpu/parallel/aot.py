@@ -26,9 +26,25 @@ from wanq_tpu.models.dit import (
     stack_block_params,
     stack_quant_state,
 )
-from wanq_tpu.parallel.sharding import ShardingPlan, param_shardings
+from wanq_tpu.parallel.sharding import ShardingPlan, param_shardings, storage_axes
 from wanq_tpu.quant.config import QuantConfig
 from wanq_tpu.quant.qlinear import QuantCtx
+
+
+def _per_device_bytes(tree) -> int:
+    """Per-device STORAGE bytes of a ShapeDtypeStruct tree with attached
+    NamedShardings (sharding.shard_shape gives one device's shard) —
+    computed from the specs because XLA's memory_analysis reports logical
+    (unsharded) argument sizes."""
+    import numpy as np
+
+    total = 0
+    for leaf in jax.tree.leaves(tree):
+        shape = leaf.shape
+        if getattr(leaf, "sharding", None) is not None:
+            shape = leaf.sharding.shard_shape(leaf.shape)
+        total += int(np.prod(shape, dtype=np.int64)) * leaf.dtype.itemsize
+    return total
 
 
 def _with_shardings(avals, shardings):
@@ -40,16 +56,18 @@ def _with_shardings(avals, shardings):
     )
 
 
-def _scan_state_sharding(mesh: Mesh, key: str, leaf) -> NamedSharding:
+def _scan_state_sharding(
+    mesh: Mesh, key: str, leaf, full_shard: bool = False
+) -> NamedSharding:
     """Stacked per-block quant state [L, ...]: weight matrices split on
     their output dim, per-C_out vectors on theirs."""
-    fs = mesh.shape["fsdp"]
+    axes, fs = storage_axes(mesh, full_shard)
     if key in ("w_q", "w_int8", "w_int4") and leaf.shape[-1] % fs == 0:
-        return NamedSharding(mesh, P(None, None, "fsdp"))
+        return NamedSharding(mesh, P(None, None, axes))
     if key in ("delta_w", "zp_w", "scale_w", "zp_w_int") and (
         len(leaf.shape) >= 2 and leaf.shape[1] % fs == 0
     ):
-        return NamedSharding(mesh, P(None, "fsdp"))
+        return NamedSharding(mesh, P(None, axes))
     return NamedSharding(mesh, P())
 
 
@@ -59,16 +77,34 @@ def aot_validate(
     quant: Optional[QuantConfig] = None,
     latent_fhw: Tuple[int, int, int] = (4, 16, 16),
     batch: int = 2,
+    full_shard: bool = False,
+    strip_fp: bool = False,
 ) -> str:
     """AOT-compile one CFG denoise step of ``cfg`` over ``mesh`` (abstract
     weights; W8A8 scan state when ``quant`` is given). Returns a short
-    summary string; raises on any lowering/partitioning failure."""
+    summary string; raises on any lowering/partitioning failure.
+    ``full_shard`` stores weights over every non-dp axis (the reference's
+    dit_fsdp-on-all-8-ranks memory layout); ``strip_fp`` drops the FP
+    copies of quantized weights (the reference's hardware-refactor
+    deletion, quant_wanx.py:137-185)."""
     plan = ShardingPlan(mesh)
     sp_total = plan.sp_size
 
     aparams = abstract_params(cfg)
-    astacked = jax.eval_shape(stack_block_params, aparams)
-    astacked = _with_shardings(astacked, param_shardings(astacked, mesh))
+    step_params = aparams
+    if strip_fp and quant is not None:
+        # quant state derives from the REAL weight shapes; only the tree
+        # the step consumes gets the placeholder weights
+        from wanq_tpu.quant.ptq import strip_quantized_weights
+
+        names0 = linear_layer_names(cfg)
+        step_params = strip_quantized_weights(
+            aparams, {n: quant.resolve(n) for n in names0}
+        )
+    astacked = jax.eval_shape(stack_block_params, step_params)
+    astacked = _with_shardings(
+        astacked, param_shardings(astacked, mesh, full_shard)
+    )
 
     f, h, w = latent_fhw
     tokens = (
@@ -100,7 +136,7 @@ def aot_validate(
                 leaf.shape,
                 leaf.dtype,
                 sharding=_scan_state_sharding(
-                    mesh, str(getattr(path[-1], "key", "")), leaf
+                    mesh, str(getattr(path[-1], "key", "")), leaf, full_shard
                 ),
             ),
             a_scan,
@@ -133,9 +169,12 @@ def aot_validate(
     with mesh:
         compiled = jax.jit(step).lower(astacked, actx, ax, at, ac).compile()
     mem = compiled.memory_analysis()
-    argb = getattr(mem, "argument_size_in_bytes", 0)
+    tmpb = getattr(mem, "temp_size_in_bytes", 0)
+    argb = _per_device_bytes((astacked, actx, ax, at, ac))
     return (
         f"aot ok: dim={cfg.dim} layers={cfg.num_layers} heads={cfg.num_heads} "
         f"mesh={dict(mesh.shape)} seq_len={seq_len} "
-        f"quant={'w8a8' if quant else 'fp'} args={argb/1e9:.1f}GB"
+        f"quant={'w8a8' if quant else 'fp'}"
+        f"{' full_shard' if full_shard else ''} "
+        f"args={argb/1e9:.2f}GB/device xla_temp={tmpb/1e9:.2f}GB"
     )

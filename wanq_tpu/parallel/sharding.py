@@ -104,37 +104,62 @@ def _linear_spec(path_leaf: str) -> P:
     return P(None, "fsdp")
 
 
-def leaf_sharding(mesh: Mesh, leaf_name: str, ndim: int, shape) -> NamedSharding:
+def storage_axes(mesh: Mesh, full_shard: bool = False):
+    """Mesh axes that carry weight STORAGE: 'fsdp' alone by default, or —
+    with ``full_shard`` — every non-dp axis. The latter reproduces the
+    reference's 8-GPU memory semantics (``--dit_fsdp --ulysses_size 8``:
+    FULL_SHARD over the same 8 ranks that run sequence parallelism,
+    fsdp.py:10-33 + fp_generate.py:248-259); XLA all-gathers weights on
+    use, so compute sharding is unchanged — only residency shrinks."""
+    if not full_shard:
+        return ("fsdp",), mesh.shape["fsdp"]
+    axes = tuple(a for a in ("fsdp", "sp", "ring") if mesh.shape[a] > 1) or (
+        "fsdp",
+    )
+    size = 1
+    for a in axes:
+        size *= mesh.shape[a]
+    return axes, size
+
+
+def leaf_sharding(
+    mesh: Mesh, leaf_name: str, ndim: int, shape, full_shard: bool = False
+) -> NamedSharding:
     """FSDP storage sharding for one DiT param leaf: linear kernels split
     on their output dim, matching biases on theirs, everything else
     replicated. Shared by param_shardings (whole-pytree) and the streaming
     checkpoint loader (per-tensor placement without a host-resident tree)."""
-    fs = mesh.shape["fsdp"]
+    axes, fs = storage_axes(mesh, full_shard)
     if leaf_name == "w" and ndim == 2 and shape[1] % fs == 0:
-        return NamedSharding(mesh, P(None, "fsdp"))
+        return NamedSharding(mesh, P(None, axes))
     if leaf_name == "b" and ndim == 1 and shape[0] % fs == 0:
-        return NamedSharding(mesh, P("fsdp"))
+        return NamedSharding(mesh, P(axes))
+    # stacked per-block leaves [L, ...] (stack_block_params layout)
+    if leaf_name == "w" and ndim == 3 and shape[2] % fs == 0:
+        return NamedSharding(mesh, P(None, None, axes))
+    if leaf_name == "b" and ndim == 2 and shape[1] % fs == 0:
+        return NamedSharding(mesh, P(None, axes))
     return NamedSharding(mesh, P())
 
 
-def param_shardings(params: Any, mesh: Mesh):
+def param_shardings(params: Any, mesh: Mesh, full_shard: bool = False):
     """NamedSharding pytree for the DiT params: linear kernels sharded on
-    their last (output) dim over 'fsdp', everything else replicated —
-    the GSPMD analog of shard_model's per-block FULL_SHARD
-    (ref fsdp.py:19-31)."""
+    their last (output) dim over 'fsdp' (or every non-dp axis with
+    ``full_shard``), everything else replicated — the GSPMD analog of
+    shard_model's per-block FULL_SHARD (ref fsdp.py:19-31)."""
 
     def spec_for(path: Tuple, leaf) -> NamedSharding:
         keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
         name = keys[-1] if keys else ""
         return leaf_sharding(mesh, name, getattr(leaf, "ndim", 0),
-                             getattr(leaf, "shape", ()))
+                             getattr(leaf, "shape", ()), full_shard)
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def shard_params(params: Any, mesh: Mesh):
+def shard_params(params: Any, mesh: Mesh, full_shard: bool = False):
     """Place params onto the mesh per the plan (one-time, at load)."""
-    shardings = param_shardings(params, mesh)
+    shardings = param_shardings(params, mesh, full_shard)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 

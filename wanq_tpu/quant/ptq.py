@@ -273,6 +273,46 @@ def prepare_quant_state(
 # ---------------------------------------------------------------------------
 
 
+def strip_quantized_weights(params: Params, policies) -> Params:
+    """Replace the FP weight of every quantized layer with a [1, 1]
+    placeholder — the TPU analog of the reference's hardware refactor
+    deleting the FP copies after int8 export (quant_wanx.py:137-185
+    ``del module.weight`` / fp_module removal). The sim and int8 qlinear
+    paths read ``state['w_q']`` / ``state['w_int8']``, never
+    ``params['w']``, so at 14B this frees the full bf16 weight residency
+    (≈28 GB → placeholders) while biases and FP-kept layers stay.
+
+    Returns a new tree (shallow-copied along stripped paths); running an
+    ``fp``-mode forward with a stripped tree fails loudly on shape."""
+    import copy
+
+    out = copy.copy(params)
+    if isinstance(out.get("blocks"), list):
+        out["blocks"] = [copy.copy(b) for b in out["blocks"]]
+
+    def _strip(path: str):
+        parts = path.split(".")
+        node = out
+        for p in parts[:-1]:
+            nxt = node[int(p)] if isinstance(node, list) else node[p]
+            nxt = copy.copy(nxt)
+            if isinstance(node, list):
+                node[int(p)] = nxt
+            else:
+                node[p] = nxt
+            node = nxt
+        leaf = copy.copy(node[parts[-1]])
+        if "w" in leaf:
+            w = leaf["w"]
+            leaf["w"] = jnp.zeros((1, 1), getattr(w, "dtype", jnp.bfloat16))
+        node[parts[-1]] = leaf
+
+    for name, pol in policies.items():
+        if getattr(pol, "is_quantized", False):
+            _strip(name)
+    return out
+
+
 def save_quant_state(path: str, state: Dict[str, Dict[str, jax.Array]], seed: int = 0):
     """Serialize the quant-param dict (ref ptq_wanx.py:254-257 saves
     quant_params.pth; we use one flat npz). Rotation matrices are not
