@@ -79,6 +79,15 @@ def test_full_cli_workflow(workdir):
     # int8 path tracks the sim path closely (same quant math)
     np.testing.assert_allclose(hw, sim, atol=0.05, rtol=0.1)
 
+    # stage 4c: hardware path with FP copies stripped (the reference
+    # hardware refactor's deletion) — bit-identical to 4b
+    hw_stripped_file = quant_generate.generate(quant_generate.parse_args(
+        COMMON + ["--quant_config", "q.yaml", "--calib_data", calib_file,
+                  "--hardware", "--strip_fp", "--save_file", "hw_stripped.npz"]
+    ))
+    np.testing.assert_array_equal(
+        np.load(hw_stripped_file)["latents"], hw)
+
 
 def test_validate_args_rejects_bad_frame_num(workdir):
     args = fp_generate.parse_args(COMMON[:6] + ["--frame_num", "8", "--random_init"])

@@ -45,6 +45,11 @@ def parse_args(argv=None):
     p.add_argument("--hardware", action="store_true",
                    help="int8 Pallas kernel path (ref if_hardware, "
                         "quant_generate.py:372); default is simulated quant")
+    p.add_argument("--strip_fp", action="store_true",
+                   help="free the FP copies of quantized weights (the "
+                        "reference hardware refactor's deletion, "
+                        "quant_wanx.py:137-185); incompatible with "
+                        "timestep schedules that fall back to FP layers")
     return p.parse_args(argv)
 
 
@@ -74,6 +79,14 @@ def generate(args):
         logging.info("computed quant state on the fly: %d layers", len(state))
 
     context, context_null = load_contexts(args, cfg)
+    if getattr(args, "strip_fp", False):
+        # the reference's hardware refactor deletes the FP weight copies
+        # after int8 export (quant_wanx.py:137-185); sim/int8 qlinear reads
+        # the quant state, never params['w']
+        from wanq_tpu.quant.ptq import strip_quantized_weights
+
+        params = strip_quantized_weights(params, policies)
+        logging.info("stripped FP copies of quantized weights")
     mesh, plan = build_mesh_and_plan(args)
     if mesh is not None:
         from wanq_tpu.parallel import shard_params
