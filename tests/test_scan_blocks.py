@@ -171,3 +171,27 @@ def test_scan_rejects_attn_perms():
                     jax.random.normal(jax.random.PRNGKey(2),
                                       (1, cfg.text_len, cfg.text_dim)),
                     32, ctx=ctx)
+
+
+def test_scan_int8_static_ffn2_matches_loop(setup):
+    """Scan layout with the static-scale fused GELU+quant FFN
+    (act.static_regex='ffn\\.2'): delta_a must ride the scan state."""
+    cfg, params, stacked, (x, t, txt) = setup
+    from wanq_tpu.pipelines.text2video import WanT2V
+
+    rng = np.random.default_rng(9)
+    ctxn = jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+    pipe = WanT2V(cfg, params, quant_ctx=QuantCtx(mode="calib", collect_minmax=True))
+    stats = pipe.collect_calibration(txt, ctxn, size=(32, 32), frame_num=5,
+                                     sampling_steps=2, seed=7)
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": QCFG["remain_fp_regex"],
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True, "static_regex": r"ffn\.2"},
+    })
+    names = linear_layer_names(cfg)
+    policies, state, rotations = prepare_quant_state(params, names, qcfg, calib=stats)
+    ctx = QuantCtx(mode="int8", policies=policies, state=state, rotations=rotations)
+    ref = dit_forward(params, cfg, x, t, txt, seq_len=32, ctx=ctx)
+    got = dit_forward(stacked, cfg, x, t, txt, seq_len=32, ctx=ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-3)

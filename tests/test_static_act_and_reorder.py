@@ -190,3 +190,53 @@ def test_reorder_perm_through_dit_forward(setup):
     out2 = dit_forward(params, cfg, x, jnp.asarray([500.0]), contexts[0], 32,
                        ctx=ctx2)
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_static_regex_selects_per_layer():
+    """act.static_regex: matching layers get frozen-scale A8, others stay
+    dynamic per-token (the reference's StaticQuantizer / quant_sum_static
+    split is config-driven the same way)."""
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": FP_REGEX,
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True, "static_regex": r"ffn\.2"},
+    })
+    assert qcfg.resolve("blocks.0.ffn.2").act.dynamic is False
+    assert qcfg.resolve("blocks.0.ffn.0").act.dynamic is True
+    assert qcfg.resolve("blocks.0.self_attn.q").act.dynamic is True
+
+
+def test_static_ffn2_fused_path_matches_sim(setup):
+    """The static-scale fused GELU+quant FFN path (ref quant_sum_static,
+    fused.cu:586): int8 forward with dynamic qkv/ffn.0 + static ffn.2
+    tracks the sim forward of the same config."""
+    from wanq_tpu.quant.qlinear import int8_static_fusable
+
+    cfg, params, contexts = setup
+    stats = _calibrate(cfg, params, contexts, collect_minmax=True)
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": FP_REGEX,
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True, "static_regex": r"ffn\.2"},
+    })
+    names = linear_layer_names(cfg)
+    policies, state, rotations = prepare_quant_state(
+        params, names, qcfg, calib=stats
+    )
+    assert "delta_a" in state["blocks.0.ffn.2"]
+    int8_ctx = QuantCtx(mode="int8", policies=policies, state=state,
+                        rotations=rotations)
+    assert int8_static_fusable(int8_ctx, "blocks.0.ffn.2")
+    assert not int8_static_fusable(int8_ctx, "blocks.0.ffn.0")
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, cfg.in_dim, 2, 8, 8))
+    t = jnp.asarray([500.0])
+    txt = contexts[0]
+    sim = dit_forward(params, cfg, x, t, txt, 32,
+                      ctx=QuantCtx(mode="sim", policies=policies, state=state,
+                                   rotations=rotations))
+    hw = dit_forward(params, cfg, x, t, txt, 32, ctx=int8_ctx)
+    assert np.isfinite(np.asarray(hw)).all()
+    np.testing.assert_allclose(
+        np.asarray(hw), np.asarray(sim), atol=5e-3, rtol=1e-2
+    )

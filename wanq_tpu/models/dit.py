@@ -525,7 +525,12 @@ def block_forward(
     x = (x.astype(jnp.float32) + y.astype(jnp.float32)).astype(x.dtype)
 
     ffn_sites = [f"{name}.ffn.0", f"{name}.ffn.2"]
-    if int8_fusable(ctx, ffn_sites, allow_mask=True):
+    from wanq_tpu.quant.qlinear import int8_static_fusable
+
+    ffn2_static = int8_static_fusable(ctx, ffn_sites[1])
+    if int8_fusable(ctx, [ffn_sites[0]], allow_mask=True) and (
+        ffn2_static or int8_fusable(ctx, [ffn_sites[1]], allow_mask=True)
+    ):
         # fused LN+modulate+quant → int8 GEMM (bf16 out) → fused GELU+quant
         # → int8 GEMM (the reference's FFNWithCudaKernel gelu_quant_sum
         # pipeline, quant_wanx_cuda.py:521-563)
@@ -540,13 +545,27 @@ def block_forward(
         h = w8a8_from_prequant(ctx, ffn_sites[0], p["ffn"]["0"], h8, s_a, ssum,
                                out_dtype=jnp.bfloat16)
         bh, nh, ch = h.shape
-        h8b, s2, sm2 = quant_sum(
-            h.reshape(bh * nh, ch), gelu=True,
-            channel_scale=st2.get("channel_mask"),
-        )
+        if ffn2_static:
+            # static-scale GELU+quant (ref quant_sum_static, fused.cu:586):
+            # elementwise → XLA fuses it into the first GEMM's epilogue, so
+            # the bf16 intermediate never round-trips HBM
+            scale2 = st2["delta_a"].reshape(()).astype(jnp.float32)
+            g = gelu_tanh(h.astype(jnp.float32))
+            h8b = jnp.clip(jnp.round(g / scale2), -128, 127).astype(jnp.int8)
+            s2 = jnp.full((bh, nh), scale2, jnp.float32)
+            sm2 = scale2 * jnp.sum(
+                h8b, axis=-1, dtype=jnp.float32
+            )
+        else:
+            h8f, s2f, sm2f = quant_sum(
+                h.reshape(bh * nh, ch), gelu=True,
+                channel_scale=st2.get("channel_mask"),
+            )
+            h8b = h8f.reshape(bh, nh, ch)
+            s2 = s2f.reshape(bh, nh)
+            sm2 = sm2f.reshape(bh, nh)
         y = w8a8_from_prequant(
-            ctx, ffn_sites[1], p["ffn"]["2"],
-            h8b.reshape(bh, nh, ch), s2.reshape(bh, nh), sm2.reshape(bh, nh),
+            ctx, ffn_sites[1], p["ffn"]["2"], h8b, s2, sm2,
         )
     else:
         xn2 = layer_norm(x, cfg.eps) * (1.0 + e4[:, None, :]) + e3[:, None, :]

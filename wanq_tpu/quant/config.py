@@ -99,6 +99,13 @@ class QuantConfig:
             if a
             else None
         )
+        # per-layer static-A8 selection: layers matching act.static_regex
+        # use calibration-frozen per-tensor scales while the rest stay
+        # dynamic per-token (the reference's StaticQuantizer +
+        # quant_sum_static kernel are exactly this split, fused.cu:586)
+        self.act_static_regex: Optional[str] = (
+            a.get("static_regex") if a else None
+        )
 
         self.methods: Dict[str, Dict[str, Any]] = {}
         for m in ("smooth_quant", "quarot", "viditq"):
@@ -144,6 +151,13 @@ class QuantConfig:
                 return FP_POLICY
 
         w_cfg, a_cfg = self.weight_cfg, self.act_cfg
+        if (
+            self.act_static_regex
+            and a_cfg is not None
+            and a_cfg.dynamic
+            and re.search(re.compile(self.act_static_regex), full_name)
+        ):
+            a_cfg = dataclasses.replace(a_cfg, dynamic=False)
         quant_mode = True
 
         # mixed precision (ref: bitwidth_refactor_, quant_model.py:76-105)

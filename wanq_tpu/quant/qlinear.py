@@ -248,6 +248,30 @@ def int8_fusable(ctx: Optional[QuantCtx], names, allow_mask: bool = False) -> bo
     return True
 
 
+def int8_static_fusable(ctx: Optional[QuantCtx], name: str) -> bool:
+    """True when a site can consume a STATIC-scale fused producer (the
+    reference's quant_sum_static kernel, fused.cu:586): int8 mode, 8-bit
+    sym static act with frozen per-tensor delta_a, exported int weight, no
+    rotation/mask (those transform the activation after calibration)."""
+    if ctx is None or ctx.mode != "int8":
+        return False
+    pol = ctx.policy(name)
+    if not pol.is_quantized or pol.uses_rotation or pol.uses_channel_mask:
+        return False
+    if pol.weight is None or pol.weight.active_bits not in (4, 8):
+        return False
+    if pol.act is None or not pol.act.sym or pol.act.active_bits != 8:
+        return False
+    if pol.act.dynamic:
+        return False
+    st = ctx.state.get(name)
+    return (
+        st is not None
+        and "delta_a" in st
+        and ("w_int8" in st or "w_int4" in st)
+    )
+
+
 def w8a8_from_prequant(
     ctx: QuantCtx,
     name: str,
