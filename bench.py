@@ -53,13 +53,21 @@ from wanq_tpu.quant.qlinear import QuantCtx
 # act-quant passes (BENCH_NOTES.md). This also mirrors the reference's own
 # shipped Wan config, which keeps o and cross_attn FP
 # (quant_configs/config.yaml:4-8).
+#
+# Activation scheme: dynamic per-token everywhere EXCEPT the ffn.2 input
+# (the GELU output), which uses a calibration-frozen per-tensor scale —
+# the reference's quant_sum_static kernel (fused.cu:586). Static there
+# makes GELU+quant elementwise, so XLA fuses it into the first FFN GEMM's
+# epilogue and the 1.17 GB bf16 intermediate never round-trips HBM
+# (−75 ms/step measured; tools/static_ffn_probe.py). The scale is
+# calibrated in-run by one calib-mode step (collect_minmax) before PTQ.
 FULL_W8A8 = {
     "remain_fp_regex": (
         r"text_embedding|time_embedding|time_projection|head\.head|"
         r"blocks\.\d+\.self_attn\.o|cross_attn"
     ),
     "weight": {"n_bits": 8, "sym": False},
-    "act": {"n_bits": 8, "sym": True},
+    "act": {"n_bits": 8, "sym": True, "static_regex": r"ffn\.2"},
 }
 
 
@@ -135,13 +143,33 @@ def run(frame_num: int):
     fp_time = time_step(step_fn, params, None, latents, t, context, context_null, gs)
     log(f"fp16 step: {fp_time*1000:.1f} ms (total {time.time()-t0:.1f}s)")
 
+    log("calibrating static-A8 scales (one calib-mode step)...")
+    t0 = time.time()
+
+    def calib_step(p, x, tt, c):
+        b = x.shape[0]
+        cctx = QuantCtx(mode="calib", collect_minmax=True)
+        out = dit_forward(
+            p, cfg, jnp.concatenate([x, x], 0), jnp.concatenate([tt, tt], 0),
+            jnp.concatenate([c, c], 0), seq_len, ctx=cctx,
+        )
+        return out[:b], cctx.collect
+
+    _, stats = jax.jit(calib_step)(params, latents, t, context)
+    calib = {
+        k: np.asarray(v)[None] for k, v in stats.items()
+        if k.endswith((".act_max", ".act_min"))
+    }
+    jax.block_until_ready(params)
+    log(f"calibration: {len(calib)} minmax entries in {time.time()-t0:.1f}s")
+
     log("preparing W8A8 state (on-device)...")
     t0 = time.time()
     qcfg = QuantConfig.from_dict(FULL_W8A8)
     # PTQ consumes list-form params; regenerate cheaply on device
     list_params = init_params_on_device(cfg, seed=0)
     policies, state, rotations = prepare_quant_state(
-        list_params, linear_layer_names(cfg), qcfg, targets="int8"
+        list_params, linear_layer_names(cfg), qcfg, targets="int8", calib=calib
     )
     del list_params
     ctx = QuantCtx(mode="int8", policies=policies, state=state, rotations=rotations)

@@ -47,16 +47,18 @@ import bench  # noqa: E402  (reuse make_step/time_step/FULL_W8A8)
 def build_ctx(cfg, qdict, static_ffn2: bool):
     qcfg = QuantConfig.from_dict(qdict)
     list_params = init_params_on_device(cfg, seed=0)
-    policies, state, rotations = prepare_quant_state(
-        list_params, linear_layer_names(cfg), qcfg, targets="int8",
-        calib=None if not static_ffn2 else None,
-    )
+    names = linear_layer_names(cfg)
+    calib = None
     if static_ffn2:
-        # synthetic per-tensor scales for timing (see module docstring)
-        for name in list(state):
-            if name.endswith("ffn.2"):
-                state[name]["delta_a"] = jnp.asarray([0.05], jnp.float32)
-                state[name]["zp_a"] = jnp.asarray([0.0], jnp.float32)
+        # synthetic per-tensor calibration range for timing (see docstring)
+        calib = {}
+        for n in names:
+            if n.endswith("ffn.2"):
+                calib[f"{n}.act_max"] = np.full((1, cfg.ffn_dim), 6.0, np.float32)
+                calib[f"{n}.act_min"] = np.full((1, cfg.ffn_dim), -6.0, np.float32)
+    policies, state, rotations = prepare_quant_state(
+        list_params, names, qcfg, targets="int8", calib=calib,
+    )
     del list_params
     ctx = QuantCtx(mode="int8", policies=policies, state=state,
                    rotations=rotations)
