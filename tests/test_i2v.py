@@ -87,3 +87,30 @@ def test_i2v_generate_with_vae_and_clip(rng):
     assert np.isfinite(np.asarray(latents)).all()
     video = vae.decode(latents)
     assert video.shape[1] == 3 and video.shape[2] == 5
+
+
+def test_i2v_ref_latent_noise_injection(i2v_setup, rng):
+    """WanI2V_Noise capability (image2video_noise_easy.py): the initial
+    latent is (1-s)*noise + s*encoded-reference-video; s=0 reproduces the
+    plain run, s>0 shifts the trajectory."""
+    cfg, params = i2v_setup
+    pipe = WanI2V(cfg, params)
+    img = jnp.asarray(rng.uniform(-1, 1, size=(3, 32, 32)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+    ctxn = jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+    lat_h, lat_w = i2v_latent_size(cfg, (32, 32), 32 * 32)
+    lat_f = (5 - 1) // 4 + 1
+    clip_fea = jnp.asarray(rng.normal(size=(1, 257, cfg.clip_dim)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(20, lat_f, lat_h, lat_w)).astype(np.float32))
+    ref = jnp.asarray(
+        rng.normal(size=(16, lat_f, lat_h, lat_w)).astype(np.float32))
+    kw = dict(max_area=32 * 32, frame_num=5, sampling_steps=2, seed=3,
+              clip_fea=clip_fea, y=y)
+    base = pipe.generate(img, ctx, ctxn, **kw)
+    same = pipe.generate(img, ctx, ctxn, ref_latents=ref,
+                         ref_latent_strength=0.0, **kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    mixed = pipe.generate(img, ctx, ctxn, ref_latents=ref,
+                          ref_latent_strength=0.01, **kw)
+    assert np.isfinite(np.asarray(mixed)).all()
+    assert not np.allclose(np.asarray(mixed), np.asarray(base))

@@ -96,10 +96,18 @@ class WanI2V(WanT2V):
         seed: int = -1,
         clip_fea: Optional[jax.Array] = None,
         y: Optional[jax.Array] = None,
+        ref_latents: Optional[jax.Array] = None,
+        ref_latent_strength: float = 0.01,
     ):
         """img: [3, H, W] in [-1, 1]. Returns latents [1, 16, F_lat, h, w];
         decode via self.vae. ``clip_fea``/``y`` may be precomputed (tests /
-        checkpoint-free runs)."""
+        checkpoint-free runs).
+
+        ``ref_latents``: optional encoded reference-video latents
+        [z_dim, F_lat, lat_h, lat_w] mixed into the initial noise as
+        (1−s)·noise + s·ref (the capability of the reference's dev-scratch
+        WanI2V_Noise variant, image2video_noise_easy.py — its hard-coded
+        0.99/0.01 mix and developer paths become explicit arguments)."""
         cfg = self.config
         lat_h, lat_w = i2v_latent_size(cfg, img.shape[1:], max_area)
         h, w = lat_h * cfg.vae_stride[1], lat_w * cfg.vae_stride[2]
@@ -114,6 +122,9 @@ class WanI2V(WanT2V):
             jax.random.PRNGKey(seed), (1, cfg.z_dim, lat_f, lat_h, lat_w),
             dtype=jnp.float32,
         )
+        if ref_latents is not None:
+            s = float(ref_latent_strength)
+            noise = (1.0 - s) * noise + s * ref_latents[None].astype(noise.dtype)
 
         msk = first_frame_mask(frame_num, lat_h, lat_w, cfg.vae_stride[0])
 
