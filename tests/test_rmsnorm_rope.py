@@ -1,0 +1,78 @@
+"""Fused RMSNorm+RoPE+head-split kernel parity (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wanq_tpu.models.rope import rope_tables_interleaved
+from wanq_tpu.ops.rmsnorm_rope import rms_rope_heads, rms_rope_heads_reference
+
+
+def _tables(grid, d, s, valid_len, scale=1.0):
+    ca, sb = rope_tables_interleaved(grid, d)
+    ca, sb = jnp.asarray(ca[:valid_len]), jnp.asarray(sb[:valid_len])
+    if valid_len < s:
+        pad = s - valid_len
+        ca = jnp.concatenate([ca, jnp.ones((pad, d), ca.dtype)])
+        sb = jnp.concatenate([sb, jnp.zeros((pad, d), sb.dtype)])
+    return ca * scale, sb * scale
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("scale", [1.0, 0.088388])
+def test_fused_matches_unfused_chain(rng, dtype, scale):
+    b, s, n, d = 2, 32, 4, 8
+    nd = n * d
+    x = jnp.asarray(rng.normal(size=(b, s, nd)).astype(np.float32)).astype(dtype)
+    w = jnp.asarray(rng.normal(size=(nd,)).astype(np.float32))
+    ca, sb = _tables((2, 2, 7), d, s, valid_len=28, scale=scale)
+
+    got = rms_rope_heads(x, w, ca, sb, num_heads=n, eps=1e-6,
+                         out_dtype=jnp.bfloat16, interpret=True)
+    want = rms_rope_heads_reference(x, w, ca, sb, num_heads=n, eps=1e-6,
+                                    out_dtype=jnp.bfloat16)
+    assert got.shape == (b, n, s, d) == want.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_matches_dit_chain_semantics(rng):
+    """End-to-end semantics: equals rms_norm → reshape →
+    rope_apply_interleaved(valid_len, scale) → swapaxes."""
+    from wanq_tpu.models.dit import rms_norm
+    from wanq_tpu.models.rope import rope_apply_interleaved
+
+    b, s, n, d, valid = 1, 16, 2, 8, 12
+    nd = n * d
+    x = jnp.asarray(rng.normal(size=(b, s, nd)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(nd,)).astype(np.float32))
+    ca_raw, sb_raw = rope_tables_interleaved((2, 2, 4), d)
+    ca_raw = jnp.asarray(ca_raw[:valid])
+    sb_raw = jnp.asarray(sb_raw[:valid])
+    scale = 0.25
+
+    want = rope_apply_interleaved(
+        rms_norm(x, w, 1e-6).reshape(b, s, n, d), ca_raw, sb_raw, valid,
+        scale=scale,
+    )
+    want = jnp.swapaxes(want, 1, 2).astype(jnp.bfloat16)
+
+    ca = jnp.concatenate([ca_raw, jnp.ones((s - valid, d), ca_raw.dtype)]) * scale
+    sb = jnp.concatenate([sb_raw, jnp.zeros((s - valid, d), sb_raw.dtype)]) * scale
+    got = rms_rope_heads(x, w, ca, sb, num_heads=n, eps=1e-6, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_odd_seq_tile_fallback(rng):
+    """Sequence lengths with no nice divisor still work (single tile)."""
+    b, s, n, d = 1, 24, 2, 8
+    x = jnp.asarray(rng.normal(size=(b, s, n * d)).astype(np.float32))
+    w = jnp.ones((n * d,), jnp.float32)
+    ca = jnp.ones((s, d), jnp.float32)
+    sb = jnp.zeros((s, d), jnp.float32)
+    got = rms_rope_heads(x, w, ca, sb, num_heads=n, interpret=True)
+    want = rms_rope_heads_reference(x, w, ca, sb, num_heads=n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

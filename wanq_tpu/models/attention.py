@@ -74,6 +74,50 @@ def _splash_path(q, k, v, scale, kv_len, blk_kv=_SPLASH_BLOCK_KV):
     return jnp.swapaxes(out, 1, 2)
 
 
+def attention_heads_major(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    k_valid_len: Optional[int] = None,
+) -> jax.Array:
+    """Self-attention on ALREADY head-major [B, N, S, D] operands with the
+    softmax scale pre-folded into q (the fused rms+rope+head-split kernel,
+    ops/rmsnorm_rope.py, emits this layout directly — skipping the
+    [B,S,N,D]→[B,N,S,D] transpose the splash kernel otherwise forces).
+    Returns [B, S, N, D]."""
+    b, n, s, d = q.shape
+    if (
+        jax.default_backend() != "tpu"
+        or s < _SPLASH_MIN_SEQ
+        or d != 128
+        or s % _SPLASH_BLOCK_Q != 0
+    ):
+        return attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+            scale=1.0, k_valid_len=k_valid_len,
+        )
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+    )
+
+    kv_len = min(k_valid_len, s) if k_valid_len is not None else s
+    blk_kv = next(
+        bk for bk in (_SPLASH_BLOCK_KV, 2048, 1024, _SPLASH_BLOCK_Q)
+        if s % bk == 0
+    )
+    kernel = _splash_kernel(s, n, _SPLASH_BLOCK_Q, blk_kv, 1.0)
+    seg = None
+    if kv_len < s:
+        ids = (jnp.arange(s) >= kv_len).astype(jnp.int32)
+        seg = sk.SegmentIds(q=jnp.zeros((s,), jnp.int32), kv=2 * ids)
+        seg = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (b, s)), seg)
+    out = jax.vmap(kernel)(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        segment_ids=seg,
+    )
+    return jnp.swapaxes(out, 1, 2)
+
+
 def _sdpa_reference(
     q: jax.Array,
     k: jax.Array,

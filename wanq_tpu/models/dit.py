@@ -26,6 +26,7 @@ Design decisions vs the reference:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -344,12 +345,6 @@ def _self_attention(
         q = qlinear(ctx, f"{name}.q", p["q"], x, dtype).astype(dtype)
         k = qlinear(ctx, f"{name}.k", p["k"], x, dtype).astype(dtype)
         v = qlinear(ctx, f"{name}.v", p["v"], x, dtype).astype(dtype)
-    if cfg.qk_norm:
-        q = rms_norm(q, p["norm_q"], cfg.eps)
-        k = rms_norm(k, p["norm_k"], cfg.eps)
-    q = q.reshape(b, s, n, hd)
-    k = k.reshape(b, s, n, hd)
-    v = v.reshape(b, s, n, hd).astype(dtype)
     # layout-friendly rope (x·ca + pairswap(x)·sb, see models/rope.py):
     # f32 compute inside the fusion, bf16 at rest — profiled ~10 ms/block
     # cheaper than the pair-reshape form on TPU. On the plain-attention
@@ -362,6 +357,39 @@ def _self_attention(
         or (ctx is not None and ctx.mode == "calib")
     )
     q_scale = (1.0 / math.sqrt(hd)) if plain_attn else 1.0
+
+    # fused rms_norm→rope→head-split Pallas kernel (ops/rmsnorm_rope.py):
+    # one HBM pass instead of norm + reshape + rope + transpose — the
+    # profile's remaining ~130 ms of q/k relayout copies (BENCH_NOTES.md)
+    if (
+        cfg.qk_norm and plain_attn and plan is None and hd == 128
+        and jax.default_backend() == "tpu"
+        and os.environ.get("WANQ_FUSED_QK", "1") != "0"
+    ):
+        from wanq_tpu.models.attention import attention_heads_major
+        from wanq_tpu.ops.rmsnorm_rope import rms_rope_heads
+
+        ca, sb = cos, sin
+        if valid_len < s:
+            pad = s - valid_len
+            ca = jnp.concatenate(
+                [ca[:valid_len], jnp.ones((pad, hd), ca.dtype)])
+            sb = jnp.concatenate(
+                [sb[:valid_len], jnp.zeros((pad, hd), sb.dtype)])
+        qh = rms_rope_heads(q, p["norm_q"], ca * q_scale, sb * q_scale,
+                            num_heads=n, eps=cfg.eps)
+        kh = rms_rope_heads(k, p["norm_k"], ca, sb, num_heads=n, eps=cfg.eps)
+        vh = jnp.swapaxes(v.reshape(b, s, n, hd).astype(dtype), 1, 2)
+        y = attention_heads_major(qh, kh, vh, k_valid_len=valid_len)
+        y = y.reshape(b, s, n * hd)
+        return qlinear(ctx, f"{name}.o", p["o"], y, dtype)
+
+    if cfg.qk_norm:
+        q = rms_norm(q, p["norm_q"], cfg.eps)
+        k = rms_norm(k, p["norm_k"], cfg.eps)
+    q = q.reshape(b, s, n, hd)
+    k = k.reshape(b, s, n, hd)
+    v = v.reshape(b, s, n, hd).astype(dtype)
     q = rope_apply_interleaved(q, cos, sin, valid_len, scale=q_scale).astype(dtype)
     k = rope_apply_interleaved(k, cos, sin, valid_len).astype(dtype)
     if ctx is not None and ctx.mode == "calib":
