@@ -76,3 +76,14 @@ def test_odd_seq_tile_fallback(rng):
     got = rms_rope_heads(x, w, ca, sb, num_heads=n, interpret=True)
     want = rms_rope_heads_reference(x, w, ca, sb, num_heads=n)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_split_heads_matches_reshape_transpose(rng):
+    from wanq_tpu.ops.rmsnorm_rope import split_heads
+
+    b, s, n, d = 2, 24, 4, 8
+    x = jnp.asarray(rng.normal(size=(b, s, n * d)).astype(np.float32))
+    got = split_heads(x, n, out_dtype=jnp.bfloat16, interpret=True)
+    want = jnp.swapaxes(
+        x.reshape(b, s, n, d).astype(jnp.bfloat16), 1, 2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

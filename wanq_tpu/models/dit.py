@@ -367,7 +367,7 @@ def _self_attention(
         and os.environ.get("WANQ_FUSED_QK", "1") != "0"
     ):
         from wanq_tpu.models.attention import attention_heads_major
-        from wanq_tpu.ops.rmsnorm_rope import rms_rope_heads
+        from wanq_tpu.ops.rmsnorm_rope import rms_rope_heads, split_heads
 
         ca, sb = cos, sin
         if valid_len < s:
@@ -379,7 +379,7 @@ def _self_attention(
         qh = rms_rope_heads(q, p["norm_q"], ca * q_scale, sb * q_scale,
                             num_heads=n, eps=cfg.eps)
         kh = rms_rope_heads(k, p["norm_k"], ca, sb, num_heads=n, eps=cfg.eps)
-        vh = jnp.swapaxes(v.reshape(b, s, n, hd).astype(dtype), 1, 2)
+        vh = split_heads(v, n, out_dtype=dtype)
         y = attention_heads_major(qh, kh, vh, k_valid_len=valid_len)
         y = y.reshape(b, s, n * hd)
         return qlinear(ctx, f"{name}.o", p["o"], y, dtype)

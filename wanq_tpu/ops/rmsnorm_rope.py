@@ -95,6 +95,36 @@ def rms_rope_heads(
     )(x, w.reshape(1, nd), ca, sb, p)
 
 
+def _split_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int):
+    x = x_ref[0]
+    for h in range(num_heads):
+        o_ref[0, h] = x[:, h * head_dim:(h + 1) * head_dim].astype(o_ref.dtype)
+
+
+def split_heads(
+    x: jax.Array,
+    num_heads: int,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """x [B, S, N*D] → [B, N, S, D] in one pass (the v-side head-split;
+    XLA lowers the equivalent reshape+transpose as a reshape + relayout
+    copy — two passes, ~43 ms/step at 1.3B shapes)."""
+    b, s, nd = x.shape
+    d = nd // num_heads
+    ts = _seq_tile(s)
+    return pl.pallas_call(
+        functools.partial(_split_kernel, num_heads=num_heads, head_dim=d),
+        grid=(b, s // ts),
+        in_specs=[pl.BlockSpec((1, ts, nd), lambda bi, si: (bi, si, 0))],
+        out_specs=pl.BlockSpec(
+            (1, num_heads, ts, d), lambda bi, si: (bi, 0, si, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, num_heads, s, d), out_dtype),
+        interpret=interpret,
+    )(x)
+
+
 def rms_rope_heads_reference(
     x: jax.Array, w: jax.Array, ca: jax.Array, sb: jax.Array,
     num_heads: int, eps: float = 1e-6, out_dtype=jnp.bfloat16,
