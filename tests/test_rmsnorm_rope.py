@@ -87,3 +87,59 @@ def test_split_heads_matches_reshape_transpose(rng):
     want = jnp.swapaxes(
         x.reshape(b, s, n, d).astype(jnp.bfloat16), 1, 2)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_merge_heads_matches_reshape(rng):
+    from wanq_tpu.ops.rmsnorm_rope import merge_heads
+
+    b, n, s, d = 2, 4, 24, 8
+    x = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    got = merge_heads(x, out_dtype=jnp.bfloat16, interpret=True)
+    want = jnp.swapaxes(x, 1, 2).reshape(b, s, n * d).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_merge_inverts_split(rng):
+    from wanq_tpu.ops.rmsnorm_rope import merge_heads, split_heads
+
+    b, s, n, d = 1, 16, 2, 8
+    x = jnp.asarray(rng.normal(size=(b, s, n * d)).astype(np.float32))
+    back = merge_heads(
+        split_heads(x, n, out_dtype=jnp.float32, interpret=True),
+        out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_cross_attention_heads_major_parity(rng):
+    from wanq_tpu.models.attention import (
+        attention, cross_attention_heads_major)
+
+    b, n, sq, sk, d = 2, 4, 40, 12, 16
+    q = jnp.asarray(rng.normal(size=(b, sq, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, n, d)).astype(np.float32))
+    got = cross_attention_heads_major(
+        jnp.swapaxes(q, 1, 2), k, v, k_valid_len=10)
+    want = attention(q, k, v, k_valid_len=10)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want),
+        rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_rms_split_heads_matches_unfused(rng, dtype):
+    from wanq_tpu.models.dit import rms_norm
+    from wanq_tpu.ops.rmsnorm_rope import rms_split_heads
+
+    b, s, n, d = 2, 24, 4, 8
+    nd = n * d
+    x = jnp.asarray(
+        rng.normal(size=(b, s, nd)).astype(np.float32)).astype(dtype)
+    w = jnp.asarray(rng.normal(size=(nd,)).astype(np.float32))
+    got = rms_split_heads(
+        x, w, n, eps=1e-6, out_dtype=jnp.bfloat16, interpret=True)
+    want = jnp.swapaxes(
+        rms_norm(x, w, 1e-6).reshape(b, s, n, d), 1, 2).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2)

@@ -84,7 +84,9 @@ def attention_heads_major(
     softmax scale pre-folded into q (the fused rms+rope+head-split kernel,
     ops/rmsnorm_rope.py, emits this layout directly — skipping the
     [B,S,N,D]→[B,N,S,D] transpose the splash kernel otherwise forces).
-    Returns [B, S, N, D]."""
+    Returns heads-major [B, N, S, D] — the splash output layout — so the
+    caller can merge heads in one pass (ops/rmsnorm_rope.py::merge_heads)
+    instead of paying the swapaxes relayout copy."""
     b, n, s, d = q.shape
     if (
         jax.default_backend() != "tpu"
@@ -92,10 +94,11 @@ def attention_heads_major(
         or d != 128
         or s % _SPLASH_BLOCK_Q != 0
     ):
-        return attention(
+        out = attention(
             jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
             scale=1.0, k_valid_len=k_valid_len,
         )
+        return jnp.swapaxes(out, 1, 2)
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk,
     )
@@ -115,7 +118,69 @@ def attention_heads_major(
         q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
         segment_ids=seg,
     )
-    return jnp.swapaxes(out, 1, 2)
+    return out
+
+
+def cross_attention_heads_major(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    k_valid_len: Optional[int] = None,
+) -> jax.Array:
+    """Cross-attention with q ALREADY heads-major [B, N, Sq, D]; k, v stay
+    seq-major [B, Sk, N, D] (Sk = text_len — transposing them is cheap).
+    Returns heads-major [B, N, Sq, D].
+
+    The seq-major `attention()` wrapper pays two full-q relayout copies
+    (q transpose in + out transpose back, ~36 ms/step at 1.3B shapes);
+    producing/consuming q heads-major via the Pallas split/merge kernels
+    skips both. (Ref analog: flash_attention, wan/modules/attention.py:24-130.)
+    """
+    b, n, sq, d = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if jax.default_backend() != "tpu":
+        out = _sdpa_reference(
+            jnp.swapaxes(q, 1, 2), k, v, scale, k_valid_len)
+        return jnp.swapaxes(out, 1, 2)
+
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    sk = k.shape[1]
+    kv_len = min(k_valid_len, sk) if k_valid_len is not None else sk
+    blk_q = min(_FLASH_BLOCK_Q, _round_up(sq, 128))
+    blk_k = min(_FLASH_BLOCK_K, _round_up(sk, 128))
+    sq_p = _round_up(sq, blk_q)
+    sk_p = _round_up(sk, blk_k)
+    if sq_p != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+    segment_ids = None
+    if kv_len < sk_p:
+        q_seg = (jnp.arange(sq_p) >= sq).astype(jnp.int32)
+        kv_seg = 2 * (jnp.arange(sk_p) >= kv_len).astype(jnp.int32)
+        segment_ids = fa.SegmentIds(
+            q=jnp.broadcast_to(q_seg[None], (b, sq_p)),
+            kv=jnp.broadcast_to(kv_seg[None], (b, sk_p)),
+        )
+    sizes = fa.BlockSizes(
+        block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1
+    )
+    out = fa.flash_attention(
+        q.astype(jnp.bfloat16),
+        jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16),
+        jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16),
+        segment_ids=segment_ids,
+        causal=False,
+        sm_scale=scale,
+        block_sizes=sizes,
+    )
+    if sq_p != sq:
+        out = out[:, :, :sq]
+    return out.astype(v.dtype)
 
 
 def _sdpa_reference(

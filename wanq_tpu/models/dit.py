@@ -36,7 +36,7 @@ import numpy as np
 from wanq_tpu.configs import WanConfig
 from wanq_tpu.models.attention import attention
 from wanq_tpu.models.rope import rope_apply_interleaved, rope_tables_interleaved
-from wanq_tpu.quant.qlinear import QuantCtx, qlinear
+from wanq_tpu.quant.qlinear import QuantCtx, qlinear, resolves_fp
 
 Params = Dict[str, Any]
 
@@ -303,6 +303,22 @@ def unpatchify(
     return x.reshape(b, out_dim, f * pt, h * ph, w * pw)
 
 
+def _o_proj_heads_major(po: Params, y: jax.Array, dtype) -> jax.Array:
+    """FP o-projection reading the attention output in splash's
+    heads-major [B, N, S, D] layout: contracting (n, d) on the MXU
+    directly skips the head-merge relayout pass (~18-21 ms/step/site at
+    1.3B shapes; tools/profile_step.py). Only valid when the o layer
+    resolves to plain FP (quant/qlinear.py::resolves_fp)."""
+    b, n, s, d = y.shape
+    w = po["w"].astype(dtype).reshape(n, d, -1)
+    out = jnp.einsum(
+        "bnsd,ndo->bso", y.astype(dtype), w,
+        preferred_element_type=jnp.float32)
+    if po.get("b") is not None:
+        out = out + po["b"].astype(jnp.float32)
+    return out
+
+
 def _self_attention(
     p: Params,
     name: str,
@@ -367,7 +383,8 @@ def _self_attention(
         and os.environ.get("WANQ_FUSED_QK", "1") != "0"
     ):
         from wanq_tpu.models.attention import attention_heads_major
-        from wanq_tpu.ops.rmsnorm_rope import rms_rope_heads, split_heads
+        from wanq_tpu.ops.rmsnorm_rope import (
+            merge_heads, rms_rope_heads, split_heads)
 
         ca, sb = cos, sin
         if valid_len < s:
@@ -381,7 +398,9 @@ def _self_attention(
         kh = rms_rope_heads(k, p["norm_k"], ca, sb, num_heads=n, eps=cfg.eps)
         vh = split_heads(v, n, out_dtype=dtype)
         y = attention_heads_major(qh, kh, vh, k_valid_len=valid_len)
-        y = y.reshape(b, s, n * hd)
+        if resolves_fp(ctx, f"{name}.o"):
+            return _o_proj_heads_major(p["o"], y, dtype)
+        y = merge_heads(y, out_dtype=dtype)
         return qlinear(ctx, f"{name}.o", p["o"], y, dtype)
 
     if cfg.qk_norm:
@@ -455,6 +474,7 @@ def _cross_attention(
     context: jax.Array,
     cfg: WanConfig,
     dtype,
+    plan=None,
 ) -> jax.Array:
     """ref WanT2VCrossAttention / WanI2VCrossAttention (model.py:178-244).
 
@@ -477,12 +497,51 @@ def _cross_attention(
     k = qlinear(ctx, f"{name}.k", p["k"], context_txt, dtype)
     v = qlinear(ctx, f"{name}.v", p["v"], context_txt, dtype)
     if cfg.qk_norm:
-        q = rms_norm(q, p["norm_q"], cfg.eps)
         k = rms_norm(k, p["norm_k"], cfg.eps)
-    q = q.reshape(b, -1, n, hd).astype(dtype)
+    quant_attn = (
+        ctx is not None and ctx.cross_attn is not None
+        and ctx.mode in ("sim", "int8")
+    )
     k = k.reshape(b, -1, n, hd).astype(dtype)
     v = v.reshape(b, -1, n, hd).astype(dtype)
-    if ctx is not None and ctx.cross_attn is not None and ctx.mode in ("sim", "int8"):
+    if cfg.model_type == "i2v":
+        k_img = qlinear(ctx, f"{name}.k_img", p["k_img"], context_img, dtype)
+        k_img = rms_norm(k_img, p["norm_k_img"], cfg.eps)
+        v_img = qlinear(ctx, f"{name}.v_img", p["v_img"], context_img, dtype)
+        k_img = k_img.reshape(b, -1, n, hd).astype(dtype)
+        v_img = v_img.reshape(b, -1, n, hd).astype(dtype)
+
+    if (
+        not quant_attn and plan is None and hd == 128
+        and jax.default_backend() == "tpu"
+        and os.environ.get("WANQ_FUSED_QK", "1") != "0"
+    ):
+        # q is the long side (the full latent sequence) — normalize and
+        # head-split it in ONE Pallas pass (rms_split_heads), attend with
+        # q heads-major, and feed the o-projection heads-major too: the
+        # seq-major chain pays an f32 normalize write plus two full-q
+        # relayout copies (~80 ms/step; tools/profile_step.py)
+        from wanq_tpu.models.attention import cross_attention_heads_major
+        from wanq_tpu.ops.rmsnorm_rope import (
+            merge_heads, rms_split_heads, split_heads)
+
+        if cfg.qk_norm:
+            qh = rms_split_heads(
+                q, p["norm_q"], n, eps=cfg.eps, out_dtype=dtype)
+        else:
+            qh = split_heads(q, n, out_dtype=dtype)
+        y = cross_attention_heads_major(qh, k, v)
+        if cfg.model_type == "i2v":
+            y = y + cross_attention_heads_major(qh, k_img, v_img)
+        if resolves_fp(ctx, f"{name}.o"):
+            return _o_proj_heads_major(p["o"], y, dtype)
+        y = merge_heads(y, out_dtype=dtype)
+        return qlinear(ctx, f"{name}.o", p["o"], y, dtype)
+
+    if cfg.qk_norm:
+        q = rms_norm(q, p["norm_q"], cfg.eps)
+    q = q.reshape(b, -1, n, hd).astype(dtype)
+    if quant_attn:
         from wanq_tpu.quant.attn import quantized_attention
 
         y = quantized_attention(q, k, v, ctx.cross_attn)
@@ -490,11 +549,6 @@ def _cross_attention(
         y = attention(q, k, v)
 
     if cfg.model_type == "i2v":
-        k_img = qlinear(ctx, f"{name}.k_img", p["k_img"], context_img, dtype)
-        k_img = rms_norm(k_img, p["norm_k_img"], cfg.eps)
-        v_img = qlinear(ctx, f"{name}.v_img", p["v_img"], context_img, dtype)
-        k_img = k_img.reshape(b, -1, n, hd).astype(dtype)
-        v_img = v_img.reshape(b, -1, n, hd).astype(dtype)
         y = y + attention(q, k_img, v_img)
 
     y = y.reshape(b, -1, n * hd)
@@ -548,7 +602,7 @@ def block_forward(
         xn3 = x
     y = _cross_attention(
         p["cross_attn"], f"{name}.cross_attn", ctx, xn3.astype(dtype),
-        context, cfg, dtype,
+        context, cfg, dtype, plan=plan,
     )
     x = (x.astype(jnp.float32) + y.astype(jnp.float32)).astype(x.dtype)
 

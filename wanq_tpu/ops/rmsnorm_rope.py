@@ -125,6 +125,74 @@ def split_heads(
     )(x)
 
 
+def _rms_split_kernel(x_ref, w_ref, o_ref, *, num_heads: int,
+                      head_dim: int, eps: float):
+    xf = x_ref[0].astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = xf * jax.lax.rsqrt(ms + eps) * w_ref[0].astype(jnp.float32)[None, :]
+    for h in range(num_heads):
+        o_ref[0, h] = xn[:, h * head_dim:(h + 1) * head_dim].astype(o_ref.dtype)
+
+
+def rms_split_heads(
+    x: jax.Array,
+    w: jax.Array,
+    num_heads: int,
+    eps: float = 1e-6,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """x [B, S, N*D], w [N*D] → rms_norm over the model dim, then
+    head-split to [B, N, S, D], in one HBM pass (the cross-attention q
+    path: norm + head-split as separate XLA passes cost ~63 ms/step at
+    1.3B shapes — an f32 normalize write plus a relayout)."""
+    b, s, nd = x.shape
+    d = nd // num_heads
+    ts = _seq_tile(s)
+    return pl.pallas_call(
+        functools.partial(
+            _rms_split_kernel, num_heads=num_heads, head_dim=d, eps=eps),
+        grid=(b, s // ts),
+        in_specs=[
+            pl.BlockSpec((1, ts, nd), lambda bi, si: (bi, si, 0)),
+            pl.BlockSpec((1, nd), lambda bi, si: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, num_heads, ts, d), lambda bi, si: (bi, 0, si, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, num_heads, s, d), out_dtype),
+        interpret=interpret,
+    )(x, w.reshape(1, nd))
+
+
+def _merge_kernel(x_ref, o_ref, *, num_heads: int, head_dim: int):
+    for h in range(num_heads):
+        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = (
+            x_ref[0, h].astype(o_ref.dtype))
+
+
+def merge_heads(
+    x: jax.Array,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """x [B, N, S, D] → [B, S, N*D] in one pass (the attention-output
+    head-merge; the swapaxes+reshape form costs a full relayout copy,
+    ~18 ms/step per site at 1.3B shapes)."""
+    b, n, s, d = x.shape
+    ts = _seq_tile(s)
+    return pl.pallas_call(
+        functools.partial(_merge_kernel, num_heads=n, head_dim=d),
+        grid=(b, s // ts),
+        in_specs=[
+            pl.BlockSpec((1, n, ts, d), lambda bi, si: (bi, 0, si, 0))
+        ],
+        out_specs=pl.BlockSpec((1, ts, n * d), lambda bi, si: (bi, si, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, n * d), out_dtype),
+        interpret=interpret,
+    )(x)
+
+
 def rms_rope_heads_reference(
     x: jax.Array, w: jax.Array, ca: jax.Array, sb: jax.Array,
     num_heads: int, eps: float = 1e-6, out_dtype=jnp.bfloat16,

@@ -117,6 +117,18 @@ def fp_linear(params: Params, x: jax.Array, compute_dtype=jnp.bfloat16) -> jax.A
     return y
 
 
+def resolves_fp(ctx: Optional[QuantCtx], name: str) -> bool:
+    """True iff qlinear(ctx, name, ...) would run the plain FP matmul with
+    no side effects — callers may then use a layout-fused FP contraction
+    instead (e.g. the heads-major o-projection in models/dit.py). Calib
+    mode returns False: its FP forward also captures activation stats."""
+    if ctx is None or ctx.mode == "fp":
+        return True
+    if ctx.mode == "calib":
+        return False
+    return not ctx.policy(name).is_quantized
+
+
 def qlinear(
     ctx: Optional[QuantCtx],
     name: str,
