@@ -201,5 +201,16 @@ def quant_sum(x: jax.Array, gelu: bool = False, channel_scale=None):
 
 def ln_modulate_quant(x, shift, scale_mod, eps: float = 1e-6,
                       channel_scale=None):
+    import os
+
+    # the single-pass Pallas producer beats XLA's split amax+quant passes
+    # in-graph (3.187 -> 3.164 s/step at the bench config); SmoothQuant's
+    # channel mask and non-TPU backends keep the XLA form
+    if (
+        channel_scale is None
+        and jax.default_backend() == "tpu"
+        and os.environ.get("WANQ_PALLAS_PRODUCERS", "1") != "0"
+    ):
+        return ln_modulate_quant_pallas(x, shift, scale_mod, eps=eps)
     return ln_modulate_quant_xla(x, shift, scale_mod, eps=eps,
                                  channel_scale=channel_scale)
