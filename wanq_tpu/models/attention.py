@@ -30,7 +30,46 @@ _SPLASH_BLOCK_KV_COMPUTE = 1024
 _SPLASH_MIN_SEQ = 4096
 
 
-def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float):
+def _kv_prefix_mask(shape, valid: int):
+    """Lazy mask attending only kv columns < ``valid`` — the static
+    pad-tail mask (Wan seq lens pad 32760→32768). Unlike dynamic
+    segment-id masking (~3.4 ms/layer at 1.3B shapes), a static mask lets
+    splash mark every fully-valid block as mask-free at trace time; only
+    the q-row × last-kv-block tiles compute a per-element mask."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_mask as sm,
+    )
+
+    class _KVPrefixMask(sm._ComputableMask):
+        def __init__(self, shape, valid, shard_count=1):
+            self.valid = valid
+
+            def prefix_mask_function(q_ids, kv_ids):
+                # q_ids term broadcasts the result to (rows, cols) under
+                # both numpy (mask-info build) and jnp (in-kernel)
+                return (kv_ids < valid) & (q_ids >= 0)
+
+            super().__init__(
+                shape=shape,
+                mask_function=prefix_mask_function,
+                shard_count=shard_count,
+            )
+
+        def __eq__(self, other):
+            return (
+                isinstance(other, _KVPrefixMask)
+                and self.shape == other.shape
+                and self.valid == other.valid
+            )
+
+        def __hash__(self):
+            return hash((type(self).__name__, self.shape, self.valid))
+
+    return _KVPrefixMask(shape, valid)
+
+
+def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float,
+                   kv_valid: Optional[int] = None):
     # NOTE: deliberately not cached — make_splash_mha closes over values
     # created at call time, and reusing a kernel object across jit traces
     # leaks tracers; construction is cheap (masks are lazy)
@@ -39,7 +78,11 @@ def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float):
         splash_attention_mask as sm,
     )
 
-    mask = sm.MultiHeadMask([sm.FullMask((s, s)) for _ in range(h)])
+    if kv_valid is not None and kv_valid < s:
+        head_mask = _kv_prefix_mask((s, s), kv_valid)
+    else:
+        head_mask = sm.FullMask((s, s))
+    mask = sm.MultiHeadMask([head_mask for _ in range(h)])
     bkv = min(blk_kv, s)
     sizes = sk.BlockSizes(
         block_q=min(blk_q, s),
@@ -56,21 +99,13 @@ def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float):
 def _splash_path(q, k, v, scale, kv_len, blk_kv=_SPLASH_BLOCK_KV):
     """Self-attention via the splash kernel. q,k,v: [B, S, N, D] with S
     already padded to the splash block; the sm_scale folds into q."""
-    from jax.experimental.pallas.ops.tpu.splash_attention import (
-        splash_attention_kernel as sk,
-    )
-
     b, s, n, d = q.shape
-    kernel = _splash_kernel(s, n, _SPLASH_BLOCK_Q, blk_kv, scale)
+    kernel = _splash_kernel(s, n, _SPLASH_BLOCK_Q, blk_kv, scale,
+                            kv_valid=kv_len)
     qt = (jnp.swapaxes(q, 1, 2) * scale).astype(jnp.bfloat16)
     kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
     vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)
-    seg = None
-    if kv_len < s:
-        ids = (jnp.arange(s) >= kv_len).astype(jnp.int32)
-        seg = sk.SegmentIds(q=jnp.zeros((s,), jnp.int32), kv=2 * ids)
-        seg = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (b, s)), seg)
-    out = jax.vmap(kernel)(qt, kt, vt, segment_ids=seg)
+    out = jax.vmap(kernel)(qt, kt, vt)
     return jnp.swapaxes(out, 1, 2)
 
 
@@ -99,24 +134,16 @@ def attention_heads_major(
             scale=1.0, k_valid_len=k_valid_len,
         )
         return jnp.swapaxes(out, 1, 2)
-    from jax.experimental.pallas.ops.tpu.splash_attention import (
-        splash_attention_kernel as sk,
-    )
 
     kv_len = min(k_valid_len, s) if k_valid_len is not None else s
     blk_kv = next(
         bk for bk in (_SPLASH_BLOCK_KV, 2048, 1024, _SPLASH_BLOCK_Q)
         if s % bk == 0
     )
-    kernel = _splash_kernel(s, n, _SPLASH_BLOCK_Q, blk_kv, 1.0)
-    seg = None
-    if kv_len < s:
-        ids = (jnp.arange(s) >= kv_len).astype(jnp.int32)
-        seg = sk.SegmentIds(q=jnp.zeros((s,), jnp.int32), kv=2 * ids)
-        seg = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (b, s)), seg)
+    kernel = _splash_kernel(s, n, _SPLASH_BLOCK_Q, blk_kv, 1.0,
+                            kv_valid=kv_len)
     out = jax.vmap(kernel)(
         q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-        segment_ids=seg,
     )
     return out
 
