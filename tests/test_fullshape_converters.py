@@ -146,3 +146,29 @@ def test_vae_converter_full_shape(tmp_path):
     assert set(loaded.keys()) == set(params.keys())
     for k in params:
         assert loaded[k].shape == params[k].shape, k
+
+
+def test_param_generator_matches_host_init_i2v():
+    """make_param_generator must produce the same tree as init_params for
+    i2v configs (img_emb + per-block k_img/v_img/norm_k_img) — it feeds
+    init_params_on_device, abstract_params, and the sharded init."""
+    import dataclasses
+
+    from wanq_tpu.models.dit import init_params, make_param_generator
+
+    cfg = dataclasses.replace(
+        WAN_CONFIGS["i2v-14B"], dim=64, ffn_dim=128, num_heads=4,
+        num_layers=2, text_len=16, freq_dim=32, text_dim=48, clip_dim=40)
+    host = init_params(cfg, jax.random.PRNGKey(0))
+    gen = make_param_generator(cfg)(jax.random.PRNGKey(0))
+    hpaths = {
+        jax.tree_util.keystr(p): l.shape
+        for p, l in jax.tree_util.tree_leaves_with_path(host)
+    }
+    gpaths = {
+        jax.tree_util.keystr(p): l.shape
+        for p, l in jax.tree_util.tree_leaves_with_path(gen)
+    }
+    assert hpaths == gpaths, (
+        sorted(set(hpaths) ^ set(gpaths))[:6],
+        [k for k in hpaths.keys() & gpaths.keys() if hpaths[k] != gpaths[k]][:6])

@@ -106,6 +106,36 @@ def main():
         rel = float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
         print(f"{mode}: cosine {cos:.6f}  rel_err {rel:.5f}", flush=True)
         assert cos > 0.9999 and rel < 0.01, f"{mode} parity FAILED"
+    # i2v fused cross-attention branch (k_img/v_img) — a 2-layer
+    # i2v-shaped model at 1.3B width exercises the heads-major i2v path
+    import dataclasses
+
+    i2v_cfg = dataclasses.replace(
+        WAN_CONFIGS["i2v-14B"], name="i2v-parity", dim=1536, ffn_dim=8960,
+        num_heads=12, num_layers=2, text_len=512)
+    ip = stack_block_params(init_params_on_device(i2v_cfg, seed=0))
+    ip["head"]["head"]["w"] = (
+        0.02 * jax.random.normal(jax.random.PRNGKey(7),
+                                 ip["head"]["head"]["w"].shape)
+    ).astype(ip["head"]["head"]["w"].dtype)
+    xi = jax.random.normal(key, (1, 16, *target_shape[1:]), jnp.float32)
+    yi = jax.random.normal(key, (1, 20, *target_shape[1:]), jnp.float32)
+    clip_fea = jax.random.normal(key, (1, 257, 1280), jnp.float32)
+    ci = jax.random.normal(key, (1, i2v_cfg.text_len, i2v_cfg.text_dim),
+                           jnp.float32)
+    outs = {}
+    for fused in ("1", "0"):
+        os.environ["WANQ_FUSED_QK"] = fused
+        fwd = jax.jit(
+            lambda p, x, t_, c_, cf, y_: dit_forward(
+                p, i2v_cfg, x, t_, c_, seq_len, clip_fea=cf, y=y_))
+        outs[fused] = np.asarray(fwd(ip, xi, t, ci, clip_fea, yi), np.float32)
+        print(f"i2v fused={fused}: done", flush=True)
+    a, b = outs["1"], outs["0"]
+    cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    rel = float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+    print(f"i2v: cosine {cos:.6f}  rel_err {rel:.5f}", flush=True)
+    assert cos > 0.9999 and rel < 0.01, "i2v parity FAILED"
     print("PARITY OK", flush=True)
 
 

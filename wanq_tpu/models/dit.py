@@ -190,7 +190,7 @@ def make_param_generator(cfg: WanConfig):
 
     def gen(key):
         d = cfg.dim
-        n_lin = 6 + cfg.num_layers * 16
+        n_lin = 8 + cfg.num_layers * 20
         keys = iter(jax.random.split(key, n_lin + 8))
 
         def lin(c_in, c_out, scheme="xavier"):
@@ -218,14 +218,30 @@ def make_param_generator(cfg: WanConfig):
                      "modulation": modulation(2)},
             "blocks": [],
         }
+        if cfg.model_type == "i2v":
+            params["img_emb"] = {
+                "proj": {
+                    "0": {"w": jnp.ones((cfg.clip_dim,), jnp.float32),
+                          "b": jnp.zeros((cfg.clip_dim,), jnp.float32)},
+                    "1": lin(cfg.clip_dim, cfg.clip_dim),
+                    "3": lin(cfg.clip_dim, d),
+                    "4": {"w": jnp.ones((d,), jnp.float32),
+                          "b": jnp.zeros((d,), jnp.float32)},
+                }
+            }
         for _ in range(cfg.num_layers):
+            cross = {leaf: lin(d, d) for leaf in ("q", "k", "v", "o")} | {
+                "norm_q": jnp.ones((d,), jnp.float32),
+                "norm_k": jnp.ones((d,), jnp.float32)}
+            if cfg.model_type == "i2v":
+                cross["k_img"] = lin(d, d)
+                cross["v_img"] = lin(d, d)
+                cross["norm_k_img"] = jnp.ones((d,), jnp.float32)
             params["blocks"].append({
                 "self_attn": {leaf: lin(d, d) for leaf in ("q", "k", "v", "o")}
                 | {"norm_q": jnp.ones((d,), jnp.float32),
                    "norm_k": jnp.ones((d,), jnp.float32)},
-                "cross_attn": {leaf: lin(d, d) for leaf in ("q", "k", "v", "o")}
-                | {"norm_q": jnp.ones((d,), jnp.float32),
-                   "norm_k": jnp.ones((d,), jnp.float32)},
+                "cross_attn": cross,
                 "norm3": ({"w": jnp.ones((d,), jnp.float32),
                            "b": jnp.zeros((d,), jnp.float32)}
                           if cfg.cross_attn_norm else None),
