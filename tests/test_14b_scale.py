@@ -164,3 +164,14 @@ def test_14b_full_shard_cuts_per_device_args():
     gb = lambda m: float(re.search(r"args=([\d.]+)GB/device", m).group(1))
     # weights dominate the args; 8-way vs 2-way storage
     assert gb(full) < gb(base) * 0.45, (base, full)
+
+
+@pytest.mark.slow
+def test_i2v_14b_step_aot_compiles():
+    """i2v-14B over the mesh: clip_fea -> img_emb + y-concat conditioning
+    channels partition cleanly alongside the t2v paths (ref
+    wan_i2v_14B.py; xdit_context_parallel handles i2v identically)."""
+    cfg = WAN_CONFIGS["i2v-14B"]
+    mesh = make_mesh(1, 2, 2, 2)
+    msg = aot_validate(cfg, mesh)
+    assert "aot ok" in msg

@@ -153,8 +153,13 @@ def aot_validate(
     dp = mesh.shape["dp"]
     b = max(batch, dp)
     repl = NamedSharding(mesh, P())
+    is_i2v = cfg.model_type == "i2v"
+    # i2v: x carries out_dim latent channels; the conditioning latents +
+    # mask (in_dim - out_dim channels) arrive via ``y`` and concat inside
+    # dit_forward (ref model.py:577); clip_fea feeds img_emb
+    x_ch = cfg.out_dim if is_i2v else cfg.in_dim
     ax = jax.ShapeDtypeStruct(
-        (b, cfg.in_dim, f, h, w), jnp.float32,
+        (b, x_ch, f, h, w), jnp.float32,
         sharding=NamedSharding(mesh, P("dp", None, None, None, None)),
     )
     at = jax.ShapeDtypeStruct((b,), jnp.float32, sharding=repl)
@@ -162,12 +167,27 @@ def aot_validate(
         (b, cfg.text_len, cfg.text_dim), jnp.float32,
         sharding=NamedSharding(mesh, P("dp", None, None)),
     )
+    aclip = ay = None
+    if is_i2v:
+        aclip = jax.ShapeDtypeStruct(
+            (b, 257, cfg.clip_dim), jnp.float32,
+            sharding=NamedSharding(mesh, P("dp", None, None)),
+        )
+        ay = jax.ShapeDtypeStruct(
+            (b, cfg.in_dim - cfg.out_dim, f, h, w), jnp.float32,
+            sharding=NamedSharding(mesh, P("dp", None, None, None, None)),
+        )
 
-    def step(params, qctx, x, t, c):
-        return dit_forward(params, cfg, x, t, c, seq_len, ctx=qctx, plan=plan)
+    def step(params, qctx, x, t, c, clip_fea, y):
+        return dit_forward(params, cfg, x, t, c, seq_len, ctx=qctx,
+                           clip_fea=clip_fea, y=y, plan=plan)
 
     with mesh:
-        compiled = jax.jit(step).lower(astacked, actx, ax, at, ac).compile()
+        compiled = (
+            jax.jit(step)
+            .lower(astacked, actx, ax, at, ac, aclip, ay)
+            .compile()
+        )
     mem = compiled.memory_analysis()
     tmpb = getattr(mem, "temp_size_in_bytes", 0)
     argb = _per_device_bytes((astacked, actx, ax, at, ac))
