@@ -25,7 +25,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/wanq_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from wanq_tpu.ops.fused import quant_sum_xla
-from wanq_tpu.ops.qgemm import w8a8_linear_xla
+from wanq_tpu.ops.qgemm import w4a8_linear_xla, w8a8_linear_xla
+from wanq_tpu.quant.quantizers import pack_int4
 
 M = 16384
 CHAIN = 6
@@ -61,6 +62,14 @@ def q_ffn(x, w1q, s1, w2q, s2):
     return w8a8_linear_xla(q2, w2q, sr, s2, out_dtype=jnp.float32)
 
 
+def q4_ffn(x, w1p, s1, w2p, s2):
+    q, s, _ = quant_sum_xla(x.astype(jnp.float32))
+    h = jax.nn.gelu(
+        w4a8_linear_xla(q, w1p, s, s1, out_dtype=jnp.float32), approximate=True)
+    q2, sr, _ = quant_sum_xla(h)
+    return w4a8_linear_xla(q2, w2p, sr, s2, out_dtype=jnp.float32)
+
+
 def fp_sq(x, w):
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
@@ -89,6 +98,12 @@ def main():
         print(f"{name}: fp {t_fp:7.2f} ms ({fl/t_fp/1e9:6.1f} TF/s)  "
               f"int8+dyn-act {t_q:7.2f} ms ({fl/t_q/1e9:6.1f} TF/s)  "
               f"ratio {t_fp/t_q:.3f}x", flush=True)
+        w1p = pack_int4(jnp.clip(w1q, -8, 7))
+        w2p = pack_int4(jnp.clip(w2q, -8, 7))
+        t_q4 = bench(q4_ffn, x, w1p, s1, w2p, s2)
+        print(f"{name}: packed-W4A8 {t_q4:7.2f} ms ({fl/t_q4/1e9:6.1f} TF/s)  "
+              f"ratio-vs-fp {t_fp/t_q4:.3f}x  (weights 4x smaller than bf16)",
+              flush=True)
     for name, c in (("1.3B qkv", 1536), ("14B qkv", 5120)):
         x = jax.random.normal(key, (M, c), jnp.bfloat16)
         w = jax.random.normal(key, (c, c), jnp.bfloat16)
