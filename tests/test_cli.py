@@ -144,3 +144,39 @@ def test_convert_state_dict_roundtrip(rng):
     out = dit_forward(params, cfg, x, t, txt, seq_len=32)
     assert out.shape == (1, cfg.out_dim, 2, 8, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_prompt_extend_flags_and_identity(monkeypatch, capsys):
+    """--use_prompt_extend routes through the expander; identity fallback
+    keeps the original prompt when extension fails (ref fp_generate
+    prompt-extend block)."""
+    import argparse
+
+    from wanq_tpu.cli.common import add_common_args, maybe_extend_prompt
+    from wanq_tpu.utils import prompt_extend as pe
+
+    p = add_common_args(argparse.ArgumentParser())
+    args = p.parse_args([
+        "--use_prompt_extend", "--prompt_extend_method", "local_qwen",
+        "--prompt", "a cat", "--random_init",
+    ])
+
+    class FakeExpander(pe.PromptExpander):
+        def extend(self, prompt, system_prompt, seed=-1, **kw):
+            return pe.PromptOutput(True, prompt + ", cinematic", seed,
+                                   system_prompt)
+
+    monkeypatch.setattr(pe, "LocalPromptExpander",
+                        lambda model_name=None: FakeExpander())
+    out = maybe_extend_prompt(args)
+    assert out == "a cat, cinematic" and args.prompt == out
+
+
+def test_t5_cpu_flag_parses():
+    import argparse
+
+    from wanq_tpu.cli.common import add_common_args
+
+    p = add_common_args(argparse.ArgumentParser())
+    args = p.parse_args(["--t5_cpu", "--random_init"])
+    assert args.t5_cpu is True

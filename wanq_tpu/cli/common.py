@@ -64,7 +64,42 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
     p.add_argument("--offload_model", type=str, default=None,
                    help="accepted for reference-CLI parity; HBM residency "
                         "is managed by XLA on TPU")
+    p.add_argument("--t5_cpu", action="store_true",
+                   help="run the T5 encoder on host CPU (frees HBM for the "
+                        "DiT, ref fp_generate.py --t5_cpu)")
+    # prompt extension (ref fp_generate.py:119-138 + prompt_extend usage)
+    p.add_argument("--use_prompt_extend", action="store_true")
+    p.add_argument("--prompt_extend_method", type=str, default="local_qwen",
+                   choices=["dashscope", "local_qwen"])
+    p.add_argument("--prompt_extend_model", type=str, default=None)
+    p.add_argument("--prompt_extend_target_lang", type=str, default="en",
+                   choices=["en", "zh"])
     return p
+
+
+def maybe_extend_prompt(args, logger=None):
+    """Apply the configured prompt expander to args.prompt in place
+    (ref fp_generate.py:262-292)."""
+    if not getattr(args, "use_prompt_extend", False):
+        return args.prompt
+    from wanq_tpu.utils import prompt_extend as pe
+
+    if args.prompt_extend_method == "dashscope":
+        expander = pe.DashScopePromptExpander(
+            model_name=args.prompt_extend_model or "qwen-plus")
+    else:
+        expander = pe.LocalPromptExpander(
+            model_name=args.prompt_extend_model or "Qwen/Qwen2.5-3B-Instruct")
+    out = expander(args.prompt, tar_lang=args.prompt_extend_target_lang,
+                   seed=args.base_seed)
+    if out.status and out.prompt:
+        if logger is not None:
+            logger.info("extended prompt: %s", out.prompt)
+        args.prompt = out.prompt
+    elif logger is not None:
+        logger.warning("prompt extension failed: %s; using the original",
+                       out.message)
+    return args.prompt
 
 
 def validate_args(args):
@@ -122,10 +157,13 @@ def load_contexts(args, cfg) -> Tuple[np.ndarray, np.ndarray]:
     if args.context_file:
         data = np.load(args.context_file)
         return data["context"], data["context_null"]
+    maybe_extend_prompt(args, logging.getLogger())
     if args.ckpt_dir:
         from wanq_tpu.models.t5 import encode_prompts
 
-        return encode_prompts(args.ckpt_dir, cfg, [args.prompt], [args.neg_prompt])
+        return encode_prompts(
+            args.ckpt_dir, cfg, [args.prompt], [args.neg_prompt],
+            on_cpu=getattr(args, "t5_cpu", False))
     rng = np.random.default_rng(args.base_seed)
     shape = (1, cfg.text_len, cfg.text_dim)
     return (

@@ -429,15 +429,26 @@ class T5EncoderModel:
         return context * mask[:, :, None].astype(context.dtype)
 
 
-def encode_prompts(ckpt_dir: str, wan_cfg, prompts, neg_prompts, mesh=None):
+def encode_prompts(ckpt_dir: str, wan_cfg, prompts, neg_prompts, mesh=None,
+                   on_cpu: bool = False):
     """CLI hook: T5-encode positive/negative prompts from a Wan checkpoint
-    dir (ref text2video.py:180-190). Returns two [B, text_len, dim] arrays."""
+    dir (ref text2video.py:180-190). Returns two [B, text_len, dim] arrays.
+    ``on_cpu`` pins params and compute to host CPU — the reference's
+    --t5_cpu, freeing accelerator HBM for the DiT (fp_generate.py:107)."""
     import os
 
-    enc = T5EncoderModel(
-        wan_cfg.text_len,
-        checkpoint_path=os.path.join(ckpt_dir, wan_cfg.t5_checkpoint),
-        tokenizer_path=wan_cfg.t5_tokenizer,
-        mesh=mesh,
-    )
-    return np.asarray(enc(prompts)), np.asarray(enc(neg_prompts))
+    import jax
+
+    def build_and_run():
+        enc = T5EncoderModel(
+            wan_cfg.text_len,
+            checkpoint_path=os.path.join(ckpt_dir, wan_cfg.t5_checkpoint),
+            tokenizer_path=wan_cfg.t5_tokenizer,
+            mesh=mesh,
+        )
+        return np.asarray(enc(prompts)), np.asarray(enc(neg_prompts))
+
+    if on_cpu:
+        with jax.default_device(jax.devices("cpu")[0]):
+            return build_and_run()
+    return build_and_run()
