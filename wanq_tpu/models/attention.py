@@ -240,12 +240,15 @@ def attention(
     scale: Optional[float] = None,
     k_valid_len: Optional[int] = None,
     force_reference: bool = False,
+    trainable: bool = False,
 ) -> jax.Array:
     """Scaled dot-product attention. q: [B, Sq, N, D]; k,v: [B, Sk, N, D].
 
     On TPU the Pallas flash kernel runs (ref analog: flash_attention,
     wan/modules/attention.py:24-130); on CPU/tests, the jnp reference
     (ref :133-179 SDPA fallback). Trace-safe dispatch (keys on backend).
+    ``trainable`` skips the fwd-only splash kernel so the op is
+    reverse-mode differentiable (the flash kernel defines a VJP).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
@@ -262,7 +265,7 @@ def attention(
     # long self-attention rides the splash kernel (~20% over flash here).
     # Sequences pre-aligned to 512 (compute_seq_len) skip the pad+slice
     # round trip entirely; block_kv adapts to the largest divisor.
-    if sq == sk and sq >= _SPLASH_MIN_SEQ and d == 128:
+    if sq == sk and sq >= _SPLASH_MIN_SEQ and d == 128 and not trainable:
         s_p = _round_up(sq, _SPLASH_BLOCK_Q)
         if s_p != sq:
             pad = ((0, 0), (0, s_p - sq), (0, 0), (0, 0))
@@ -298,9 +301,14 @@ def attention(
             kv=jnp.broadcast_to(kv_seg[None], (b, sk_p)),
         )
 
-    sizes = fa.BlockSizes(
-        block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1
-    )
+    if trainable:
+        # the forward-only block spec has no dq/dkv tiles; get_default
+        # fills the full set the flash VJP kernels need
+        sizes = fa.BlockSizes.get_default(b, n, sq_p, sk_p, d)
+    else:
+        sizes = fa.BlockSizes(
+            block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1
+        )
     out = fa.flash_attention(
         jnp.swapaxes(q, 1, 2).astype(jnp.bfloat16),
         jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16),

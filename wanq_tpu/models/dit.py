@@ -347,6 +347,7 @@ def _self_attention(
     dtype,
     plan=None,
     prequant=None,
+    training: bool = False,
 ) -> jax.Array:
     """ref WanSelfAttention.forward (model.py:130-175). Under a sharding
     plan, q/k/v reshard from seq-sharded to head-sharded here — the Ulysses
@@ -395,6 +396,7 @@ def _self_attention(
     # profile's remaining ~130 ms of q/k relayout copies (BENCH_NOTES.md)
     if (
         cfg.qk_norm and plain_attn and plan is None and hd == 128
+        and not training
         and jax.default_backend() == "tpu"
         and os.environ.get("WANQ_FUSED_QK", "1") != "0"
     ):
@@ -475,7 +477,7 @@ def _self_attention(
     else:
         # scale pre-folded into q's rope tables on the plain path
         y = attention(q, k, v, scale=1.0 if plain_attn else None,
-                      k_valid_len=valid_len)
+                      k_valid_len=valid_len, trainable=training)
     y = y.reshape(b, s, n * hd)
     if plan is not None:
         y = plan.tokens(y)
@@ -491,6 +493,7 @@ def _cross_attention(
     cfg: WanConfig,
     dtype,
     plan=None,
+    training: bool = False,
 ) -> jax.Array:
     """ref WanT2VCrossAttention / WanI2VCrossAttention (model.py:178-244).
 
@@ -529,6 +532,7 @@ def _cross_attention(
 
     if (
         not quant_attn and plan is None and hd == 128
+        and not training
         and jax.default_backend() == "tpu"
         and os.environ.get("WANQ_FUSED_QK", "1") != "0"
     ):
@@ -562,10 +566,10 @@ def _cross_attention(
 
         y = quantized_attention(q, k, v, ctx.cross_attn)
     else:
-        y = attention(q, k, v)
+        y = attention(q, k, v, trainable=training)
 
     if cfg.model_type == "i2v":
-        y = y + attention(q, k_img, v_img)
+        y = y + attention(q, k_img, v_img, trainable=training)
 
     y = y.reshape(b, -1, n * hd)
     return qlinear(ctx, f"{name}.o", p["o"], y, dtype)
@@ -583,6 +587,7 @@ def block_forward(
     sin: jax.Array,
     valid_len: int,
     plan=None,
+    training: bool = False,
 ) -> jax.Array:
     """ref WanAttentionBlock.forward (model.py:293-370). x: [B, L, C] f32."""
     dtype = cfg.dtype
@@ -603,12 +608,13 @@ def block_forward(
         y = _self_attention(
             p["self_attn"], f"{name}.self_attn", ctx, None, cfg,
             cos, sin, valid_len, dtype, plan=plan, prequant=prequant,
+            training=training,
         )
     else:
         xn1 = layer_norm(x, cfg.eps) * (1.0 + e1[:, None, :]) + e0[:, None, :]
         y = _self_attention(
             p["self_attn"], f"{name}.self_attn", ctx, xn1.astype(dtype), cfg,
-            cos, sin, valid_len, dtype, plan=plan,
+            cos, sin, valid_len, dtype, plan=plan, training=training,
         )
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e2[:, None, :]).astype(x.dtype)
 
@@ -618,7 +624,7 @@ def block_forward(
         xn3 = x
     y = _cross_attention(
         p["cross_attn"], f"{name}.cross_attn", ctx, xn3.astype(dtype),
-        context, cfg, dtype, plan=plan,
+        context, cfg, dtype, plan=plan, training=training,
     )
     x = (x.astype(jnp.float32) + y.astype(jnp.float32)).astype(x.dtype)
 
@@ -697,6 +703,7 @@ def dit_forward(
     y: Optional[jax.Array] = None,
     plan=None,
     remat: bool = False,
+    training: bool = False,
 ) -> jax.Array:
     """Denoising forward (ref WanModel.forward, model.py:539-631).
 
@@ -705,6 +712,9 @@ def dit_forward(
     Returns [B, C_out, F, H, W] float32.
     ``plan``: optional wanq_tpu.parallel.ShardingPlan for GSPMD multi-chip
     execution (ref usp_dit_forward, xdit_context_parallel.py).
+    ``training``: route attention and producers through reverse-mode-
+    differentiable implementations (the inference fast paths — splash
+    attention, fused Pallas layout kernels — are fwd-only).
     ``remat``: rematerialize each block under autodiff (jax.checkpoint) —
     activation memory drops from O(layers) to O(1) blocks, the standard
     TPU trade for 14B-scale training (the reference leans on torch FSDP
@@ -769,7 +779,7 @@ def dit_forward(
         # compile times). Produced by stack_block_params().
         xf, scan_stats = _scan_blocks(
             params["blocks"], ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
-            remat=remat,
+            remat=remat, training=training,
         )
         if ctx is not None and ctx.mode == "calib":
             # unstack per-block stats into reference-style names
@@ -781,7 +791,7 @@ def dit_forward(
             def body(bp, xf_, e0_, c_, _i=i):
                 return block_forward(
                     bp, f"blocks.{_i}", ctx, xf_, e0_, c_, cfg,
-                    cos, sin, valid_len, plan=plan,
+                    cos, sin, valid_len, plan=plan, training=training,
                 )
 
             if remat:
@@ -846,7 +856,7 @@ def make_scan_ctx(ctx: QuantCtx, num_layers: int) -> QuantCtx:
 
 
 def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
-                 remat: bool = False):
+                 remat: bool = False, training: bool = False):
     stacked_state: Dict[str, Any] = {}
     if ctx is not None and ctx.scan_state is not None:
         stacked_state = ctx.scan_state
@@ -881,7 +891,8 @@ def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
             }
             sub.state = {f"{_SCAN_NAME}.{sfx}": st for sfx, st in bstate.items()}
         y = block_forward(
-            bp, _SCAN_NAME, sub, carry, e0, c, cfg, cos, sin, valid_len, plan=plan
+            bp, _SCAN_NAME, sub, carry, e0, c, cfg, cos, sin, valid_len,
+            plan=plan, training=training,
         )
         ys = {}
         if sub is not None and mode == "calib":

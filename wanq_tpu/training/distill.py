@@ -37,6 +37,10 @@ class DistillConfig:
     cfg_mid: float = 5.0  # ref args.cfg; per-step draw in [mid-2, mid+5]
     num_train_timesteps: int = 1000
     seq_len: int = 512
+    # rematerialize each DiT block under autodiff (dit_forward remat=True):
+    # activation memory O(1) blocks instead of O(layers) — required for
+    # full-size training steps on one chip
+    remat: bool = False
 
 
 @dataclasses.dataclass
@@ -86,13 +90,16 @@ def make_distill_step(
         sigma = (t / dcfg.num_train_timesteps)[:, None, None, None, None]
         xt = (1.0 - sigma) * x0 + sigma * noise
         v_student = dit_forward(
-            params, model_cfg, xt, t, context, dcfg.seq_len, plan=plan
+            params, model_cfg, xt, t, context, dcfg.seq_len, plan=plan,
+            remat=dcfg.remat, training=True,
         )
         tcond = dit_forward(
-            teacher_params, model_cfg, xt, t, context, dcfg.seq_len, plan=plan
+            teacher_params, model_cfg, xt, t, context, dcfg.seq_len,
+            plan=plan, training=True,
         )
         tuncond = dit_forward(
-            teacher_params, model_cfg, xt, t, null_context, dcfg.seq_len, plan=plan
+            teacher_params, model_cfg, xt, t, null_context, dcfg.seq_len,
+            plan=plan, training=True,
         )
         v_teacher = jax.lax.stop_gradient(tuncond + g * (tcond - tuncond))
         return jnp.mean(jnp.square(v_student - v_teacher))
@@ -132,13 +139,15 @@ def make_lora_distill_step(
         xt = (1.0 - sigma) * x0 + sigma * noise
         v_student = dit_forward(
             apply_lora(base_params, lora), model_cfg, xt, t, context,
-            dcfg.seq_len, plan=plan
+            dcfg.seq_len, plan=plan, remat=dcfg.remat, training=True,
         )
         tcond = dit_forward(
-            base_params, model_cfg, xt, t, context, dcfg.seq_len, plan=plan
+            base_params, model_cfg, xt, t, context, dcfg.seq_len,
+            plan=plan, training=True,
         )
         tuncond = dit_forward(
-            base_params, model_cfg, xt, t, null_context, dcfg.seq_len, plan=plan
+            base_params, model_cfg, xt, t, null_context, dcfg.seq_len,
+            plan=plan, training=True,
         )
         v_teacher = jax.lax.stop_gradient(tuncond + g * (tcond - tuncond))
         return jnp.mean(jnp.square(v_student - v_teacher))
