@@ -1,0 +1,159 @@
+"""Run a REAL Wan 14B W4A8 denoise step on ONE v5e chip.
+
+The reference cannot run 14B on a single 16 GB accelerator at all
+(28 GB bf16 weights; its 14B path requires multi-GPU FSDP). Packed-int4
+weights (~7 GB) change that. The FP 14B model also never fits host or
+device at once here, so this probe STREAMS: one transformer block is
+generated on-device, each linear is int4-quantized (per-channel, packed
+two-per-byte), the FP copy is discarded, repeat x40 — peak extra
+residency is one block.
+
+Usage: python -u tools/deploy_14b_probe.py [frame_num] [batch]
+Defaults 41 frames, B=1 (single-stream; CFG pairs double activation
+memory). Prints weight-state bytes, compile+step time, output norm.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wanq_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from wanq_tpu.configs import WAN_CONFIGS
+from wanq_tpu.models.dit import (
+    dit_forward,
+    make_scan_ctx,
+    stack_block_params,
+)
+from wanq_tpu.pipelines.text2video import compute_seq_len, compute_target_shape
+from wanq_tpu.quant import QuantConfig
+from wanq_tpu.quant.ptq import prepare_layer_state, strip_quantized_weights
+from wanq_tpu.quant.qlinear import QuantCtx
+
+W4A8 = {
+    "remain_fp_regex": (
+        r"text_embedding|time_embedding|time_projection|head\.head"
+    ),
+    "weight": {"n_bits": 4, "sym": False},
+    "act": {"n_bits": 8, "sym": True},
+}
+
+BLOCK_LINEARS = (
+    "self_attn.q", "self_attn.k", "self_attn.v", "self_attn.o",
+    "cross_attn.q", "cross_attn.k", "cross_attn.v", "cross_attn.o",
+    "ffn.0", "ffn.2",
+)
+
+
+def main():
+    frame_num = int(sys.argv[1]) if len(sys.argv) > 1 else 41
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+
+    cfg = WAN_CONFIGS["t2v-14B"]
+    qcfg = QuantConfig.from_dict(W4A8)
+    target_shape = compute_target_shape(cfg, (832, 480), frame_num)
+    seq_len = compute_seq_len(cfg, target_shape)
+    print(f"14B W4A8 single-chip probe: 480p x {frame_num}f, B={batch}, "
+          f"seq {seq_len}", flush=True)
+
+    t0 = time.time()
+    from wanq_tpu.models.dit import make_block_generator, make_nonblock_generator
+
+    params = jax.jit(make_nonblock_generator(cfg))(jax.random.PRNGKey(0))
+    # head.head is zero-init (DiT convention); randomize so the output —
+    # and the timing — reflect the full network, not a zero graph
+    params["head"]["head"]["w"] = (
+        0.02 * jax.random.normal(jax.random.PRNGKey(7),
+                                 params["head"]["head"]["w"].shape)
+    ).astype(params["head"]["head"]["w"].dtype)
+
+    block_policies = {f"blocks.0.{ln}": qcfg.resolve(f"blocks.0.{ln}")
+                      for ln in BLOCK_LINEARS}
+    gen_block = make_block_generator(cfg)
+
+    def build_layer(key):
+        # generate one FP block, int4-quantize every linear, strip the FP
+        # weights — all inside ONE program, so the bf16 block is pure
+        # workspace and never materializes as an output
+        bp = gen_block(key)
+        st = {}
+        for ln in BLOCK_LINEARS:
+            node = bp
+            for part in ln.split("."):
+                node = node[part]
+            st[ln] = prepare_layer_state(
+                block_policies[f"blocks.0.{ln}"], node["w"], None, None,
+                targets="int8")
+        sb = strip_quantized_weights({"blocks": [bp]},
+                                     block_policies)["blocks"][0]
+        return sb, st
+
+    jbuild = jax.jit(build_layer)
+    policies = {}
+    state = {}
+    stripped_blocks = []
+    total_qbytes = 0
+    for i in range(cfg.num_layers):
+        sb, st = jbuild(jax.random.PRNGKey(100 + i))
+        jax.block_until_ready(st)
+        stripped_blocks.append(sb)
+        for ln in BLOCK_LINEARS:
+            policies[f"blocks.{i}.{ln}"] = block_policies[f"blocks.0.{ln}"]
+            state[f"blocks.{i}.{ln}"] = st[ln]
+            total_qbytes += sum(
+                l.size * l.dtype.itemsize for l in jax.tree.leaves(st[ln]))
+        if i % 10 == 0:
+            print(f"  layer {i} quantized ({time.time()-t0:.0f}s)", flush=True)
+    params["blocks"] = stripped_blocks
+    print(f"quantized weight state: {total_qbytes/2**30:.2f} GiB "
+          f"(bf16 blocks would be ~27 GiB) in {time.time()-t0:.0f}s",
+          flush=True)
+
+    params = stack_block_params(params)
+    ctx = make_scan_ctx(
+        QuantCtx(mode="int8", policies=policies, state=state),
+        cfg.num_layers,
+    )
+    jax.block_until_ready(ctx.scan_state)
+
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (batch, *target_shape), jnp.float32)
+    t = jnp.full((batch,), 500.0, jnp.float32)
+    c = jax.random.normal(key, (batch, cfg.text_len, cfg.text_dim),
+                          jnp.float32)
+
+    fwd = jax.jit(
+        lambda p, q, x, t_, c_: dit_forward(p, cfg, x, t_, c_, seq_len,
+                                            ctx=q))
+    def fence(o):
+        # scalar fetch — block_until_ready under-reports on this relayed
+        # backend (see .claude/skills/verify)
+        return float(jnp.sum(o.astype(jnp.float32)))
+
+    t0 = time.time()
+    out = fwd(params, ctx, x, t, c)
+    fence(out)
+    print(f"first step (incl. compile): {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    out = fwd(params, ctx, 1.001 * x, t, c)
+    fence(out)
+    dt = time.time() - t0
+    n = float(jnp.linalg.norm(out))
+    finite = bool(jnp.all(jnp.isfinite(out)))
+    print(f"steady step: {dt*1000:.0f} ms  out norm {n:.3f} finite={finite}",
+          flush=True)
+    assert finite
+    print("14B W4A8 SINGLE-CHIP OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -253,6 +253,93 @@ def make_param_generator(cfg: WanConfig):
     return gen
 
 
+def _gen_lin_mod(cfg: WanConfig, keys):
+    d = cfg.dim
+
+    def lin(c_in, c_out, scheme="xavier"):
+        k = next(keys)
+        if scheme == "xavier":
+            bound = math.sqrt(6.0 / (c_in + c_out))
+            w = jax.random.uniform(k, (c_in, c_out), jnp.float32, -bound, bound)
+        elif scheme == "normal02":
+            w = jax.random.normal(k, (c_in, c_out), jnp.float32) * 0.02
+        else:
+            w = jnp.zeros((c_in, c_out), jnp.float32)
+        return {"w": w.astype(cfg.dtype), "b": jnp.zeros((c_out,), jnp.float32)}
+
+    def modulation(n):
+        return jax.random.normal(next(keys), (1, n, d), jnp.float32) / math.sqrt(d)
+
+    return lin, modulation
+
+
+def make_block_generator(cfg: WanConfig):
+    """Generator for ONE transformer block (key → block params) — for
+    streamed init at scales where the full FP model cannot reside on one
+    device (14B bf16 ≈ 27 GiB): generate a block, quantize it, drop the
+    FP copy, repeat (tools/deploy_14b_probe.py)."""
+
+    def gen_block(key):
+        d = cfg.dim
+        keys = iter(jax.random.split(key, 24))
+        lin, modulation = _gen_lin_mod(cfg, keys)
+        cross = {leaf: lin(d, d) for leaf in ("q", "k", "v", "o")} | {
+            "norm_q": jnp.ones((d,), jnp.float32),
+            "norm_k": jnp.ones((d,), jnp.float32)}
+        if cfg.model_type == "i2v":
+            cross["k_img"] = lin(d, d)
+            cross["v_img"] = lin(d, d)
+            cross["norm_k_img"] = jnp.ones((d,), jnp.float32)
+        return {
+            "self_attn": {leaf: lin(d, d) for leaf in ("q", "k", "v", "o")}
+            | {"norm_q": jnp.ones((d,), jnp.float32),
+               "norm_k": jnp.ones((d,), jnp.float32)},
+            "cross_attn": cross,
+            "norm3": ({"w": jnp.ones((d,), jnp.float32),
+                       "b": jnp.zeros((d,), jnp.float32)}
+                      if cfg.cross_attn_norm else None),
+            "ffn": {"0": lin(d, cfg.ffn_dim), "2": lin(cfg.ffn_dim, d)},
+            "modulation": modulation(6),
+        }
+
+    return gen_block
+
+
+def make_nonblock_generator(cfg: WanConfig):
+    """Generator for every param EXCEPT the transformer blocks (the
+    streamed-init prelude: embeddings, time projection, head, img_emb)."""
+
+    def gen_nonblock(key):
+        d = cfg.dim
+        keys = iter(jax.random.split(key, 16))
+        lin, modulation = _gen_lin_mod(cfg, keys)
+        params: Params = {
+            "patch_embedding": lin(int(np.prod(cfg.patch_size)) * cfg.in_dim, d),
+            "text_embedding": {"0": lin(cfg.text_dim, d, "normal02"),
+                               "2": lin(d, d, "normal02")},
+            "time_embedding": {"0": lin(cfg.freq_dim, d, "normal02"),
+                               "2": lin(d, d, "normal02")},
+            "time_projection": {"1": lin(d, d * 6)},
+            "head": {"head": lin(d, int(np.prod(cfg.patch_size)) * cfg.out_dim,
+                                 "zeros"),
+                     "modulation": modulation(2)},
+        }
+        if cfg.model_type == "i2v":
+            params["img_emb"] = {
+                "proj": {
+                    "0": {"w": jnp.ones((cfg.clip_dim,), jnp.float32),
+                          "b": jnp.zeros((cfg.clip_dim,), jnp.float32)},
+                    "1": lin(cfg.clip_dim, cfg.clip_dim),
+                    "3": lin(cfg.clip_dim, d),
+                    "4": {"w": jnp.ones((d,), jnp.float32),
+                          "b": jnp.zeros((d,), jnp.float32)},
+                }
+            }
+        return params
+
+    return gen_nonblock
+
+
 def init_params_on_device(cfg: WanConfig, seed: int = 0) -> Params:
     """Random init generated *on device* by a single jitted program — no
     host→device bulk transfer (the axon-relayed TPU moves ~32 MB/s, so

@@ -45,9 +45,16 @@ def _kernel(x_ref, w_ref, ca_ref, sb_ref, p_ref, o_ref, *, num_heads: int,
         o_ref[0, h] = y.astype(o_ref.dtype)
 
 
-def _seq_tile(s: int) -> int:
+def _seq_tile(s: int, nd: int = 0, x_itemsize: int = 2) -> int:
+    """Largest seq tile dividing s whose VMEM footprint fits the 16 MB
+    scoped budget: the kernels hold the x tile (x_itemsize B/elem), an
+    f32 normalized copy, and the bf16 head-major output, plus ~35% Mosaic
+    stack slack. At 1.3B dims (nd=1536, bf16) this picks 512; at 14B dims
+    (nd=5120) 128 — measured 17.95 MB at ts=256/f32 (over budget)."""
+    budget_bytes = 10_000_000
+    per_elem = x_itemsize + 6
     for ts in (512, 256, 128, 64, 32, 16, 8):
-        if s % ts == 0:
+        if s % ts == 0 and (nd == 0 or ts * nd * per_elem <= budget_bytes):
             return ts
     return s
 
@@ -70,7 +77,7 @@ def rms_rope_heads(
     b, s, nd = x.shape
     d = nd // num_heads
     assert ca.shape == (s, d) and sb.shape == (s, d), (ca.shape, s, d)
-    ts = _seq_tile(s)
+    ts = _seq_tile(s, nd, x.dtype.itemsize)
     p = jnp.asarray(pairswap_matrix(d))
 
     grid = (b, s // ts)
@@ -112,7 +119,7 @@ def split_heads(
     copy — two passes, ~43 ms/step at 1.3B shapes)."""
     b, s, nd = x.shape
     d = nd // num_heads
-    ts = _seq_tile(s)
+    ts = _seq_tile(s, nd, x.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_split_kernel, num_heads=num_heads, head_dim=d),
         grid=(b, s // ts),
@@ -148,7 +155,7 @@ def rms_split_heads(
     1.3B shapes — an f32 normalize write plus a relayout)."""
     b, s, nd = x.shape
     d = nd // num_heads
-    ts = _seq_tile(s)
+    ts = _seq_tile(s, nd, x.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(
             _rms_split_kernel, num_heads=num_heads, head_dim=d, eps=eps),
@@ -180,7 +187,7 @@ def merge_heads(
     head-merge; the swapaxes+reshape form costs a full relayout copy,
     ~18 ms/step per site at 1.3B shapes)."""
     b, n, s, d = x.shape
-    ts = _seq_tile(s)
+    ts = _seq_tile(s, n * d, x.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_merge_kernel, num_heads=n, head_dim=d),
         grid=(b, s // ts),
