@@ -92,7 +92,13 @@ def main(argv=None):
                          checkpoint_path=args.clip_checkpoint)
         fp_v = fp[:, None] if fp_kind == "images" else fp
         q_v = q[:, None] if q_kind == "images" else q
-        rep.update(clip_fidelity_report(fp_v, q_v, clip.params, clip.cfg))
+        crep = clip_fidelity_report(fp_v, q_v, clip.params, clip.cfg)
+        if fp_kind == "images":
+            # single-frame "videos": temporal metrics are constant 1.0 and
+            # would read as perfect scores — report frame-level entries only
+            crep = {k: v for k, v in crep.items()
+                    if not k.startswith(("clip_temp", "flicker"))}
+        rep.update(crep)
         if not args.clip_checkpoint:
             rep["clip_random_init"] = 1.0  # flag: rank-preserving probe only
 

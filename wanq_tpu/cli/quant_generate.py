@@ -90,8 +90,13 @@ def generate(args):
     mesh, plan = build_mesh_and_plan(args)
     if mesh is not None:
         from wanq_tpu.parallel import shard_params
+        from wanq_tpu.quant.ptq import shard_quant_state
 
-        params = shard_params(params, mesh, getattr(args, 'full_shard', False))
+        fs = getattr(args, 'full_shard', False)
+        params = shard_params(params, mesh, fs)
+        # int8/sim weight state lives FSDP-sharded on the mesh like the FP
+        # weights it replaces (14B int8 ≈ 14 GB cannot replicate)
+        state = shard_quant_state(state, mesh, fs)
 
     ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations,
                    attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg)

@@ -26,7 +26,7 @@ from wanq_tpu.models.dit import (
     stack_block_params,
     stack_quant_state,
 )
-from wanq_tpu.parallel.sharding import ShardingPlan, param_shardings, storage_axes
+from wanq_tpu.parallel.sharding import ShardingPlan, param_shardings
 from wanq_tpu.quant.config import QuantConfig
 from wanq_tpu.quant.qlinear import QuantCtx
 
@@ -59,16 +59,12 @@ def _with_shardings(avals, shardings):
 def _scan_state_sharding(
     mesh: Mesh, key: str, leaf, full_shard: bool = False
 ) -> NamedSharding:
-    """Stacked per-block quant state [L, ...]: weight matrices split on
-    their output dim, per-C_out vectors on theirs."""
-    axes, fs = storage_axes(mesh, full_shard)
-    if key in ("w_q", "w_int8", "w_int4") and leaf.shape[-1] % fs == 0:
-        return NamedSharding(mesh, P(None, None, axes))
-    if key in ("delta_w", "zp_w", "scale_w", "zp_w_int") and (
-        len(leaf.shape) >= 2 and leaf.shape[1] % fs == 0
-    ):
-        return NamedSharding(mesh, P(None, axes))
-    return NamedSharding(mesh, P())
+    """Stacked per-block quant state [L, ...] — shared with the runtime
+    deployment path (quant.ptq.scan_state_sharding_for) so AOT planning
+    and execution place state identically."""
+    from wanq_tpu.quant.ptq import scan_state_sharding_for
+
+    return scan_state_sharding_for(mesh, key, leaf, full_shard)
 
 
 def aot_validate(
@@ -190,7 +186,10 @@ def aot_validate(
         )
     mem = compiled.memory_analysis()
     tmpb = getattr(mem, "temp_size_in_bytes", 0)
-    argb = _per_device_bytes((astacked, actx, ax, at, ac))
+    arg_tree = [astacked, actx, ax, at, ac]
+    if is_i2v:
+        arg_tree += [aclip, ay]  # i2v conditioning counts toward residency
+    argb = _per_device_bytes(arg_tree)
     return (
         f"aot ok: dim={cfg.dim} layers={cfg.num_layers} heads={cfg.num_heads} "
         f"mesh={dict(mesh.shape)} seq_len={seq_len} "

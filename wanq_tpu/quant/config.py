@@ -120,6 +120,16 @@ class QuantConfig:
         self.attn_cfg = AttnQuantCfg.from_dict(raw.get("attn"))
         self.cross_attn_cfg = AttnQuantCfg.from_dict(raw.get("cross_attn"))
 
+        # resolve() runs per layer per trace — compile every selection
+        # regex once here instead of on each call
+        self._re_cache: Dict[str, "re.Pattern"] = {}
+
+    def _search(self, pattern: str, name: str):
+        pat = self._re_cache.get(pattern)
+        if pat is None:
+            pat = self._re_cache[pattern] = re.compile(pattern)
+        return pat.search(name)
+
     @classmethod
     def from_yaml(cls, path: str) -> "QuantConfig":
         with open(path) as f:
@@ -142,12 +152,12 @@ class QuantConfig:
                 if regex is None:
                     regex = ""
                 # empty regex matches everything (re.search semantics)
-                if re.search(re.compile(regex), full_name):
+                if self._search(regex, full_name):
                     method = m
                     alpha = float(self.methods[m].get("alpha", alpha))
 
         if self.remain_fp_regex:
-            if re.compile(self.remain_fp_regex).search(full_name):
+            if self._search(self.remain_fp_regex, full_name):
                 return FP_POLICY
 
         w_cfg, a_cfg = self.weight_cfg, self.act_cfg
@@ -155,7 +165,7 @@ class QuantConfig:
             self.act_static_regex
             and a_cfg is not None
             and a_cfg.dynamic
-            and re.search(re.compile(self.act_static_regex), full_name)
+            and self._search(self.act_static_regex, full_name)
         ):
             a_cfg = dataclasses.replace(a_cfg, dynamic=False)
         quant_mode = True
@@ -171,7 +181,7 @@ class QuantConfig:
             for idx, regex in enumerate(w_list):
                 if len(regex) == 0:
                     continue
-                if re.search(re.compile(regex), full_name):
+                if self._search(regex, full_name):
                     if idx == 0:
                         quant_mode = False
                     elif w_cfg is not None:
@@ -179,7 +189,7 @@ class QuantConfig:
             for idx, regex in enumerate(a_list):
                 if len(regex) == 0:
                     continue
-                if re.search(re.compile(regex), full_name):
+                if self._search(regex, full_name):
                     if idx == 0:
                         quant_mode = False
                     elif a_cfg is not None:

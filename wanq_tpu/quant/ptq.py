@@ -179,23 +179,30 @@ def prepare_layer_state(
     return st
 
 
-def quant_state_shardings(mesh, state: Dict[str, Dict[str, jax.Array]]):
+def quant_state_shardings(
+    mesh, state: Dict[str, Dict[str, jax.Array]], full_shard: bool = False
+):
     """NamedSharding pytree for a quant-state dict: per-output-channel
     entries follow the FSDP weight split (w_*: [C_in(|/2), C_out] on the
     C_out dim; scale/zp vectors on theirs), per-input entries replicate.
+    ``full_shard`` stores over every non-dp axis, matching
+    parallel.sharding.storage_axes — a --full_shard deployment then places
+    int8 weight state exactly as the AOT capacity planner models it.
     The 14B int8 weights (~14 GB) must live sharded on the mesh
     (VERDICT round-1 missing #6)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    fs = mesh.shape["fsdp"]
+    from wanq_tpu.parallel.sharding import storage_axes
+
+    axes, fs = storage_axes(mesh, full_shard)
 
     def spec(key, leaf):
         if key in ("w_q", "w_int8", "w_int4") and leaf.shape[-1] % fs == 0:
-            return NamedSharding(mesh, P(None, "fsdp"))
+            return NamedSharding(mesh, P(None, axes))
         if key in ("delta_w", "zp_w", "scale_w", "zp_w_int") and (
             leaf.shape and leaf.shape[0] % fs == 0
         ):
-            return NamedSharding(mesh, P("fsdp"))
+            return NamedSharding(mesh, P(axes))
         return NamedSharding(mesh, P())  # channel_mask etc: per-C_in, replicated
 
     return {
@@ -203,10 +210,62 @@ def quant_state_shardings(mesh, state: Dict[str, Dict[str, jax.Array]]):
     }
 
 
-def shard_quant_state(state, mesh):
+def shard_quant_state(state, mesh, full_shard: bool = False):
     """Place a quant-state dict onto the mesh (one-time, after PTQ)."""
-    shardings = quant_state_shardings(mesh, state)
+    shardings = quant_state_shardings(mesh, state, full_shard)
     return jax.tree_util.tree_map(jax.device_put, state, shardings)
+
+
+def scan_state_sharding_for(mesh, key: str, leaf, full_shard: bool = False):
+    """NamedSharding for one STACKED per-block quant-state leaf [L, ...]
+    (stack_quant_state layout): weight matrices split on their output dim
+    over the storage axes, per-C_out vectors on theirs, rest replicated.
+    Shared by the AOT validator and the runtime mesh deployment so the
+    executed layout is exactly the one the capacity planner models."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wanq_tpu.parallel.sharding import storage_axes
+
+    axes, fs = storage_axes(mesh, full_shard)
+    if key in ("w_q", "w_int8", "w_int4") and leaf.shape[-1] % fs == 0:
+        return NamedSharding(mesh, P(None, None, axes))
+    if key in ("delta_w", "zp_w", "scale_w", "zp_w_int") and (
+        len(leaf.shape) >= 2 and leaf.shape[1] % fs == 0
+    ):
+        return NamedSharding(mesh, P(None, axes))
+    return NamedSharding(mesh, P())
+
+
+def shard_scan_ctx(ctx, mesh, full_shard: bool = False):
+    """Place a scan-form QuantCtx's state onto the mesh: the stacked
+    per-block entries FSDP-sharded (scan_state_sharding_for), the non-block
+    entries per quant_state_shardings. Returns a new QuantCtx."""
+    from wanq_tpu.quant.qlinear import QuantCtx
+
+    assert ctx.scan_state is not None, "build with models.dit.make_scan_ctx first"
+    scan_shardings = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: scan_state_sharding_for(
+            mesh, str(getattr(path[-1], "key", "")), leaf, full_shard
+        ),
+        ctx.scan_state,
+    )
+    new = QuantCtx(
+        mode=ctx.mode, policies=ctx.policies,
+        state=shard_quant_state(ctx.state, mesh, full_shard),
+        rotations=jax.tree.map(
+            lambda r: jax.device_put(
+                r, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            ),
+            ctx.rotations,
+        ),
+        attn=ctx.attn, cross_attn=ctx.cross_attn,
+        collect_minmax=ctx.collect_minmax, attn_map_pool=ctx.attn_map_pool,
+    )
+    new.scan_state = jax.tree_util.tree_map(
+        jax.device_put, ctx.scan_state, scan_shardings
+    )
+    new.attn_perms = ctx.attn_perms
+    return new
 
 
 def prepare_quant_state(
@@ -283,14 +342,23 @@ def strip_quantized_weights(params: Params, policies) -> Params:
     (≈28 GB → placeholders) while biases and FP-kept layers stay.
 
     Returns a new tree (shallow-copied along stripped paths); running an
-    ``fp``-mode forward with a stripped tree fails loudly on shape."""
+    ``fp``-mode forward with a stripped tree fails loudly on shape.
+
+    Works on both the list form and the STACKED (scan) form of ``blocks``:
+    stacked leaves [L, C_in, C_out] become [L, 1, 1] placeholders (scan xs
+    keep their leading L), stripped once per suffix since scan requires
+    uniform per-block policies anyway."""
     import copy
 
     out = copy.copy(params)
+    stacked = isinstance(out.get("blocks"), dict)
     if isinstance(out.get("blocks"), list):
         out["blocks"] = [copy.copy(b) for b in out["blocks"]]
 
     def _strip(path: str):
+        if stacked and path.startswith("blocks."):
+            # 'blocks.<i>.<suffix>' → strip the stacked leaf at <suffix>
+            path = "blocks." + path.split(".", 2)[2]
         parts = path.split(".")
         node = out
         for p in parts[:-1]:
@@ -304,7 +372,8 @@ def strip_quantized_weights(params: Params, policies) -> Params:
         leaf = copy.copy(node[parts[-1]])
         if "w" in leaf:
             w = leaf["w"]
-            leaf["w"] = jnp.zeros((1, 1), getattr(w, "dtype", jnp.bfloat16))
+            shape = (w.shape[0], 1, 1) if getattr(w, "ndim", 2) == 3 else (1, 1)
+            leaf["w"] = jnp.zeros(shape, getattr(w, "dtype", jnp.bfloat16))
         node[parts[-1]] = leaf
 
     for name, pol in policies.items():

@@ -112,6 +112,8 @@ def prefetch_to_device(
     _END = object()
 
     def producer():
+        # a raised exception (missing/corrupt .npz) must surface in the
+        # consumer — swallowing it would silently truncate the epoch
         try:
             for idxs in batches:
                 samples = [dataset[i] for i in idxs]
@@ -120,6 +122,8 @@ def prefetch_to_device(
                     for k in samples[0]
                 }
                 q.put(batch)
+        except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+            q.put(("__error__", exc))
         finally:
             q.put(_END)
 
@@ -129,6 +133,8 @@ def prefetch_to_device(
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+            raise item[1]
         if sharding is not None:
             yield {k: jax.device_put(v, sharding) for k, v in item.items()}
         else:
