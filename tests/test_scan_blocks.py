@@ -144,7 +144,9 @@ def test_scan_ctx_carries_attention_quant():
     assert not np.allclose(np.asarray(with_attnq), np.asarray(no_attnq))
 
 
-def test_scan_rejects_attn_perms():
+def test_scan_rejects_nonblock_attn_perms():
+    """Perms keyed outside blocks.* cannot ride the scan xs — loud error
+    (per-block tables are the only stackable form)."""
     from wanq_tpu.configs import tiny_config
     from wanq_tpu.models.dit import (
         dit_forward, init_params, linear_layer_names, make_scan_ctx,
@@ -164,9 +166,9 @@ def test_scan_rejects_attn_perms():
     pol, st, rot = prepare_quant_state(lp, linear_layer_names(cfg), qcfg)
     ctx = make_scan_ctx(QuantCtx(mode="sim", policies=pol, state=st,
                                  rotations=rot), cfg.num_layers)
-    ctx.attn_perms = {"blocks.0.self_attn": jnp.zeros((4, 32), jnp.int32)}
+    ctx.attn_perms = {"head.self_attn": jnp.zeros((4, 32), jnp.int32)}
     x = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.in_dim, 2, 8, 8))
-    with pytest.raises(NotImplementedError, match="reorder"):
+    with pytest.raises(AssertionError, match="cannot ride scan"):
         dit_forward(sp, cfg, x, jnp.asarray([500.0]),
                     jax.random.normal(jax.random.PRNGKey(2),
                                       (1, cfg.text_len, cfg.text_dim)),
@@ -195,3 +197,40 @@ def test_scan_int8_static_ffn2_matches_loop(setup):
     ref = dit_forward(params, cfg, x, t, txt, seq_len=32, ctx=ctx)
     got = dit_forward(stacked, cfg, x, t, txt, seq_len=32, ctx=ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-3)
+
+
+def test_scan_attn_perms_match_loop(setup):
+    """Per-block attn-map reorder tables ride the scan as stacked [L, H, S]
+    xs (round-2 VERDICT #5) — parity with the unrolled loop, using
+    DIFFERENT perms per block to prove each iteration gets its own."""
+    cfg, params, stacked, (x, t, txt) = setup
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": QCFG["remain_fp_regex"],
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+        "attn": {"qk": {"n_bits": 8}, "v": {"n_bits": 8},
+                 "attn_map": {"n_bits": 8, "group": "block",
+                              "block_size": 8}},
+    })
+    names = linear_layer_names(cfg)
+    policies, state, rotations = prepare_quant_state(params, names, qcfg)
+    rng = np.random.default_rng(11)
+    s = 32  # seq_len below
+    perms = {
+        f"blocks.{i}.self_attn": jnp.asarray(
+            np.stack([rng.permutation(s) for _ in range(cfg.num_heads)]),
+            jnp.int32,
+        )
+        for i in range(cfg.num_layers)
+    }
+    ctx = QuantCtx(mode="sim", policies=policies, state=state,
+                   rotations=rotations, attn=qcfg.attn_cfg)
+    ctx.attn_perms = perms
+    ref = dit_forward(params, cfg, x, t, txt, seq_len=32, ctx=ctx)
+    got = dit_forward(stacked, cfg, x, t, txt, seq_len=32, ctx=ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-3)
+    # and the perms are live: identity-ordering output differs
+    ctx_noperm = QuantCtx(mode="sim", policies=policies, state=state,
+                          rotations=rotations, attn=qcfg.attn_cfg)
+    other = dit_forward(stacked, cfg, x, t, txt, seq_len=32, ctx=ctx_noperm)
+    assert not np.allclose(np.asarray(got), np.asarray(other))

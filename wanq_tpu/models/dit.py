@@ -954,15 +954,26 @@ def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
     policies = ctx.policies if ctx is not None else {}
     rotations = ctx.rotations if ctx is not None else {}
 
+    stacked_perms: Dict[str, jax.Array] = {}
     if ctx is not None and ctx.attn_perms:
-        raise NotImplementedError(
-            "attn-map reorder tables are per-block and cannot ride the "
-            "uniform scan body; use list-form (unstacked) block params "
-            "with QuantCtx.attn_perms"
+        # per-block reorder tables ([H, S] int32) stack to [L, H, S] and
+        # ride the scan as xs — each iteration gets its own block's perm
+        # (ref optimal_reorder tables are per-block, quant_attn.py:176-238)
+        non_block = [k for k in ctx.attn_perms if not k.startswith("blocks.")]
+        assert not non_block, (
+            f"attn perms outside blocks cannot ride scan: {non_block}"
         )
+        for sfx in sorted({k.split(".", 2)[2] for k in ctx.attn_perms}):
+            stacked_perms[sfx] = jnp.stack(
+                [
+                    jnp.asarray(ctx.attn_perms[f"blocks.{i}.{sfx}"])
+                    for i in range(cfg.num_layers)
+                ],
+                axis=0,
+            )
 
     def body(carry, xs):
-        bp, bstate = xs
+        bp, bstate, bperms = xs
         sub = None
         if ctx is not None:
             # carry EVERY per-ctx behavior flag into the per-block view —
@@ -977,6 +988,9 @@ def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
                 k: v for k, v in policies.items() if k.startswith(_SCAN_NAME + ".")
             }
             sub.state = {f"{_SCAN_NAME}.{sfx}": st for sfx, st in bstate.items()}
+            sub.attn_perms = {
+                f"{_SCAN_NAME}.{sfx}": p for sfx, p in bperms.items()
+            }
         y = block_forward(
             bp, _SCAN_NAME, sub, carry, e0, c, cfg, cos, sin, valid_len,
             plan=plan, training=training,
@@ -992,5 +1006,7 @@ def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
         # rematerialize each scanned block under autodiff: activation
         # memory O(1) blocks instead of O(layers)
         body = jax.checkpoint(body)
-    xf, stats = jax.lax.scan(body, xf, (bp_stacked, stacked_state))
+    xf, stats = jax.lax.scan(
+        body, xf, (bp_stacked, stacked_state, stacked_perms)
+    )
     return xf, stats
