@@ -201,3 +201,34 @@ def test_rope_interleaved_matches_pair_form(rng):
     want = np.asarray(rope_apply_padded(x, cos, sin, s_valid))
     got = np.asarray(rope_apply_interleaved(x, ca, sb, s_valid))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_o_proj_heads_major_int8_matches_qlinear():
+    """The heads-major W8A8 o-projection (per-token quant over a token's
+    heads*dim + int8 (n,d) contraction) must equal the merge_heads +
+    qlinear reference path — scales see the same element set, the int32
+    accumulation is exact."""
+    import numpy as np
+    from wanq_tpu.models.dit import o_proj_heads_major_int8
+    from wanq_tpu.quant.config import QuantConfig
+    from wanq_tpu.quant.ptq import prepare_layer_state
+    from wanq_tpu.quant.qlinear import QuantCtx, qlinear
+
+    rng = np.random.default_rng(0)
+    b, n, s, d, o = 2, 4, 16, 8, 32
+    y = jnp.asarray(rng.normal(size=(b, n, s, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(n * d, o)).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
+    qcfg = QuantConfig.from_dict(
+        {"weight": {"n_bits": 8, "sym": False},
+         "act": {"n_bits": 8, "sym": True}})
+    pol = qcfg.resolve("blocks.0.self_attn.o")
+    st = prepare_layer_state(pol, w, None, None, targets="int8")
+    ctx = QuantCtx(mode="int8", policies={"blocks.0.self_attn.o": pol},
+                   state={"blocks.0.self_attn.o": st})
+    po = {"w": w, "b": bias}
+    got = o_proj_heads_major_int8(ctx, "blocks.0.self_attn.o", po, y)
+    merged = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, s, n * d)
+    ref = qlinear(ctx, "blocks.0.self_attn.o", po, merged)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -68,3 +68,30 @@ def test_identity_prompt_expander():
     assert out.status and out.prompt == "a cat"
     out_zh = exp("一只猫", tar_lang="zh")
     assert out_zh.status and "提示词" in out_zh.system_prompt
+
+
+def test_flow_score_motion_ranking():
+    """Classical flow-score (ref optical_flow_scores.py semantics): zero on
+    static video, increases with motion magnitude."""
+    import numpy as np
+    from wanq_tpu.utils.flow import flow_score
+
+    # smooth structure (real video is low-frequency; iid noise aliases
+    # under the pyramid and defeats any classical flow)
+    yy, xx = np.mgrid[0:64, 0:64] / 64.0
+    base = (
+        0.5 + 0.3 * np.sin(2 * np.pi * xx * 3) * np.cos(2 * np.pi * yy * 2)
+    )
+
+    def vid(shift):
+        return np.stack(
+            [np.stack([np.roll(base, shift * i, axis=1)] * 3, -1)
+             for i in range(5)]
+        )[None]
+
+    s0 = flow_score(vid(0))
+    s1 = flow_score(vid(1))
+    s2 = flow_score(vid(3))
+    assert s0 < 1e-6
+    assert s1 > 0.2
+    assert s2 > 1.5 * s1

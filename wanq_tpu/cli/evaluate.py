@@ -58,6 +58,23 @@ def main(argv=None):
         "--clip_checkpoint", default=None,
         help="Wan CLIP .pth for real CLIP features (random init otherwise)",
     )
+    p.add_argument(
+        "--flow_score", action="store_true",
+        help="also compute the motion flow-score for both sets via the "
+        "in-repo classical optical flow (utils/flow.py; the reference uses "
+        "RAFT — an external pretrained net — for the same metric)",
+    )
+    p.add_argument(
+        "--vbench_out", default=None,
+        help="also export the QUANT videos in the VBench-consumable layout "
+        "(<dim-group>/<prompt>.mp4 + full-info json + runner script) so the "
+        "reference's eval/video/Vbench/evaluate.py scores them unchanged",
+    )
+    p.add_argument(
+        "--prompts", default=None,
+        help="prompt file (one per line) naming the videos for --vbench_out",
+    )
+    p.add_argument("--fps", type=int, default=16)
     args = p.parse_args(argv)
 
     from wanq_tpu.utils.fvd import I3DLikeFeatures, fpfvd_report, latents_as_videos
@@ -101,6 +118,31 @@ def main(argv=None):
         rep.update(crep)
         if not args.clip_checkpoint:
             rep["clip_random_init"] = 1.0  # flag: rank-preserving probe only
+
+    if args.flow_score:
+        if fp_kind == "images":
+            raise SystemExit("--flow_score needs videos, not t2i images")
+        from wanq_tpu.utils.flow import flow_score
+
+        rep["flow_score_fp"] = flow_score(fp)
+        rep["flow_score_quant"] = flow_score(q)
+
+    if args.vbench_out:
+        from wanq_tpu.utils.vbench import export_vbench
+
+        if fp_kind == "images":
+            raise SystemExit("--vbench_out needs videos, not t2i images")
+        if args.prompts:
+            with open(args.prompts) as f:
+                prompts = [ln.strip() for ln in f if ln.strip()]
+        else:
+            prompts = [f"sample_{i:04d}" for i in range(q.shape[0])]
+        assert len(prompts) == q.shape[0], (
+            f"{len(prompts)} prompts for {q.shape[0]} videos"
+        )
+        info = export_vbench(q, prompts, args.vbench_out, fps=args.fps)
+        rep["vbench_export"] = 1.0
+        print(f"VBench layout written: {info}")
 
     print(json.dumps({k: float(v) for k, v in rep.items()}))
     return rep

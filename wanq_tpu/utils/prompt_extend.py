@@ -28,6 +28,19 @@ LM_ZH_SYS_PROMPT = (
     "你是一位文生视频提示词工程师。请将用户的提示词改写为细节丰富的场景描述："
     "主体及其外观与动作、环境、光照、镜头运动与风格。保持原意，只输出改写后的提示词。"
 )
+VL_EN_SYS_PROMPT = (
+    "You are a prompt engineer for image-to-video generation. Given an "
+    "input image and the user's prompt, describe the scene in vivid detail "
+    "— the subjects as they appear in the image, their likely motion, the "
+    "environment, lighting, camera movement and style. Stay faithful to "
+    "the image content, keep the user's intent, output only the rewritten "
+    "prompt."
+)
+VL_ZH_SYS_PROMPT = (
+    "你是一位图生视频提示词工程师。根据输入图像和用户提示词，生成细节丰富的场景描述："
+    "忠实于图像中的主体与环境，补充其可能的动作、光照、镜头运动与风格。"
+    "保持用户原意，只输出改写后的提示词。"
+)
 
 
 @dataclasses.dataclass
@@ -45,14 +58,23 @@ class PromptExpander:
         self.is_vl = is_vl
 
     def decide_system_prompt(self, tar_lang: str = "en") -> str:
+        if self.is_vl:
+            return VL_ZH_SYS_PROMPT if tar_lang == "zh" else VL_EN_SYS_PROMPT
         return LM_ZH_SYS_PROMPT if tar_lang == "zh" else LM_EN_SYS_PROMPT
 
     def __call__(self, prompt: str, tar_lang: str = "en", seed: int = -1,
-                 **kwargs) -> PromptOutput:
-        return self.extend(prompt, self.decide_system_prompt(tar_lang),
-                           seed=seed, **kwargs)
+                 image=None, **kwargs) -> PromptOutput:
+        sys_prompt = self.decide_system_prompt(tar_lang)
+        if image is not None and self.is_vl:
+            return self.extend_with_img(prompt, sys_prompt, image=image,
+                                        seed=seed, **kwargs)
+        return self.extend(prompt, sys_prompt, seed=seed, **kwargs)
 
     def extend(self, prompt, system_prompt, seed=-1, **kwargs) -> PromptOutput:
+        raise NotImplementedError
+
+    def extend_with_img(self, prompt, system_prompt, image=None, seed=-1,
+                        **kwargs) -> PromptOutput:
         raise NotImplementedError
 
 
@@ -123,4 +145,43 @@ class LocalPromptExpander(PromptExpander):
         out = self.model.generate(**inputs, max_new_tokens=512)
         out = out[:, inputs.input_ids.shape[1]:]
         expanded = self.tokenizer.batch_decode(out, skip_special_tokens=True)[0]
+        return PromptOutput(True, expanded, seed, system_prompt)
+
+
+class LocalVLPromptExpander(PromptExpander):
+    """ref QwenPromptExpander in VL mode (prompt_extend.py Qwen-VL branch):
+    a local Qwen2.5-VL (or compatible) HF vision-language model rewrites
+    the prompt conditioned on the i2v input image. Vision preprocessing
+    runs through wanq_tpu.utils.vision.process_vision_info (the clean-room
+    equivalent of the reference's vendored qwen_vl_utils.py)."""
+
+    def __init__(self, model_name: str = "Qwen/Qwen2.5-VL-3B-Instruct",
+                 **hf_kwargs):
+        super().__init__(model_name, is_vl=True)
+        from transformers import AutoModelForVision2Seq, AutoProcessor
+
+        self.processor = AutoProcessor.from_pretrained(model_name)
+        self.model = AutoModelForVision2Seq.from_pretrained(
+            model_name, **hf_kwargs)
+
+    def extend_with_img(self, prompt, system_prompt, image=None, seed=-1,
+                        **kwargs) -> PromptOutput:
+        from wanq_tpu.utils.vision import process_vision_info
+
+        messages = [
+            {"role": "system", "content": system_prompt},
+            {"role": "user", "content": [
+                {"type": "image", "image": image},
+                {"type": "text", "text": prompt},
+            ]},
+        ]
+        text = self.processor.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True)
+        images, videos = process_vision_info(messages)
+        inputs = self.processor(text=[text], images=images, videos=videos,
+                                return_tensors="pt")
+        out = self.model.generate(**inputs, max_new_tokens=512)
+        out = out[:, inputs.input_ids.shape[1]:]
+        expanded = self.processor.batch_decode(
+            out, skip_special_tokens=True)[0]
         return PromptOutput(True, expanded, seed, system_prompt)
