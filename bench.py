@@ -6,12 +6,15 @@ bf16 full-precision step measured in the same run (the reference's own
 kernel bench pattern: correctness harness elsewhere, FP16-vs-int8 timing
 here, kernels/bench/bench_gemm.py:34-95).
 
-Quant config (FULL_W8A8 below — named for the workflow, scoped for speed):
-W8A8 on the fused-producer sites — self-attn q/k/v (one shared LN+quant
-pass) and both ffn linears; self_attn.o, cross-attn, embeddings and head
-stay FP. This mirrors the reference's shipped Wan config, which also
-keeps o/cross FP (quant_configs/config.yaml:4-8); thin 1536^2 GEMMs lose
-more to standalone act-quant passes than int8 buys (BENCH_NOTES.md).
+Quant config (FULL_W8A8 below): W8A8 on self-attn q/k/v (one shared
+LN+quant producer), cross-attn q (fused norm3+quant producer) and both
+ffn linears (LN-quant→GEMM→GELU-static-quant→GEMM). o and cross k/v/o
+stay FP: the round-3 sweep (tools/config_sweep.py) measured the fully
+quantized config at the same speed (3132 vs 3138 ms, within noise) but
+−4.7 dB PSNR — cross k/v quant hits attention keys/values broadly; the
+reference's shipped Wan config keeps o/cross FP for the same reason
+(quant_configs/config.yaml:4-8). The int8 heads-major o path exists and
+is parity-tested for full-coverage deployments.
 Shapes: 480*832, frame_num auto-reduced to fit the chip's HBM.
 
 Timing methodology: latents are chained through the step function
@@ -46,13 +49,12 @@ from wanq_tpu.quant import QuantConfig
 from wanq_tpu.quant.ptq import prepare_quant_state
 from wanq_tpu.quant.qlinear import QuantCtx
 
-# Speed-optimal W8A8 on this chip class: quantize the fused-producer sites
-# (self-attn q/k/v sharing one LN+quant pass, ffn through the
-# LN-quant→GEMM→GELU-quant→GEMM pipeline); keep o/cross projections FP —
-# thin 1536² GEMMs gain ~15% from int8 but lose more to standalone
-# act-quant passes (BENCH_NOTES.md). This also mirrors the reference's own
-# shipped Wan config, which keeps o and cross_attn FP
-# (quant_configs/config.yaml:4-8).
+# Round-3 site selection (measured, tools/config_sweep.py): + cross-attn
+# q via the fused norm3+quant producer (−15 ms, −0.5 dB); o int8 and
+# cross k/v int8 are speed-neutral but cost 0.5 / 4.2 dB → kept FP.
+# Static-A8 on the qkv/cross-q producers measured NO win (the Pallas
+# dynamic producer is already single-pass; the static XLA form re-splits
+# the LN into two passes — 3142.6 vs 3132.1 ms at equal PSNR).
 #
 # Activation scheme: dynamic per-token everywhere EXCEPT the ffn.2 input
 # (the GELU output), which uses a calibration-frozen per-tensor scale —
@@ -64,7 +66,7 @@ from wanq_tpu.quant.qlinear import QuantCtx
 FULL_W8A8 = {
     "remain_fp_regex": (
         r"text_embedding|time_embedding|time_projection|head\.head|"
-        r"blocks\.\d+\.self_attn\.o|cross_attn"
+        r"cross_attn\.(k|v|o)|blocks\.\d+\.self_attn\.o"
     ),
     "weight": {"n_bits": 8, "sym": False},
     "act": {"n_bits": 8, "sym": True, "static_regex": r"ffn\.2"},

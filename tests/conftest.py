@@ -20,6 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: this box has ONE core, so suite wall-clock is
+# compile-dominated — a warm cache keeps the default (-m "not slow") lane
+# fast across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/wanq_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

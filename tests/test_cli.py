@@ -38,6 +38,7 @@ def workdir(tmp_path_factory):
     os.chdir(old)
 
 
+@pytest.mark.slow
 def test_full_cli_workflow(workdir):
     # stage 1: FP generation
     fp_file = fp_generate.generate(fp_generate.parse_args(COMMON + ["--save_file", "fp.npz"]))

@@ -88,6 +88,7 @@ def test_fidelity_report_identity_and_drift(clip_tiny, rng):
     assert rep2["clip_frame_cosine_fp_vs_quant"] < rep["clip_frame_cosine_fp_vs_quant"]
 
 
+@pytest.mark.slow
 def test_evaluate_cli_clip_metrics(tmp_path, rng, monkeypatch):
     """--clip_metrics path through the CLI on tiny videos (random CLIP init
     is flagged in the report)."""

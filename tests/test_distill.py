@@ -15,6 +15,10 @@ from wanq_tpu.training.distill import (
     make_distill_step,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_draw_guidance_deterministic_and_in_range():
     g1 = draw_guidance(0, 5.0)

@@ -144,6 +144,7 @@ def test_dit_forward_shape_and_determinism(tiny_model, rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_dit_forward_padded_seq_matches_unpadded(tiny_model, rng):
     """Padding tokens to seq_len (sp multiple round-up, text2video.py:170)
     must not change the valid outputs."""

@@ -148,6 +148,7 @@ def test_vae_converter_full_shape(tmp_path):
         assert loaded[k].shape == params[k].shape, k
 
 
+@pytest.mark.slow
 def test_param_generator_matches_host_init_i2v():
     """make_param_generator must produce the same tree as init_params for
     i2v configs (img_emb + per-block k_img/v_img/norm_k_img) — it feeds

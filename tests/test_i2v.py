@@ -65,6 +65,7 @@ def test_i2v_generate_with_precomputed_conditioning(i2v_setup, rng):
     assert np.isfinite(np.asarray(latents)).all()
 
 
+@pytest.mark.slow
 def test_i2v_generate_with_vae_and_clip(rng):
     # tiny VAE has overall stride (2,2,2); the Wan config must agree and
     # in_dim = z(16) + cond z(16) + mask channels (t_stride 2) = 34

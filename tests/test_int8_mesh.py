@@ -33,7 +33,7 @@ from wanq_tpu.quant.ptq import (
 )
 from wanq_tpu.quant.qlinear import QuantCtx
 
-pytestmark = pytest.mark.mesh
+pytestmark = [pytest.mark.mesh, pytest.mark.slow]
 
 QCFG_W8A8 = {
     "remain_fp_regex": r"text_embedding|time_embedding|time_projection|head\.head",

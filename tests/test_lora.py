@@ -4,6 +4,7 @@ roundtrip, and gradient flow through only the adapters."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wanq_tpu.configs import tiny_config
 from wanq_tpu.models.dit import dit_forward, init_params, linear_layer_names
@@ -56,6 +57,7 @@ def test_merge_math(rng):
     )
 
 
+@pytest.mark.slow
 def test_lora_grads_only_through_adapters(rng):
     cfg, params, names = _setup()
     lora = init_lora(params, names, rank=2)

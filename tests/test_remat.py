@@ -10,6 +10,8 @@ import pytest
 from wanq_tpu.configs import tiny_config
 from wanq_tpu.models.dit import dit_forward, init_params, stack_block_params
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -14,6 +14,8 @@ from wanq_tpu.models.dit import dit_forward, init_params
 from wanq_tpu.parallel import ShardingPlan, make_mesh, shard_params
 from wanq_tpu.pipelines.text2video import WanT2V
 
+pytestmark = [pytest.mark.mesh, pytest.mark.slow]
+
 
 @pytest.fixture(scope="module")
 def tiny():

@@ -240,3 +240,36 @@ def test_static_ffn2_fused_path_matches_sim(setup):
     np.testing.assert_allclose(
         np.asarray(hw), np.asarray(sim), atol=5e-3, rtol=1e-2
     )
+
+
+def test_static_fused_producer_matches_sim(setup):
+    """The fused STATIC-scale qkv/cross-q producers (ln_modulate_quant_
+    static; ref quant_sum_static at the LN site, fused.cu:586) must track
+    the sim-mode static fake-quant path — same frozen scales, same math
+    through the GEMM."""
+    cfg, params, contexts = setup
+    stats = _calibrate(cfg, params, contexts, collect_minmax=True)
+    names = linear_layer_names(cfg)
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": FP_REGEX,
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True,
+                "static_regex": r"self_attn\.(q|k|v)|cross_attn\.q"},
+    })
+    policies, state, rotations = prepare_quant_state(
+        params, names, qcfg, calib=stats)
+    # the static sites carry frozen scales; the producer path must engage
+    from wanq_tpu.quant.qlinear import int8_static_fusable
+
+    ctx8 = QuantCtx(mode="int8", policies=policies, state=state,
+                    rotations=rotations)
+    assert int8_static_fusable(ctx8, "blocks.0.self_attn.q")
+    assert int8_static_fusable(ctx8, "blocks.0.cross_attn.q")
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, cfg.in_dim, 2, 8, 8))
+    t = jnp.asarray([500.0])
+    sim = dit_forward(params, cfg, x, t, contexts[0], 32,
+                      ctx=QuantCtx(mode="sim", policies=policies,
+                                   state=state, rotations=rotations))
+    hw = dit_forward(params, cfg, x, t, contexts[0], 32, ctx=ctx8)
+    np.testing.assert_allclose(np.asarray(hw), np.asarray(sim), atol=5e-3)

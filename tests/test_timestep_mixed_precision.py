@@ -14,6 +14,8 @@ from wanq_tpu.quant import QuantConfig
 from wanq_tpu.quant.ptq import prepare_quant_state
 from wanq_tpu.quant.qlinear import QuantCtx
 
+pytestmark = pytest.mark.slow
+
 FP_REGEX = r"text_embedding|time_embedding|time_projection|head\.head"
 
 

@@ -78,6 +78,7 @@ def test_prefetch_to_device_shapes_and_coverage(dataset_dir):
     assert len(seen) == len(batches)
 
 
+@pytest.mark.slow
 def test_prefetch_feeds_distill_step(dataset_dir, rng):
     """End-to-end: loader batches drive one LoRA-free distill step."""
     import jax

@@ -47,6 +47,7 @@ def test_param_keys_match_reference_exactly(tiny):
     assert set(params.keys()) == set(k for k, _ in ref.state_dict().items())
 
 
+@pytest.mark.slow
 def test_encode_parity(tiny, rng):
     cfg, params, ref = tiny
     vae = jvae.WanVAE(cfg, params=params)
@@ -71,6 +72,7 @@ def test_decode_parity(tiny, rng):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_full_wan_vae_shape_roundtrip(rng):
     """Real Wan VAE config (dim 96, z 16, strides (4,8,8)) at tiny spatial
     size: T frames → (T-1)/4+1 latents → back to T frames."""

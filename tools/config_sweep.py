@@ -64,6 +64,16 @@ CONFIGS = {
         "weight": {"n_bits": 8, "sym": False},
         "act": {"n_bits": 8, "sym": True, "static_regex": r"ffn\.2"},
     },
+    # static-A8 sweep beyond ffn.2 (round-2 VERDICT #6): frozen scales on
+    # the LN-modulate outputs feeding qkv and on the norm3 output feeding
+    # cross q — the producers drop their absmax pass
+    "full_stat": {
+        "remain_fp_regex": FP_BASE,
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True,
+                "static_regex":
+                    r"ffn\.2|self_attn\.(q|k|v)|cross_attn\.q"},
+    },
 }
 
 
@@ -76,6 +86,12 @@ def main():
     print(f"config sweep: 1.3B {size} f{frame_num} seq {seq_len}", flush=True)
 
     params = stack_block_params(init_params_on_device(cfg, seed=0))
+    # head.head is zero-init (DiT convention) — randomize so the fidelity
+    # guard below carries signal (zero outputs make every PSNR infinite)
+    params["head"]["head"]["w"] = (
+        0.02 * jax.random.normal(jax.random.PRNGKey(7),
+                                 params["head"]["head"]["w"].shape)
+    ).astype(params["head"]["head"]["w"].dtype)
     jax.block_until_ready(params)
 
     key = jax.random.PRNGKey(1)

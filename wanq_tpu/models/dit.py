@@ -749,10 +749,25 @@ def block_forward(
     ee = (p["modulation"].astype(jnp.float32) + e).astype(jnp.float32)
     e0, e1, e2, e3, e4, e5 = [ee[:, i] for i in range(6)]
 
-    from wanq_tpu.quant.qlinear import int8_fusable
+    from wanq_tpu.quant.qlinear import int8_fusable, int8_static_fusable
 
     qkv_sites = [f"{name}.self_attn.{l}" for l in ("q", "k", "v")]
-    if int8_fusable(ctx, qkv_sites):
+    if all(int8_static_fusable(ctx, s) for s in qkv_sites):
+        # STATIC-scale shared producer (ref quant_sum_static, fused.cu:586
+        # applied at the LN site): q/k/v see the same input, so their
+        # calibrated scales coincide — one frozen per-tensor scale, no
+        # absmax pass
+        from wanq_tpu.ops.fused import ln_modulate_quant_static
+
+        prequant = ln_modulate_quant_static(
+            x, e0, e1, ctx.state[qkv_sites[0]]["delta_a"], eps=cfg.eps
+        )
+        y = _self_attention(
+            p["self_attn"], f"{name}.self_attn", ctx, None, cfg,
+            cos, sin, valid_len, dtype, plan=plan, prequant=prequant,
+            training=training,
+        )
+    elif int8_fusable(ctx, qkv_sites):
         # fused LN + modulate + shared per-token int8 quant (one HBM pass
         # instead of an f32 LN write + three act-quant passes; the analog of
         # the reference's LayerNormGeneral + QuantParams, quant_wanx_cuda.py:142)
@@ -773,21 +788,30 @@ def block_forward(
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e2[:, None, :]).astype(x.dtype)
 
     cq_site = f"{name}.cross_attn.q"
-    if cfg.cross_attn_norm and int8_fusable(ctx, [cq_site]):
+    cq_static = cfg.cross_attn_norm and int8_static_fusable(ctx, cq_site)
+    if cq_static or (cfg.cross_attn_norm and int8_fusable(ctx, [cq_site])):
         # fused norm3 + per-token int8 quant: the affine LN maps onto the
         # ln_modulate producer with scale = w-1, shift = b, so the bf16
         # xn3 write and the separate act-quant passes collapse into one
         # HBM pass feeding the int8 q GEMM (ref LayerNormGeneral pattern,
         # quant_wanx_cuda.py:142; OpenSora cross-attn quant_sum,
         # quant_opensora_cuda.py:159-236)
-        from wanq_tpu.ops.fused import ln_modulate_quant
+        from wanq_tpu.ops.fused import (
+            ln_modulate_quant,
+            ln_modulate_quant_static,
+        )
 
         w3 = p["norm3"]["w"].astype(jnp.float32)
         b3 = p["norm3"]["b"].astype(jnp.float32)
         bsz = x.shape[0]
         shift3 = jnp.broadcast_to(b3[None, :], (bsz, b3.shape[0]))
         scale3 = jnp.broadcast_to((w3 - 1.0)[None, :], (bsz, w3.shape[0]))
-        cq_prequant = ln_modulate_quant(x, shift3, scale3, eps=cfg.eps)
+        if cq_static:
+            cq_prequant = ln_modulate_quant_static(
+                x, shift3, scale3, ctx.state[cq_site]["delta_a"], eps=cfg.eps
+            )
+        else:
+            cq_prequant = ln_modulate_quant(x, shift3, scale3, eps=cfg.eps)
         y = _cross_attention(
             p["cross_attn"], f"{name}.cross_attn", ctx, None,
             context, cfg, dtype, plan=plan, prequant=cq_prequant,

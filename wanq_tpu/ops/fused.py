@@ -76,6 +76,25 @@ def ln_modulate_quant_xla(x, shift, scale_mod, eps: float = 1e-6,
     return _quant_rows(y)
 
 
+def ln_modulate_quant_static(x, shift, scale_mod, delta_a, eps: float = 1e-6):
+    """LN + modulate + STATIC-scale per-tensor quant (the producer-side
+    analog of the reference's quant_sum_static, fused.cu:586): no absmax
+    pass — the quant is elementwise with a calibration-frozen scale, so
+    XLA folds it into the modulate fusion. Returns the same (q, scale,
+    sum) triple as ln_modulate_quant with scale broadcast per token."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = ln * (1.0 + scale_mod[:, None, :]) + shift[:, None, :]
+    s = delta_a.astype(jnp.float32).reshape(())
+    q = jnp.clip(jnp.round(y / s), -128, 127).astype(jnp.int8)
+    b, n = q.shape[:2]
+    scale = jnp.full((b, n), s, jnp.float32)
+    ssum = scale * jnp.sum(q.astype(jnp.float32), axis=-1)
+    return q, scale, ssum
+
+
 def gate_residual(x: jax.Array, y: jax.Array, gate: jax.Array) -> jax.Array:
     """x + y * gate in f32 (ref GateResidualQuantFuse, fused.cu:383-483;
     on TPU a pure-XLA fusion)."""
