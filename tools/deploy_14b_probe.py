@@ -8,9 +8,10 @@ generated on-device, each linear is int4-quantized (per-channel, packed
 two-per-byte), the FP copy is discarded, repeat x40 — peak extra
 residency is one block.
 
-Usage: python -u tools/deploy_14b_probe.py [frame_num] [batch]
+Usage: python -u tools/deploy_14b_probe.py [frame_num] [batch] [res]
 Defaults 41 frames, B=1 (single-stream; CFG pairs double activation
-memory). Prints weight-state bytes, compile+step time, output norm.
+memory), res 480 (pass 720 for the north-star 1280x720 shape).
+Prints weight-state bytes, compile+step time, output norm.
 """
 
 from __future__ import annotations
@@ -57,12 +58,14 @@ BLOCK_LINEARS = (
 def main():
     frame_num = int(sys.argv[1]) if len(sys.argv) > 1 else 41
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    res = int(sys.argv[3]) if len(sys.argv) > 3 else 480
 
     cfg = WAN_CONFIGS["t2v-14B"]
     qcfg = QuantConfig.from_dict(W4A8)
-    target_shape = compute_target_shape(cfg, (832, 480), frame_num)
+    size = (1280, 720) if res == 720 else (832, 480)
+    target_shape = compute_target_shape(cfg, size, frame_num)
     seq_len = compute_seq_len(cfg, target_shape)
-    print(f"14B W4A8 single-chip probe: 480p x {frame_num}f, B={batch}, "
+    print(f"14B W4A8 single-chip probe: {res}p x {frame_num}f, B={batch}, "
           f"seq {seq_len}", flush=True)
 
     t0 = time.time()
