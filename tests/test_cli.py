@@ -69,6 +69,10 @@ def test_full_cli_workflow(workdir):
     assert np.isfinite(sim).all()
     rel = np.abs(sim - fp).max() / (np.abs(fp).max() + 1e-9)
     assert rel < 0.5, f"quant drifted too far from FP: {rel}"
+    # quant must actually perturb the output — a bit-identical result means
+    # the ctx was silently dropped (or the head is zero-init and the whole
+    # comparison is vacuous)
+    assert rel > 1e-6, f"quant output identical to FP — ctx not applied? {rel}"
 
     # stage 4b: hardware (int8 kernel) path, on-the-fly state
     hw_file = quant_generate.generate(quant_generate.parse_args(

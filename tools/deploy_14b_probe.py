@@ -127,6 +127,14 @@ def main():
         cfg.num_layers,
     )
     jax.block_until_ready(ctx.scan_state)
+    # free the UNSTACKED per-layer state: make_scan_ctx stacks copies, and
+    # keeping both doubles weight residency (2 x 6.6 GiB) — at 720p that
+    # is the difference between fitting and OOM on a 16 GB chip
+    import gc
+
+    state.clear()
+    stripped_blocks.clear()
+    gc.collect()
 
     key = jax.random.PRNGKey(1)
     x = jax.random.normal(key, (batch, *target_shape), jnp.float32)

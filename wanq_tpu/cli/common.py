@@ -61,6 +61,10 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
                    help="store weights sharded over EVERY non-dp mesh axis "
                         "(the reference's --dit_fsdp-on-all-ranks memory "
                         "layout when combined with --ulysses_size/--ring_size)")
+    p.add_argument("--unroll_blocks", action="store_true",
+                   help="disable scan-over-blocks (one compiled block body) "
+                        "and unroll the block loop — needed only for "
+                        "non-uniform per-block quant policies")
     p.add_argument("--offload_model", type=str, default=None,
                    help="accepted for reference-CLI parity; HBM residency "
                         "is managed by XLA on TPU")
@@ -181,4 +185,16 @@ def load_params(args, cfg):
         return load_wan_checkpoint(args.ckpt_dir, dtype=cfg.dtype)
     from wanq_tpu.models.dit import init_params
 
-    return init_params(cfg, jax.random.PRNGKey(args.base_seed))
+    params = init_params(cfg, jax.random.PRNGKey(args.base_seed))
+    # init_params zero-inits head.head (reference from-scratch semantics,
+    # model.py:616) — under --random_init that makes the DiT output
+    # identically zero, so fp-vs-quant smoke comparisons are vacuous.
+    # Randomize it (same treatment as bench.py) so smoke runs exercise a
+    # non-degenerate output path.
+    import jax.numpy as jnp
+
+    hw = params["head"]["head"]["w"]
+    params["head"]["head"]["w"] = (
+        0.02 * jax.random.normal(jax.random.PRNGKey(args.base_seed + 1), hw.shape)
+    ).astype(hw.dtype)
+    return params

@@ -41,6 +41,10 @@ def generate(args):
 
     logging.info("loading params (%s)", "random" if args.random_init else args.ckpt_dir)
     params = load_params(args, cfg)
+    if not getattr(args, "unroll_blocks", False):
+        from wanq_tpu.models.dit import stack_block_params
+
+        params = stack_block_params(params)
     context, context_null = load_contexts(args, cfg)
 
     mesh, plan = build_mesh_and_plan(args)

@@ -79,12 +79,32 @@ def generate(args):
 
     params = load_params(args, cfg)
     context, context_null = load_contexts(args, cfg)
+    qctx = _maybe_quant_ctx(args, cfg)
+    stacked = False
+    if not getattr(args, "unroll_blocks", False):
+        from wanq_tpu.models.dit import make_scan_ctx, stack_block_params
+
+        try:
+            if qctx is not None:
+                qctx = make_scan_ctx(qctx, cfg.num_layers)
+            params = stack_block_params(params)
+            stacked = True
+        except (AssertionError, KeyError) as e:
+            import logging
+
+            logging.info("scan-over-blocks unavailable (%s); unrolled loop", e)
     mesh, plan = build_mesh_and_plan(args)
     if mesh is not None:
         from wanq_tpu.parallel import shard_params
+        from wanq_tpu.quant.ptq import shard_quant_state, shard_scan_ctx
 
-        params = shard_params(params, mesh, getattr(args, 'full_shard', False))
-    qctx = _maybe_quant_ctx(args, cfg)
+        fs = getattr(args, 'full_shard', False)
+        params = shard_params(params, mesh, fs)
+        if qctx is not None:
+            if stacked:
+                qctx = shard_scan_ctx(qctx, mesh, fs)
+            else:
+                qctx.state = shard_quant_state(qctx.state, mesh, fs)
 
     common = dict(
         frame_num=args.frame_num,

@@ -60,6 +60,10 @@ def generate(args):
         save_path = save_path[:-4] + ".npz"
 
     params = load_params(args, cfg)
+    if not getattr(args, "unroll_blocks", False):
+        from wanq_tpu.models.dit import stack_block_params
+
+        params = stack_block_params(params)
     context, context_null = load_contexts(args, cfg)
     mesh, plan = build_mesh_and_plan(args)
     if mesh is not None:

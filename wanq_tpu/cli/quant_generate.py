@@ -87,19 +87,36 @@ def generate(args):
 
         params = strip_quantized_weights(params, policies)
         logging.info("stripped FP copies of quantized weights")
+    ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations,
+                   attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg)
+
+    # scan-over-blocks: one compiled block body instead of 30/40 unrolled
+    # (compile-time essential at 14B); falls back to the unrolled loop for
+    # non-uniform per-block policies (e.g. per-block mixed precision)
+    stacked = False
+    if not getattr(args, "unroll_blocks", False):
+        from wanq_tpu.models.dit import make_scan_ctx, stack_block_params
+
+        try:
+            ctx = make_scan_ctx(ctx, cfg.num_layers)
+            params = stack_block_params(params)
+            stacked = True
+        except (AssertionError, KeyError) as e:
+            logging.info("scan-over-blocks unavailable (%s); unrolled loop", e)
+
     mesh, plan = build_mesh_and_plan(args)
     if mesh is not None:
         from wanq_tpu.parallel import shard_params
-        from wanq_tpu.quant.ptq import shard_quant_state
+        from wanq_tpu.quant.ptq import shard_quant_state, shard_scan_ctx
 
         fs = getattr(args, 'full_shard', False)
         params = shard_params(params, mesh, fs)
         # int8/sim weight state lives FSDP-sharded on the mesh like the FP
         # weights it replaces (14B int8 ≈ 14 GB cannot replicate)
-        state = shard_quant_state(state, mesh, fs)
-
-    ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations,
-                   attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg)
+        if stacked:
+            ctx = shard_scan_ctx(ctx, mesh, fs)
+        else:
+            ctx.state = shard_quant_state(ctx.state, mesh, fs)
     pipe = WanT2V(cfg, params, quant_ctx=ctx,
                   sp_size=seq_parallel_size(args), mesh=mesh, shardings=plan)
     t0 = time.time()

@@ -276,6 +276,7 @@ def prepare_quant_state(
     seed: int = 0,
     targets: str = "both",
     mesh=None,
+    full_shard: bool = False,
 ) -> Tuple[Dict[str, LayerPolicy], Dict[str, Dict[str, jax.Array]], Dict[int, jax.Array]]:
     """Full-model PTQ (ref ptq_wanx.py generate() :261-385).
 
@@ -283,7 +284,9 @@ def prepare_quant_state(
     bf16), 'int8' (true int8 + export params), or 'both'.
     ``mesh``: sharded PTQ (ref runs PTQ under FSDP, ptq_wanx.py:364-368) —
     weights stay on the mesh end to end (rotations run on-device in f32,
-    never pulled to host) and every state entry lands FSDP-sharded.
+    never pulled to host) and every state entry lands FSDP-sharded;
+    ``full_shard`` stores it over every non-dp axis (matches
+    parallel.sharding.storage_axes).
     Returns (policies, state, rotations)."""
     policies = {name: qcfg.resolve(name) for name in layer_names}
     calib_max = reduce_calib(calib) if calib is not None else {}
@@ -316,7 +319,7 @@ def prepare_quant_state(
         )
 
     if mesh is not None:
-        state = shard_quant_state(state, mesh)
+        state = shard_quant_state(state, mesh, full_shard)
 
     # activation-side rotations stay dense f32 matrices (they ride the MXU
     # inside the forward); regenerated from the same seeds
