@@ -48,10 +48,24 @@ from wanq_tpu.quant.qlinear import QuantCtx
 
 # bench.py's speed config at 14B dims: int8 qkv behind the shared fused
 # producer, int8 ffn with static-GELU quant, o/cross FP
-W8A8 = {
+W8A8_SPEED = {
     "remain_fp_regex": (
         r"text_embedding|time_embedding|time_projection|head\.head|"
         r"self_attn\.o|cross_attn"
+    ),
+    "weight": {"n_bits": 8, "sym": False},
+    "act": {"n_bits": 8, "sym": True, "static_regex": r"ffn\.2"},
+}
+
+# fuller coverage for 14B dims: the o / cross projections are 5120^2
+# GEMMs over the full sequence there (int8 measured 1.2-1.28x on square
+# 14B shapes, tools/scale_probe.py) — unlike at 1.3B where thin 1536^2
+# GEMMs made them a wash. cross k/v stay FP (quant error lands directly
+# on attention keys/values; M=text_len=512 makes them cheap anyway).
+W8A8_FULL = {
+    "remain_fp_regex": (
+        r"text_embedding|time_embedding|time_projection|head\.head|"
+        r"cross_attn\.[kv]$"
     ),
     "weight": {"n_bits": 8, "sym": False},
     "act": {"n_bits": 8, "sym": True, "static_regex": r"ffn\.2"},
@@ -113,19 +127,21 @@ def main():
     frame_num = int(sys.argv[2]) if len(sys.argv) > 2 else 81
     K = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     R = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    variant = sys.argv[5] if len(sys.argv) > 5 else "speed"
     size = (1280, 720) if res == 720 else (832, 480)
     B = 1
 
     cfg = WAN_CONFIGS["t2v-14B"]
-    qcfg = QuantConfig.from_dict(W8A8)
+    qcfg = QuantConfig.from_dict(
+        W8A8_FULL if variant == "full" else W8A8_SPEED)
     target_shape = compute_target_shape(cfg, size, frame_num)
     seq_len = compute_seq_len(cfg, target_shape)
     _, f, h, w = target_shape
     grid = (f // cfg.patch_size[0], h // cfg.patch_size[1],
             w // cfg.patch_size[2])
     valid_len = int(np.prod(grid))
-    print(f"14B block ratio probe: {res}p x {frame_num}f seq {seq_len} "
-          f"(valid {valid_len}) K={K} R={R} B={B}", flush=True)
+    print(f"14B block ratio probe [{variant}]: {res}p x {frame_num}f "
+          f"seq {seq_len} (valid {valid_len}) K={K} R={R} B={B}", flush=True)
 
     t0 = time.time()
     gen = make_block_generator(cfg)
