@@ -1,4 +1,8 @@
-"""Sweep splash/flash attention block sizes at the Wan 1.3B self-attn shape.
+"""Sweep splash/flash attention block sizes at Wan self-attn shapes.
+
+Defaults to the 1.3B 480p shape; env vars select others, e.g. the 14B
+720p shape (attention-dominated): WANQ_SWEEP_B=1 WANQ_SWEEP_H=40
+WANQ_SWEEP_SPAD=75776.
 
 Timing: the kernel is applied CHAIN_ITERS times inside one jit (output of
 iteration i perturbs the input of i+1) so the ~2.5 ms per-dispatch overhead
@@ -19,9 +23,11 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/wanq_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-B, S, H, D = 2, 32760, 12, 128
-S_PAD = 32768
-CHAIN = 8
+B = int(os.environ.get("WANQ_SWEEP_B", 2))
+H = int(os.environ.get("WANQ_SWEEP_H", 12))
+D = 128
+S_PAD = int(os.environ.get("WANQ_SWEEP_SPAD", 32768))
+CHAIN = int(os.environ.get("WANQ_SWEEP_CHAIN", 8))
 
 
 def chain_time(make_fn, q, k, v, iters=3):
@@ -97,9 +103,9 @@ def main():
                 configs.append((f"flash q{bq} k{bk}", flash_fn(bq, bk)))
     else:
         for bq in (512, 1024, 2048):
-            for bkv in (2048, 4096, 8192):
-                for bkvc in (1024, 2048):
-                    if bkvc > bkv:
+            for bkv in (1024, 2048, 4096, 8192):
+                for bkvc in (512, 1024, 2048):
+                    if bkvc > bkv or S_PAD % bkv or S_PAD % bq:
                         continue
                     configs.append(
                         (f"splash q{bq} kv{bkv} c{bkvc}", splash_fn(bq, bkv, bkvc))

@@ -96,11 +96,28 @@ def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float,
     )
 
 
-def _splash_path(q, k, v, scale, kv_len, blk_kv=_SPLASH_BLOCK_KV):
+def _splash_blocks(s: int):
+    """Pick (block_q, block_kv) for a padded seq len ``s`` (multiple of 512).
+
+    Swept on v5e (tools/attn_sweep.py): at s divisible by 4096 (1.3B 480p
+    pads 32760→32768) q512/kv4096 is fastest and q1024/kv4096 VMEM-OOMs;
+    when the largest 2^k divisor caps kv at 2048 (14B 720p: 75776 = 2048·37)
+    q1024/kv2048 beats q512/kv2048 by ~3.3% (703 vs 727 ms/chain)."""
+    blk_kv = next(
+        b for b in (_SPLASH_BLOCK_KV, 2048, 1024, _SPLASH_BLOCK_Q)
+        if s % b == 0
+    )
+    if blk_kv < _SPLASH_BLOCK_KV and s % 1024 == 0:
+        return 1024, blk_kv
+    return _SPLASH_BLOCK_Q, blk_kv
+
+
+def _splash_path(q, k, v, scale, kv_len):
     """Self-attention via the splash kernel. q,k,v: [B, S, N, D] with S
     already padded to the splash block; the sm_scale folds into q."""
     b, s, n, d = q.shape
-    kernel = _splash_kernel(s, n, _SPLASH_BLOCK_Q, blk_kv, scale,
+    blk_q, blk_kv = _splash_blocks(s)
+    kernel = _splash_kernel(s, n, blk_q, blk_kv, scale,
                             kv_valid=kv_len)
     qt = (jnp.swapaxes(q, 1, 2) * scale).astype(jnp.bfloat16)
     kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
@@ -136,11 +153,8 @@ def attention_heads_major(
         return jnp.swapaxes(out, 1, 2)
 
     kv_len = min(k_valid_len, s) if k_valid_len is not None else s
-    blk_kv = next(
-        bk for bk in (_SPLASH_BLOCK_KV, 2048, 1024, _SPLASH_BLOCK_Q)
-        if s % bk == 0
-    )
-    kernel = _splash_kernel(s, n, _SPLASH_BLOCK_Q, blk_kv, 1.0,
+    blk_q, blk_kv = _splash_blocks(s)
+    kernel = _splash_kernel(s, n, blk_q, blk_kv, 1.0,
                             kv_valid=kv_len)
     out = jax.vmap(kernel)(
         q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
@@ -270,11 +284,7 @@ def attention(
         if s_p != sq:
             pad = ((0, 0), (0, s_p - sq), (0, 0), (0, 0))
             q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-        blk_kv = next(
-            b for b in (_SPLASH_BLOCK_KV, 2048, 1024, _SPLASH_BLOCK_Q)
-            if s_p % b == 0
-        )
-        out = _splash_path(q, k, v, scale, kv_len, blk_kv)
+        out = _splash_path(q, k, v, scale, kv_len)
         return (out[:, :sq] if s_p != sq else out).astype(v.dtype)
 
     blk_q = min(_FLASH_BLOCK_Q, _round_up(sq, 128))
