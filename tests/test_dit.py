@@ -112,6 +112,20 @@ def test_rope_matches_reference_complex(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_splash_block_selection():
+    """Swept-on-v5e tile rule (tools/attn_sweep.py): q512/kv4096 where the
+    seq divides 4096 (1.3B 480p pads to 32768); q1024 when the largest 2^k
+    divisor caps kv at 2048 (14B 720p: 75776 = 2048*37) — q1024/kv4096
+    VMEM-OOMs, so q1024 only rides the capped-kv shapes."""
+    from wanq_tpu.models.attention import _splash_blocks
+
+    assert _splash_blocks(32768) == (512, 4096)   # 1.3B 480p (padded)
+    assert _splash_blocks(75776) == (1024, 2048)  # 14B 720p
+    assert _splash_blocks(4096) == (512, 4096)
+    assert _splash_blocks(5120) == (1024, 1024)   # %1024, not %2048
+    assert _splash_blocks(4608) == (512, 512)     # only %512
+
+
 def test_attention_reference_masking(rng):
     q = jnp.asarray(rng.normal(size=(1, 8, 2, 16)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(1, 8, 2, 16)).astype(np.float32))

@@ -8,9 +8,16 @@ generated on-device, each linear is int4-quantized (per-channel, packed
 two-per-byte), the FP copy is discarded, repeat x40 — peak extra
 residency is one block.
 
-Usage: python -u tools/deploy_14b_probe.py [frame_num] [batch] [res]
+Usage: python -u tools/deploy_14b_probe.py [frame_num] [batch] [res] [variant]
 Defaults 41 frames, B=1 (single-stream; CFG pairs double activation
 memory), res 480 (pass 720 for the north-star 1280x720 shape).
+variant ``static`` adds static-A8 on ffn.2 (the fused GELU+quant GEMM
+epilogue): the dynamic producer materializes the ffn.0 output in bf16
+(seq x ffn_dim = 2.1 GB/block at 720p) for the row-absmax re-read; the
+frozen scale makes it elementwise, so the intermediate never lands in
+HBM — at deploy the chip is near-full and that peak-memory cut buys
+XLA scheduling freedom (per-block cost without pressure is identical:
+tools/ratio_14b_probe.py w4a8 variant, 923 vs 928 ms/block).
 Prints weight-state bytes, compile+step time, output norm.
 """
 
@@ -59,9 +66,13 @@ def main():
     frame_num = int(sys.argv[1]) if len(sys.argv) > 1 else 41
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     res = int(sys.argv[3]) if len(sys.argv) > 3 else 480
+    variant = sys.argv[4] if len(sys.argv) > 4 else "dyn"
 
     cfg = WAN_CONFIGS["t2v-14B"]
-    qcfg = QuantConfig.from_dict(W4A8)
+    qdict = dict(W4A8)
+    if variant == "static":
+        qdict["act"] = {**qdict["act"], "static_regex": r"ffn\.2"}
+    qcfg = QuantConfig.from_dict(qdict)
     size = (1280, 720) if res == 720 else (832, 480)
     target_shape = compute_target_shape(cfg, size, frame_num)
     seq_len = compute_seq_len(cfg, target_shape)
@@ -93,9 +104,14 @@ def main():
             node = bp
             for part in ln.split("."):
                 node = node[part]
+            pol = block_policies[f"blocks.0.{ln}"]
             st[ln] = prepare_layer_state(
-                block_policies[f"blocks.0.{ln}"], node["w"], None, None,
-                targets="int8")
+                pol, node["w"], None, None, targets="int8",
+                # static sites freeze a per-tensor scale; ±8 safely bounds
+                # random-init GELU outputs (real deployments calibrate)
+                act_minmax=(np.asarray([8.0], np.float32),
+                            np.asarray([-8.0], np.float32))
+                if (pol.act is not None and not pol.act.dynamic) else None)
         sb = strip_quantized_weights({"blocks": [bp]},
                                      block_policies)["blocks"][0]
         return sb, st

@@ -71,6 +71,17 @@ W8A8_FULL = {
     "act": {"n_bits": 8, "sym": True, "static_regex": r"ffn\.2"},
 }
 
+# deploy_14b_probe's packed-int4 config at 14B dims — measured here with
+# only K blocks resident (no HBM pressure) to separate the W4 kernel/unpack
+# cost from the near-OOM scheduling cost of the full 40-block deployment
+W4A8_DEPLOY = {
+    "remain_fp_regex": (
+        r"text_embedding|time_embedding|time_projection|head\.head"
+    ),
+    "weight": {"n_bits": 4, "sym": False},
+    "act": {"n_bits": 8, "sym": True},
+}
+
 BLOCK_LINEARS = (
     "self_attn.q", "self_attn.k", "self_attn.v", "self_attn.o",
     "cross_attn.q", "cross_attn.k", "cross_attn.v", "cross_attn.o",
@@ -133,7 +144,7 @@ def main():
 
     cfg = WAN_CONFIGS["t2v-14B"]
     qcfg = QuantConfig.from_dict(
-        W8A8_FULL if variant == "full" else W8A8_SPEED)
+        {"full": W8A8_FULL, "w4a8": W4A8_DEPLOY}.get(variant, W8A8_SPEED))
     target_shape = compute_target_shape(cfg, size, frame_num)
     seq_len = compute_seq_len(cfg, target_shape)
     _, f, h, w = target_shape
