@@ -5,8 +5,12 @@ The reference cannot run 14B on a single 16 GB accelerator at all
 weights (~7 GB) change that. The FP 14B model also never fits host or
 device at once here, so this probe STREAMS: one transformer block is
 generated on-device, each linear is int4-quantized (per-channel, packed
-two-per-byte), the FP copy is discarded, repeat x40 — peak extra
-residency is one block.
+two-per-byte), the FP copy is discarded, and the quant state lands
+STRAIGHT in the pre-allocated stacked scan arrays (donated
+dynamic-update-slice), repeat x40 — peak extra residency is one block
+of FP workspace + one block of state. (The earlier stack-then-free
+build held 2x the full weight state transiently, which capped mixed
+W4/W8 plans at ~6.6 GiB; the incremental fill removes that cap.)
 
 Usage: python -u tools/deploy_14b_probe.py [frame_num] [batch] [res] [variant]
 Defaults 41 frames, B=1 (single-stream; CFG pairs double activation
@@ -39,7 +43,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from wanq_tpu.configs import WAN_CONFIGS
 from wanq_tpu.models.dit import (
     dit_forward,
-    make_scan_ctx,
     stack_block_params,
 )
 from wanq_tpu.pipelines.text2video import compute_seq_len, compute_target_shape
@@ -72,6 +75,22 @@ def main():
     qdict = dict(W4A8)
     if variant == "static":
         qdict["act"] = {**qdict["act"], "static_regex": r"ffn\.2"}
+    elif variant == "mixed":
+        # capacity-aware mixed precision: fill the HBM left over by the
+        # step's activations/temps with W8 upgrades on the most sensitive
+        # classes (quant/planner.py). Measured fits on this v5e (with the
+        # incremental stacked build below): 720p 8.0 GiB (W8 ffn.2,
+        # 36.74 s/step), 480p 9.5 GiB (W8 ffn.2+o+o+v, 8.35 s/step —
+        # faster than all-W4). Override with WANQ_WEIGHT_BUDGET_GIB.
+        from wanq_tpu.quant.planner import plan_capacity_bits
+
+        budget = float(os.environ.get(
+            "WANQ_WEIGHT_BUDGET_GIB", "9.5" if res != 720 else "8.0"))
+        plan = plan_capacity_bits(
+            cfg, int(budget * 2**30),
+            act={"n_bits": 8, "sym": True, "static_regex": r"ffn\.2"})
+        print(plan.report(), flush=True)
+        qdict = plan.config
     qcfg = QuantConfig.from_dict(qdict)
     size = (1280, 720) if res == 720 else (832, 480)
     target_shape = compute_target_shape(cfg, size, frame_num)
@@ -105,6 +124,8 @@ def main():
             for part in ln.split("."):
                 node = node[part]
             pol = block_policies[f"blocks.0.{ln}"]
+            if not pol.is_quantized:
+                continue
             st[ln] = prepare_layer_state(
                 pol, node["w"], None, None, targets="int8",
                 # static sites freeze a per-tensor scale; ±8 safely bounds
@@ -117,40 +138,41 @@ def main():
         return sb, st
 
     jbuild = jax.jit(build_layer)
+    # each layer's quant state writes STRAIGHT into the pre-allocated
+    # stacked scan arrays (donated dynamic-update-slice) — peak extra
+    # residency is ONE block of state, never the former stack-then-free
+    # 2x copy that capped the old path at ~6.6 GiB of weight state
+    jwrite = jax.jit(
+        lambda S, st, i: jax.tree.map(lambda s, x: s.at[i].set(x), S, st),
+        donate_argnums=0)
     policies = {}
-    state = {}
+    scan_state = None
     stripped_blocks = []
     total_qbytes = 0
-    for i in range(cfg.num_layers):
+    L = cfg.num_layers
+    for i in range(L):
         sb, st = jbuild(jax.random.PRNGKey(100 + i))
-        jax.block_until_ready(st)
         stripped_blocks.append(sb)
+        if scan_state is None:
+            scan_state = jax.tree.map(
+                lambda l: jnp.zeros((L,) + l.shape, l.dtype), st)
+            total_qbytes = sum(
+                l.size * l.dtype.itemsize
+                for l in jax.tree.leaves(scan_state))
+        scan_state = jwrite(scan_state, st, i)
         for ln in BLOCK_LINEARS:
             policies[f"blocks.{i}.{ln}"] = block_policies[f"blocks.0.{ln}"]
-            state[f"blocks.{i}.{ln}"] = st[ln]
-            total_qbytes += sum(
-                l.size * l.dtype.itemsize for l in jax.tree.leaves(st[ln]))
         if i % 10 == 0:
             print(f"  layer {i} quantized ({time.time()-t0:.0f}s)", flush=True)
+    jax.block_until_ready(scan_state)
     params["blocks"] = stripped_blocks
     print(f"quantized weight state: {total_qbytes/2**30:.2f} GiB "
           f"(bf16 blocks would be ~27 GiB) in {time.time()-t0:.0f}s",
           flush=True)
 
     params = stack_block_params(params)
-    ctx = make_scan_ctx(
-        QuantCtx(mode="int8", policies=policies, state=state),
-        cfg.num_layers,
-    )
-    jax.block_until_ready(ctx.scan_state)
-    # free the UNSTACKED per-layer state: make_scan_ctx stacks copies, and
-    # keeping both doubles weight residency (2 x 6.6 GiB) — at 720p that
-    # is the difference between fitting and OOM on a 16 GB chip
-    import gc
-
-    state.clear()
-    stripped_blocks.clear()
-    gc.collect()
+    ctx = QuantCtx(mode="int8", policies=policies, state={})
+    ctx.scan_state = scan_state
 
     key = jax.random.PRNGKey(1)
     x = jax.random.normal(key, (batch, *target_shape), jnp.float32)

@@ -11,6 +11,11 @@ Usage:
   python tools/plan_capacity.py --task t2v-14B \
       --meshes 1x2x2x2 1x8x1x1 1x4x2x1 --quant --full_shard --strip_fp
 Mesh syntax: dp x fsdp x sp x ring (e.g. 1x2x2x2).
+
+--auto_bits GIB additionally prints the capacity-aware mixed-precision
+plan (quant/planner.py): which linear classes get W8 under a GIB
+weight-state budget, with the per-bitwidth byte accounting — e.g.
+``--auto_bits 9.0`` for single-chip 14B 720p (measured headroom).
 """
 
 from __future__ import annotations
@@ -31,6 +36,9 @@ def main(argv=None):
     p.add_argument("--strip_fp", action="store_true")
     p.add_argument("--latent_fhw", default="4,16,16",
                    help="latent frames,height,width for the probe step")
+    p.add_argument("--auto_bits", type=float, default=None, metavar="GIB",
+                   help="print the W4->W8 capacity plan for this "
+                        "weight-state budget (GiB)")
     args = p.parse_args(argv)
 
     import jax
@@ -50,6 +58,15 @@ def main(argv=None):
     from wanq_tpu.quant import QuantConfig
 
     cfg = WAN_CONFIGS[args.task]
+    if args.auto_bits is not None:
+        from wanq_tpu.quant.planner import class_weight_bytes, plan_capacity_bits
+
+        plan = plan_capacity_bits(cfg, int(args.auto_bits * 2**30))
+        print(plan.report(), flush=True)
+        b4 = sum(class_weight_bytes(cfg, 4).values())
+        b8 = sum(class_weight_bytes(cfg, 8).values())
+        print(f"  bounds: all-W4 {b4/2**30:.2f} GiB, all-W8 {b8/2**30:.2f} "
+              f"GiB; planned {plan.total_bytes/2**30:.2f} GiB", flush=True)
     qcfg = None
     if args.quant:
         qcfg = QuantConfig.from_dict({

@@ -42,3 +42,9 @@ from wanq_tpu.quant.ptq import (
     shard_quant_state,
 )
 from wanq_tpu.quant.qlinear import QuantCtx, qlinear
+from wanq_tpu.quant.planner import (
+    CapacityPlan,
+    class_weight_bytes,
+    measure_class_errors,
+    plan_capacity_bits,
+)
