@@ -94,6 +94,27 @@ def test_full_cli_workflow(workdir):
         np.load(hw_stripped_file)["latents"], hw)
 
 
+@pytest.mark.slow
+def test_quant_generate_auto_bits(workdir):
+    """--auto_bits_gib plans mixed W4/W8 under a weight budget and runs
+    the hardware path; base yaml supplies the act section (dynamic here,
+    so no calibration artifact is needed)."""
+    from wanq_tpu.configs import WAN_CONFIGS
+    from wanq_tpu.quant.planner import class_weight_bytes
+
+    cfg = WAN_CONFIGS["tiny"]
+    b4 = sum(class_weight_bytes(cfg, 4).values())
+    b8 = sum(class_weight_bytes(cfg, 8).values())
+    budget_gib = (b4 + 0.5 * (b8 - b4)) / 2**30  # genuinely mixed plan
+    out = quant_generate.generate(quant_generate.parse_args(
+        COMMON + ["--quant_config", "q.yaml",
+                  "--auto_bits_gib", f"{budget_gib:.9f}",
+                  "--hardware", "--save_file", "auto_bits.npz"]
+    ))
+    lat = np.load(out)["latents"]
+    assert np.isfinite(lat).all()
+
+
 def test_validate_args_rejects_bad_frame_num(workdir):
     args = fp_generate.parse_args(COMMON[:6] + ["--frame_num", "8", "--random_init"])
     with pytest.raises(AssertionError):

@@ -36,7 +36,13 @@ from wanq_tpu.quant.qlinear import QuantCtx
 def parse_args(argv=None):
     p = argparse.ArgumentParser("wanq quant_generate")
     add_common_args(p)
-    p.add_argument("--quant_config", type=str, required=True)
+    p.add_argument("--quant_config", type=str, default=None)
+    p.add_argument("--auto_bits_gib", type=float, default=None,
+                   help="capacity-aware mixed W4/W8: plan bitwidths under "
+                        "this weight-state HBM budget (quant/planner.py) "
+                        "instead of --quant_config's weight section; "
+                        "measured fits on one v5e: 8.0 at 14B/720p, "
+                        "9.5 at 14B/480p")
     p.add_argument("--quant_params", type=str, default=None,
                    help="quant_params.npz from the ptq stage; recomputed "
                         "on the fly if omitted (needs --calib_data for "
@@ -58,7 +64,21 @@ def generate(args):
     validate_args(args)
     cfg = WAN_CONFIGS[args.task]
     size = SIZE_CONFIGS[args.size]
-    qcfg = QuantConfig.from_yaml(args.quant_config)
+    if args.auto_bits_gib is not None:
+        from wanq_tpu.quant.planner import plan_capacity_bits
+
+        base = (QuantConfig.from_yaml(args.quant_config).raw
+                if args.quant_config else {})
+        plan = plan_capacity_bits(
+            cfg, int(args.auto_bits_gib * 2**30),
+            act=base.get("act") or {"n_bits": 8, "sym": True,
+                                    "static_regex": r"ffn\.2"})
+        logging.info("%s", plan.report())
+        qcfg = QuantConfig.from_dict(plan.config)
+    elif args.quant_config:
+        qcfg = QuantConfig.from_yaml(args.quant_config)
+    else:
+        raise SystemExit("need --quant_config or --auto_bits_gib")
     mode = "int8" if args.hardware else "sim"
 
     params = load_params(args, cfg)
