@@ -140,6 +140,30 @@ def test_w4a8_packed_on_mesh_matches_single_device(setup):
     np.testing.assert_allclose(got, ref, atol=3e-3)
 
 
+def test_capacity_planned_mixed_on_mesh_matches_single_device(setup):
+    """A planner-mixed config (W4 and W8 classes simultaneously, packed
+    int4 next to int8 in the same scan state) executes under GSPMD and
+    matches single-device — the seam the --auto_bits_gib CLI path ships."""
+    from wanq_tpu.quant.planner import class_weight_bytes, plan_capacity_bits
+
+    cfg, params, inputs = setup
+    x, t, txt = inputs
+    b4 = sum(class_weight_bytes(cfg, 4).values())
+    b8 = sum(class_weight_bytes(cfg, 8).values())
+    plan = plan_capacity_bits(cfg, int(b4 + 0.5 * (b8 - b4)))
+    assert plan.upgraded and plan.base  # genuinely mixed
+    ctx = _int8_ctx(cfg, params, plan.config)
+    assert any("w_int4" in st for st in ctx.state.values())
+    assert any("w_int8" in st for st in ctx.state.values())
+    stacked = stack_block_params(params)
+    sctx = make_scan_ctx(ctx, cfg.num_layers)
+    ref = np.asarray(
+        dit_forward(stacked, cfg, x, t, txt, seq_len=32, ctx=sctx)
+    )
+    got = _mesh_run(cfg, stacked, sctx, inputs, (1, 2, 2, 2))
+    np.testing.assert_allclose(got, ref, atol=3e-3)
+
+
 def test_int8_state_actually_sharded(setup):
     """The int8 weight state must live sharded (not replicated): an
     8-device fsdp mesh stores 1/8 of each [L, C_in, C_out] int8 leaf."""
