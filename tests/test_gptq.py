@@ -1,0 +1,359 @@
+"""GPTQ (Hessian-aware weight rounding) tests — quant/gptq.py.
+
+Beyond-parity feature: the reference always rounds weights to nearest
+(base_quantizer.py:110-152); GPTQ propagates rounding error through the
+inverse-Hessian Cholesky factor. Tests pin the algebra (identity Hessian
+degenerates to RTN exactly), the win (lower output error on correlated
+calibration data), the export conventions (codes/grid drop into the
+existing sim / int8 paths), and the end-to-end calib→PTQ→forward flow.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wanq_tpu.quant.gptq import gptq_quantize, transform_hessian
+from wanq_tpu.quant.quantizers import (
+    QuantizerCfg,
+    weight_fake_quant,
+    weight_int_quant,
+)
+
+
+def _correlated_batch(rng, m, k, scale=1.0):
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    mix = rng.normal(size=(k, k)).astype(np.float32) * 0.3 + np.eye(
+        k, dtype=np.float32
+    )
+    return (x @ mix) * scale
+
+
+@pytest.mark.parametrize("sym", [False, True])
+def test_identity_hessian_matches_rtn(sym):
+    """With H = I the inverse-Cholesky factor is I, every propagation term
+    vanishes, and GPTQ must reproduce round-to-nearest bit for bit."""
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32) * 0.05)
+    cfg = QuantizerCfg(n_bits=4, sym=sym)
+    wq, codes, delta, zp = gptq_quantize(w, jnp.eye(64), cfg, block=32)
+    np.testing.assert_allclose(
+        np.asarray(wq), np.asarray(weight_fake_quant(w, cfg)), atol=1e-6
+    )
+    ref_codes, ref_d, ref_z = weight_int_quant(w, cfg)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(ref_codes))
+    np.testing.assert_allclose(np.asarray(delta), np.asarray(ref_d))
+    np.testing.assert_allclose(np.asarray(zp), np.asarray(ref_z))
+
+
+def test_gptq_reduces_output_error():
+    """On correlated calibration inputs the error-compensated rounding must
+    beat RTN on ||X W - X W_q||^2 by a clear margin at 4 bits."""
+    rng = np.random.default_rng(1)
+    k, n, m = 96, 48, 4096  # ragged K: exercises the identity padding
+    x = _correlated_batch(rng, m, k)
+    w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32) * 0.05)
+    cfg = QuantizerCfg(n_bits=4, sym=False)
+    hess = jnp.asarray(x.T @ x)
+    wq, codes, delta, zp = gptq_quantize(w, hess, cfg, block=64)
+
+    def mse(wq_):
+        e = x @ (np.asarray(w) - np.asarray(wq_))
+        return float((e**2).mean())
+
+    rtn = mse(weight_fake_quant(w, cfg))
+    gptq = mse(wq)
+    assert gptq < 0.8 * rtn, f"gptq {gptq} vs rtn {rtn}"
+    # export conventions: hardware int4 code range, exact dequant identity
+    assert codes.dtype == jnp.int8
+    assert int(codes.min()) >= -8 and int(codes.max()) <= 7
+    recon = (np.asarray(codes, np.float32) + np.asarray(zp)[None, :]) * (
+        np.asarray(delta)[None, :]
+    )
+    np.testing.assert_allclose(recon, np.asarray(wq), atol=1e-6)
+
+
+def test_transform_hessian_matches_direct():
+    """H' for x -> (x * mask) @ Q must equal the Hessian computed directly
+    from the transformed activations (the space the GEMM contracts in)."""
+    rng = np.random.default_rng(2)
+    k, m = 32, 512
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    mask = (0.5 + rng.random(k)).astype(np.float32)
+    q_mat, _ = np.linalg.qr(rng.normal(size=(k, k)))
+    q_mat = q_mat.astype(np.float32)
+    xt = (x * mask[None, :]) @ q_mat
+    direct = xt.T @ xt
+    via = transform_hessian(
+        jnp.asarray(x.T @ x), jnp.asarray(mask), jnp.asarray(q_mat)
+    )
+    np.testing.assert_allclose(np.asarray(via), direct, rtol=1e-3, atol=1e-2)
+
+
+def test_prepare_layer_state_gptq_drop_in():
+    """prepare_layer_state with policy.gptq + a Hessian produces the same
+    state schema as RTN (w_q / w_int8 / scale_w / zp_w_int) with a lower
+    calibration-distribution output error."""
+    from wanq_tpu.quant.config import LayerPolicy
+    from wanq_tpu.quant.ptq import prepare_layer_state
+
+    rng = np.random.default_rng(3)
+    k, n, m = 64, 32, 2048
+    x = _correlated_batch(rng, m, k)
+    w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32) * 0.05)
+    wcfg = QuantizerCfg(n_bits=4, sym=False)
+    pol_rtn = LayerPolicy(method="base", weight=wcfg)
+    pol_gptq = LayerPolicy(method="base", weight=wcfg, gptq=True)
+    hess = jnp.asarray(x.T @ x)
+
+    st_rtn = prepare_layer_state(pol_rtn, w, None, None)
+    st_gptq = prepare_layer_state(pol_gptq, w, None, None, hessian=hess)
+    assert set(st_rtn.keys()) == set(st_gptq.keys())
+    # int export stays consistent with the dequant weight (4-bit with even
+    # K lands in the packed-int4 container, same as the RTN path)
+    from wanq_tpu.quant.quantizers import unpack_int4
+
+    codes = unpack_int4(st_gptq["w_int4"])
+    recon = (
+        np.asarray(codes, np.float32)
+        + np.asarray(st_gptq["zp_w_int"])[None, :]
+    ) * np.asarray(st_gptq["scale_w"])[None, :]
+    np.testing.assert_allclose(recon, np.asarray(st_gptq["w_q"]), atol=1e-6)
+
+    def mse(st):
+        e = x @ (np.asarray(w) - np.asarray(st["w_q"]))
+        return float((e**2).mean())
+
+    assert mse(st_gptq) < mse(st_rtn)
+
+
+def test_gptq_with_smooth_quant_mask():
+    """GPTQ composes with a channel mask: the Hessian is transformed into
+    the masked space and the masked-weight output error still drops."""
+    from wanq_tpu.quant.config import LayerPolicy
+    from wanq_tpu.quant.ptq import prepare_layer_state
+
+    rng = np.random.default_rng(4)
+    k, n, m = 64, 32, 2048
+    x = _correlated_batch(rng, m, k)
+    act_absmax = np.abs(x).max(axis=0)
+    w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32) * 0.05)
+    wcfg = QuantizerCfg(n_bits=4, sym=False)
+    hess = jnp.asarray(x.T @ x)
+
+    def run(gptq):
+        pol = LayerPolicy(
+            method="smooth_quant", weight=wcfg, alpha=0.5, gptq=gptq
+        )
+        st = prepare_layer_state(
+            pol, w, act_absmax, None, hessian=hess if gptq else None
+        )
+        # forward semantics: y = ((x * mask) @ w_q); compare to FP x @ w
+        xm = x * np.asarray(st["channel_mask"])[None, :]
+        err = x @ np.asarray(w) - xm @ np.asarray(st["w_q"])
+        return float((err**2).mean())
+
+    assert run(True) < run(False)
+
+
+@pytest.fixture(scope="module")
+def tiny_calib():
+    from tests.conftest import randomize_head
+    from wanq_tpu.configs import tiny_config
+    from wanq_tpu.models.dit import init_params
+
+    cfg = tiny_config()
+    params = randomize_head(init_params(cfg, jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(5)
+    ctx = jnp.asarray(
+        rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32)
+    )
+    ctx_null = jnp.asarray(
+        rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32)
+    )
+    return cfg, params, ctx, ctx_null
+
+
+def test_e2e_hessian_calib_to_gptq_forward(tiny_calib):
+    """Full flow on the tiny model: the calibration sweep accumulates
+    Hessians for the regex-selected layers (summed, not stacked), PTQ
+    consumes them when weight.gptq is set, and the resulting weights cut
+    the *per-layer* output error on a held-out forward — GPTQ's actual
+    contract. (Model-output error at this scale is dominated by
+    calibration coverage: one random-init tiny-model trajectory spans a
+    draw-specific token subspace, so whole-model gains need several
+    calibration draws — get_calib_data --calib_rounds; measured in
+    BENCH_NOTES.)"""
+    from wanq_tpu.models.dit import dit_forward, linear_layer_names
+    from wanq_tpu.pipelines.text2video import (
+        WanT2V,
+        compute_seq_len,
+        compute_target_shape,
+    )
+    from wanq_tpu.quant import QuantConfig
+    from wanq_tpu.quant.ptq import params_get, prepare_quant_state
+    from wanq_tpu.quant.qlinear import QuantCtx
+
+    cfg, params, ctx, ctx_null = tiny_calib
+    pipe = WanT2V(
+        cfg,
+        params,
+        quant_ctx=QuantCtx(
+            mode="calib", hessian_regex=r"self_attn\.q|ffn\.0"
+        ),
+    )
+    stats = pipe.collect_calibration(
+        ctx, ctx_null, size=(32, 32), frame_num=5, sampling_steps=2, seed=7
+    )
+    h = stats["blocks.0.ffn.0.hess"]
+    assert h.shape == (cfg.dim, cfg.dim)
+    np.testing.assert_allclose(h, h.T, rtol=1e-4, atol=1e-3)  # symmetric sum
+    assert "blocks.0.self_attn.q.hess" in stats
+    assert "blocks.0.ffn.2.hess" not in stats  # regex-gated
+
+    qdict = {
+        "remain_fp_regex": (
+            r"text_embedding|time_embedding|time_projection|head\.head|"
+            r"self_attn\.(k|v|o)|cross_attn|ffn\.2"
+        ),
+        "weight": {"n_bits": 4, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+    }
+    names = linear_layer_names(cfg)
+    target_shape = compute_target_shape(cfg, (32, 32), 5)
+    seq_len = compute_seq_len(cfg, target_shape)
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(1, *target_shape)), jnp.float32
+    )
+    t = jnp.asarray([500.0], jnp.float32)
+
+    def quant_state(gptq):
+        qd = dict(qdict)
+        qd["weight"] = dict(qd["weight"], gptq=gptq)
+        return prepare_quant_state(
+            params, names, QuantConfig.from_dict(qd), calib=stats
+        )
+
+    pol, st_rtn, rot = quant_state(False)
+    _, st_gptq, _ = quant_state(True)
+    # the sim forward runs with GPTQ state (plumbing end to end)
+    fp = dit_forward(params, cfg, x, t, ctx, seq_len)
+    out = dit_forward(
+        params, cfg, x, t, ctx, seq_len,
+        ctx=QuantCtx(mode="sim", policies=pol, state=st_gptq, rotations=rot),
+    )
+    assert float(jnp.mean((out - fp) ** 2)) < 1e-3
+
+    # per-layer contract: on the calibration distribution the
+    # error-compensated weights must beat RTN on the layer output error
+    # tr(dW^T H dW) for EVERY Hessian-covered layer (this is the quantity
+    # GPTQ minimizes; the tiny random-init model's held-out draws span
+    # draw-specific subspaces, so held-out gains need multi-draw
+    # calibration — covered by the slow test below)
+    total = 0
+    for name in st_rtn:
+        hk = f"{name}.hess"
+        if hk not in stats:
+            continue
+        h_cal = np.asarray(stats[hk], np.float64)
+        w = np.asarray(params_get(params, name)["w"], np.float64)
+        err = {}
+        for lbl, st in (("rtn", st_rtn), ("gptq", st_gptq)):
+            d = w - np.asarray(st[name]["w_q"], np.float64)
+            err[lbl] = float(np.trace(d.T @ h_cal @ d))
+        assert err["gptq"] < err["rtn"], (name, err)
+        total += 1
+    assert total >= 4
+
+
+@pytest.mark.slow
+def test_multi_draw_calibration_wins_at_model_level(tiny_calib):
+    """Whole-model fidelity: with Hessians accumulated over several
+    calibration draws (distinct latent seeds — the coverage the reference
+    gets from its multi-prompt calib set), GPTQ beats RTN on the model
+    output error of a held-out forward."""
+    from wanq_tpu.models.dit import dit_forward, linear_layer_names
+    from wanq_tpu.pipelines.text2video import (
+        WanT2V,
+        compute_seq_len,
+        compute_target_shape,
+    )
+    from wanq_tpu.quant import QuantConfig
+    from wanq_tpu.quant.ptq import prepare_quant_state
+    from wanq_tpu.quant.qlinear import QuantCtx
+
+    cfg, params, ctx, ctx_null = tiny_calib
+    acc = None
+    for seed in range(7, 15):
+        pipe = WanT2V(
+            cfg, params,
+            quant_ctx=QuantCtx(
+                mode="calib", hessian_regex=r"self_attn\.q|ffn\.0"
+            ),
+        )
+        st = pipe.collect_calibration(
+            ctx, ctx_null, size=(32, 32), frame_num=5, sampling_steps=2,
+            seed=seed,
+        )
+        if acc is None:
+            acc = dict(st)
+        else:
+            for k, v in st.items():
+                if k.endswith(".hess"):
+                    acc[k] = acc[k] + v
+
+    names = linear_layer_names(cfg)
+    target_shape = compute_target_shape(cfg, (32, 32), 5)
+    seq_len = compute_seq_len(cfg, target_shape)
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(1, *target_shape)), jnp.float32
+    )
+    t = jnp.asarray([999.0], jnp.float32)
+    fp = dit_forward(params, cfg, x, t, ctx, seq_len)
+
+    errs = {}
+    for gptq in (False, True):
+        qd = {
+            "remain_fp_regex": (
+                r"text_embedding|time_embedding|time_projection|head\.head|"
+                r"self_attn\.(k|v|o)|cross_attn|ffn\.2"
+            ),
+            "weight": {"n_bits": 3, "sym": False, "gptq": gptq},
+        }
+        pol, state, rot = prepare_quant_state(
+            params, names, QuantConfig.from_dict(qd), calib=acc
+        )
+        out = dit_forward(
+            params, cfg, x, t, ctx, seq_len,
+            ctx=QuantCtx(mode="sim", policies=pol, state=state,
+                         rotations=rot),
+        )
+        errs[gptq] = float(jnp.mean((out - fp) ** 2))
+    assert errs[True] < errs[False], errs
+
+
+def test_hessian_capture_matches_under_scan(tiny_calib):
+    """Scan-over-blocks calibration must accumulate the same per-layer
+    Hessians as the unrolled loop (stacked stats unstack to block names)."""
+    from wanq_tpu.models.dit import stack_block_params
+    from wanq_tpu.pipelines.text2video import WanT2V
+    from wanq_tpu.quant.qlinear import QuantCtx
+
+    cfg, params, ctx, ctx_null = tiny_calib
+
+    def sweep(p):
+        pipe = WanT2V(
+            cfg, p, quant_ctx=QuantCtx(mode="calib", hessian_regex=r"ffn\.0")
+        )
+        return pipe.collect_calibration(
+            ctx, ctx_null, size=(32, 32), frame_num=5, sampling_steps=2,
+            seed=7,
+        )
+
+    s_loop = sweep(params)
+    s_scan = sweep(stack_block_params(params))
+    for i in range(cfg.num_layers):
+        key = f"blocks.{i}.ffn.0.hess"
+        np.testing.assert_allclose(
+            s_scan[key], s_loop[key], rtol=2e-3, atol=2e-2
+        )

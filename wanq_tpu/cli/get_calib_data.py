@@ -42,6 +42,16 @@ def parse_args(argv=None):
     p.add_argument("--attn_map_pool", type=int, default=0,
                    help="pool factor for post-softmax attn-map capture "
                         "(feeds generate_reorder_tables; 0 = off)")
+    p.add_argument("--collect_hessian", type=str, default=None, metavar="REGEX",
+                   help="also accumulate the input Hessian X^T X for layers "
+                        "matching REGEX (GPTQ weight rounding; match on "
+                        "suffixes like 'ffn|self_attn' — ffn.2 Hessians are "
+                        "[ffn_dim, ffn_dim], budget memory accordingly)")
+    p.add_argument("--calib_rounds", type=int, default=1,
+                   help="independent calibration sweeps (seed+i) merged into "
+                        "one artifact: Hessians sum, absmax/minmax stacks "
+                        "concatenate. GPTQ needs the input subspace covered "
+                        "across draws — one trajectory underestimates it")
     return p.parse_args(argv)
 
 
@@ -77,24 +87,38 @@ def generate(args):
             mode="calib",
             collect_minmax=args.collect_minmax,
             attn_map_pool=args.attn_map_pool,
+            hessian_regex=args.collect_hessian,
         ),
         sp_size=seq_parallel_size(args), mesh=mesh, shardings=plan,
     )
     t0 = time.time()
-    stats = pipe.collect_calibration(
-        jnp.asarray(context),
-        jnp.asarray(context_null),
-        size=size,
-        frame_num=args.frame_num,
-        shift=args.sample_shift,
-        sample_solver=args.sample_solver,
-        sampling_steps=args.sample_steps,
-        guide_scale=args.sample_guide_scale,
-        seed=args.base_seed,
-    )
+    stats = None
+    for rnd in range(max(1, args.calib_rounds)):
+        one = pipe.collect_calibration(
+            jnp.asarray(context),
+            jnp.asarray(context_null),
+            size=size,
+            frame_num=args.frame_num,
+            shift=args.sample_shift,
+            sample_solver=args.sample_solver,
+            sampling_steps=args.sample_steps,
+            guide_scale=args.sample_guide_scale,
+            seed=args.base_seed + rnd,
+        )
+        if stats is None:
+            stats = dict(one)
+        else:
+            # merge rounds: Hessians sum; [T, ...] stacks concatenate so
+            # reduce_calib's max/min runs over every round's steps
+            for k, v in one.items():
+                if k.endswith(".hess"):
+                    stats[k] = stats[k] + v
+                else:
+                    stats[k] = np.concatenate([stats[k], v], axis=0)
     logging.info(
-        "calibration sweep done in %.2fs: %d layers x %d steps",
+        "calibration sweep done in %.2fs: %d layers x %d steps x %d rounds",
         time.time() - t0, len(stats), args.sample_steps,
+        max(1, args.calib_rounds),
     )
     np.savez(save_path, **stats)
     logging.info("saved %s", save_path)

@@ -1049,6 +1049,7 @@ def make_scan_ctx(ctx: QuantCtx, num_layers: int) -> QuantCtx:
         mode=ctx.mode, policies=ctx.policies, state=other,
         rotations=ctx.rotations, attn=ctx.attn, cross_attn=ctx.cross_attn,
         collect_minmax=ctx.collect_minmax, attn_map_pool=ctx.attn_map_pool,
+        hessian_regex=ctx.hessian_regex,
     )
     new.scan_state = stacked
     new.attn_perms = ctx.attn_perms
@@ -1096,6 +1097,7 @@ def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
                 mode=mode, rotations=rotations, attn=ctx.attn,
                 cross_attn=ctx.cross_attn, collect_minmax=ctx.collect_minmax,
                 attn_map_pool=ctx.attn_map_pool,
+                hessian_regex=ctx.hessian_regex,
             )
             sub.policies = {
                 k: v for k, v in policies.items() if k.startswith(_SCAN_NAME + ".")

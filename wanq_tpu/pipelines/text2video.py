@@ -203,6 +203,7 @@ class WanT2V:
 
         gs = jnp.float32(guide_scale)
         all_stats: Dict[str, List[np.ndarray]] = {}
+        hess_acc: Dict[str, jax.Array] = {}  # device-resident running sums
         for t in timesteps:
             tt = jnp.full((b,), float(t), dtype=jnp.float32)
             step_ctx = arg_ctx
@@ -213,13 +214,25 @@ class WanT2V:
             if collect_calib:
                 noise_pred, stats = out
                 for k, v in stats.items():
-                    all_stats.setdefault(k, []).append(np.asarray(v))
+                    if k.endswith(".hess"):
+                        # GPTQ input Hessians sum over the sweep — a
+                        # DEVICE-side running accumulator instead of a
+                        # [T, C, C] stack: ffn Hessians are hundreds of MB
+                        # each and per-step host pulls would crawl on a
+                        # relayed TPU; one transfer at the end instead
+                        prev = hess_acc.get(k)
+                        hess_acc[k] = v if prev is None else prev + v
+                    else:
+                        all_stats.setdefault(k, []).append(np.asarray(v))
             else:
                 noise_pred = out
             latents = sch.step(noise_pred, int(t), latents)
 
         if collect_calib:
             stacked = {k: np.stack(v, axis=0) for k, v in all_stats.items()}
+            stacked.update(
+                {k: np.asarray(v, dtype=np.float32) for k, v in hess_acc.items()}
+            )
             return latents, stacked
         return latents
 

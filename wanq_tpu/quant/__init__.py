@@ -42,6 +42,7 @@ from wanq_tpu.quant.ptq import (
     shard_quant_state,
 )
 from wanq_tpu.quant.qlinear import QuantCtx, qlinear
+from wanq_tpu.quant.gptq import gptq_quantize, transform_hessian
 from wanq_tpu.quant.planner import (
     CapacityPlan,
     class_weight_bytes,

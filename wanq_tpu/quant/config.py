@@ -11,7 +11,7 @@ YAML schema (compatible with the reference's quant_configs/config.yaml):
 
     remain_fp_regex: <regex or null>
     calib_data: {save_path: ...}
-    weight: {n_bits: 8 | [4, 8], sym: false}
+    weight: {n_bits: 8 | [4, 8], sym: false, gptq: false}
     act:    {n_bits: 8, sym: true}
     smooth_quant: {alpha: 0.5, layer_name_regex: "..."}     # optional
     quarot:       {layer_name_regex: "..."}                 # optional
@@ -57,6 +57,11 @@ class LayerPolicy:
     # mixed-precision FP16 overrides (quant_model.py:87-89, :100-102):
     # idx 0 in the regex list means "keep this layer FP"
     quant_mode: bool = True
+    # Hessian-aware error-compensated weight rounding (quant/gptq.py);
+    # beyond-parity — the reference always rounds to nearest. Takes effect
+    # when PTQ receives a calibration Hessian for the layer (collected via
+    # QuantCtx.hessian_regex / get_calib_data --collect_hessian).
+    gptq: bool = False
 
     @property
     def is_quantized(self) -> bool:
@@ -89,6 +94,9 @@ class QuantConfig:
             if w
             else None
         )
+        # weight.gptq: true enables Hessian-aware rounding for every
+        # quantized layer whose calibration Hessian was collected
+        self.weight_gptq: bool = bool(w.get("gptq", False)) if w else False
         a = raw.get("act")
         self.act_cfg = (
             QuantizerCfg(
@@ -201,6 +209,7 @@ class QuantConfig:
             act=a_cfg,
             alpha=alpha,
             quant_mode=quant_mode,
+            gptq=self.weight_gptq,
         )
 
     def resolve_all(self, layer_names: List[str]) -> Dict[str, LayerPolicy]:

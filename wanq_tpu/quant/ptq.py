@@ -62,7 +62,12 @@ def reduce_calib(calib: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     out = {}
     for name, arr in calib.items():
         a = np.asarray(arr, dtype=np.float32)
-        if name.endswith(".act_min"):
+        if name.endswith(".hess"):
+            # input Hessians: [C, C] already summed over the sweep
+            # (pipelines accumulate instead of stacking), or a stacked
+            # [T, C, C] from a caller that kept per-step terms — sum those
+            out[name] = a.sum(axis=0) if a.ndim == 3 else a
+        elif name.endswith(".act_min"):
             out[name] = a.min(axis=0) if a.ndim == 2 else a
         elif name.endswith(".act_max"):
             out[name] = a.max(axis=0) if a.ndim == 2 else a
@@ -87,6 +92,8 @@ def prepare_layer_state(
     targets: str = "both",
     rotate_on_device: bool = False,
     act_minmax: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    hessian: Optional[jax.Array] = None,
+    act_rotation: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Quant state for one layer. w: [C_in, C_out] (f32).
 
@@ -134,6 +141,31 @@ def prepare_layer_state(
             )
 
     w_work = wf
+    if policy.gptq and hessian is not None:
+        # Hessian-aware rounding (quant/gptq.py): same per-output-channel
+        # grid and code convention as the RTN path below — the produced
+        # state is a drop-in for sim / int8 / packed-int4 deployment.
+        from wanq_tpu.quant.gptq import gptq_quantize, transform_hessian
+
+        hq = transform_hessian(
+            jnp.asarray(hessian, jnp.float32),
+            channel_mask=st.get("channel_mask"),
+            act_rotation=act_rotation,
+        )
+        w_gq, codes, d, z = gptq_quantize(w_work, hq, wcfg)
+        if targets in ("sim", "both"):
+            st["w_q"] = w_gq
+        st["delta_w"] = d
+        st["zp_w"] = z
+        if wcfg.active_bits in (4, 8) and targets in ("int8", "both"):
+            if wcfg.active_bits == 4 and codes.shape[0] % 2 == 0:
+                st["w_int4"] = pack_int4(codes)
+            else:
+                st["w_int8"] = codes
+            st["scale_w"] = d
+            st["zp_w_int"] = z
+        _finish_static_act(st, policy, act_minmax)
+        return st
     if targets in ("sim", "both"):
         st["w_q"] = weight_fake_quant(w_work, wcfg)
     d, z = weight_quant_params(w_work, wcfg)
@@ -151,32 +183,41 @@ def prepare_layer_state(
         st["scale_w"] = scale_w
         st["zp_w_int"] = zp_w_int
 
-    if policy.act is not None and not policy.act.dynamic:
-        # static A8: per-tensor params frozen from the calibration sweep's
-        # running min/max (ref StaticQuantizer; our deployment group is
-        # per-tensor — the reference's group='tensor' configuration)
-        if policy.uses_channel_mask or policy.uses_rotation:
-            raise ValueError(
-                "static activation quant cannot combine with "
-                f"{policy.method}: calibration min/max are collected on the "
-                "raw input but the mask/rotation transforms the activation "
-                "before quantization — the frozen scales would be wrong. "
-                "Use dynamic act quant with this method (the reference "
-                "does the same)."
-            )
-        assert act_minmax is not None, (
-            "static act quant needs calibration min/max (run get_calib_data "
-            "with --collect_minmax)"
-        )
-        from wanq_tpu.quant.quantizers import params_from_minmax
-
-        amax, amin = act_minmax
-        x_max = jnp.asarray([np.maximum(np.max(amax), 0.0)], jnp.float32)
-        x_min = jnp.asarray([np.minimum(np.min(amin), 0.0)], jnp.float32)
-        d_a, zp_a = params_from_minmax(x_max, x_min, policy.act)
-        st["delta_a"] = d_a[:, 0]
-        st["zp_a"] = zp_a[:, 0]
+    _finish_static_act(st, policy, act_minmax)
     return st
+
+
+def _finish_static_act(
+    st: Dict[str, jax.Array],
+    policy: LayerPolicy,
+    act_minmax: Optional[Tuple[np.ndarray, np.ndarray]],
+) -> None:
+    if policy.act is None or policy.act.dynamic:
+        return
+    # static A8: per-tensor params frozen from the calibration sweep's
+    # running min/max (ref StaticQuantizer; our deployment group is
+    # per-tensor — the reference's group='tensor' configuration)
+    if policy.uses_channel_mask or policy.uses_rotation:
+        raise ValueError(
+            "static activation quant cannot combine with "
+            f"{policy.method}: calibration min/max are collected on the "
+            "raw input but the mask/rotation transforms the activation "
+            "before quantization — the frozen scales would be wrong. "
+            "Use dynamic act quant with this method (the reference "
+            "does the same)."
+        )
+    assert act_minmax is not None, (
+        "static act quant needs calibration min/max (run get_calib_data "
+        "with --collect_minmax)"
+    )
+    from wanq_tpu.quant.quantizers import params_from_minmax
+
+    amax, amin = act_minmax
+    x_max = jnp.asarray([np.maximum(np.max(amax), 0.0)], jnp.float32)
+    x_min = jnp.asarray([np.minimum(np.min(amin), 0.0)], jnp.float32)
+    d_a, zp_a = params_from_minmax(x_max, x_min, policy.act)
+    st["delta_a"] = d_a[:, 0]
+    st["zp_a"] = zp_a[:, 0]
 
 
 def quant_state_shardings(
@@ -312,10 +353,27 @@ def prepare_quant_state(
         if f"{name}.act_max" in calib_max:
             act_minmax = (calib_max[f"{name}.act_max"],
                           calib_max[f"{name}.act_min"])
+        hessian = act_rotation = None
+        if policy.gptq:
+            # Hessian-aware rounding when the calibration sweep collected
+            # this layer's input Hessian (hessian_regex); RTN otherwise —
+            # the regex may intentionally cover a subset of layers
+            hessian = calib_max.get(f"{name}.hess")
+            if hessian is not None and policy.uses_rotation:
+                # the Hessian transform needs the activation-side rotation
+                # (x @ Q pairs with the FWHT'd weight; same matrix as the
+                # runtime `rotations` dict built below)
+                act_rotation = jnp.asarray(
+                    rotation_for_dim(int(w.shape[0]), seed=seed).astype(
+                        np.float32
+                    )
+                )
         state[name] = prepare_layer_state(
             policy, w, act_absmax, rot_seed, targets,
             rotate_on_device=mesh is not None,
             act_minmax=act_minmax,
+            hessian=hessian,
+            act_rotation=act_rotation,
         )
 
     if mesh is not None:

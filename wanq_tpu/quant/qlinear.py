@@ -21,6 +21,7 @@ Layer state entries (produced by :mod:`wanq_tpu.quant.ptq`):
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Any, Dict, Optional
 
 import jax
@@ -35,6 +36,17 @@ from wanq_tpu.quant.quantizers import (
 Params = Dict[str, Any]
 
 MODES = ("fp", "calib", "sim", "int8")
+
+_RE_CACHE: Dict[str, Any] = {}
+
+
+def _cached_search(pattern: str, name: str):
+    """re.search with a module-level compiled-pattern cache (runs per layer
+    per calibration trace)."""
+    pat = _RE_CACHE.get(pattern)
+    if pat is None:
+        pat = _RE_CACHE[pattern] = re.compile(pattern)
+    return pat.search(name)
 
 
 @dataclasses.dataclass
@@ -62,6 +74,11 @@ class QuantCtx:
     collect_minmax: bool = False
     # calib extras: pool factor for post-softmax attn-map capture (0 = off)
     attn_map_pool: int = 0
+    # calib extras: layers matching this regex also accumulate the input
+    # Hessian X^T X ([C_in, C_in]) for GPTQ weight rounding (quant/gptq.py).
+    # Matched with re.search against the layer path (under scan the path is
+    # the scan placeholder, so match on suffixes like r"ffn\.0|self_attn").
+    hessian_regex: Optional[str] = None
     # per-layer attn-map reorder tables {layer: [H, S] int32} (ref
     # optimal_reorder, quant_attn.py:176-238)
     attn_perms: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
@@ -84,12 +101,14 @@ def _ctx_flatten(ctx: QuantCtx):
         ctx.cross_attn,
         ctx.collect_minmax,
         ctx.attn_map_pool,
+        ctx.hessian_regex,
     )
     return children, aux
 
 
 def _ctx_unflatten(aux, children):
-    mode, policies, attn, cross_attn, collect_minmax, attn_map_pool = aux
+    (mode, policies, attn, cross_attn, collect_minmax, attn_map_pool,
+     hessian_regex) = aux
     ctx = QuantCtx(
         mode=mode,
         policies=dict(policies),
@@ -99,6 +118,7 @@ def _ctx_unflatten(aux, children):
         cross_attn=cross_attn,
         collect_minmax=collect_minmax,
         attn_map_pool=attn_map_pool,
+        hessian_regex=hessian_regex,
     )
     ctx.scan_state = children[2]
     ctx.attn_perms = children[3]
@@ -159,6 +179,12 @@ def qlinear(
             # (ref StaticQuantizer accumulation, base_quantizer.py:74-87)
             ctx.collect[f"{name}.act_max"] = jnp.max(xf2, axis=0)
             ctx.collect[f"{name}.act_min"] = jnp.min(xf2, axis=0)
+        if ctx.hessian_regex and _cached_search(ctx.hessian_regex, name):
+            # input Hessian for GPTQ rounding (quant/gptq.py); summed over
+            # the calibration sweep by the pipeline (per-step terms here)
+            ctx.collect[f"{name}.hess"] = jnp.dot(
+                xf2.T, xf2, preferred_element_type=jnp.float32
+            )
         return fp_linear(params, x, compute_dtype)
 
     if not policy.is_quantized:
