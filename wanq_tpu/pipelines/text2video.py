@@ -230,9 +230,11 @@ class WanT2V:
 
         if collect_calib:
             stacked = {k: np.stack(v, axis=0) for k, v in all_stats.items()}
-            stacked.update(
-                {k: np.asarray(v, dtype=np.float32) for k, v in hess_acc.items()}
-            )
+            # .hess entries stay DEVICE-resident (jax arrays): multi-round
+            # accumulation and the GPTQ solve both run on device, and a
+            # [ffn_dim, ffn_dim] pull over a relayed link costs minutes.
+            # np.savez/np.asarray convert transparently where needed.
+            stacked.update(hess_acc)
             return latents, stacked
         return latents
 

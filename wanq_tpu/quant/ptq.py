@@ -61,13 +61,16 @@ def reduce_calib(calib: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     ref StaticQuantizer, base_quantizer.py:74-87)."""
     out = {}
     for name, arr in calib.items():
-        a = np.asarray(arr, dtype=np.float32)
         if name.endswith(".hess"):
             # input Hessians: [C, C] already summed over the sweep
             # (pipelines accumulate instead of stacking), or a stacked
-            # [T, C, C] from a caller that kept per-step terms — sum those
-            out[name] = a.sum(axis=0) if a.ndim == 3 else a
-        elif name.endswith(".act_min"):
+            # [T, C, C] from a caller that kept per-step terms — sum those.
+            # Kept as-is (possibly a device-resident jax array) so the
+            # GPTQ solve never round-trips hundreds of MB through host
+            out[name] = arr.sum(axis=0) if getattr(arr, "ndim", 0) == 3 else arr
+            continue
+        a = np.asarray(arr, dtype=np.float32)
+        if name.endswith(".act_min"):
             out[name] = a.min(axis=0) if a.ndim == 2 else a
         elif name.endswith(".act_max"):
             out[name] = a.max(axis=0) if a.ndim == 2 else a
