@@ -357,3 +357,51 @@ def test_hessian_capture_matches_under_scan(tiny_calib):
         np.testing.assert_allclose(
             s_scan[key], s_loop[key], rtol=2e-3, atol=2e-2
         )
+
+
+@pytest.mark.mesh
+def test_gptq_state_matches_on_mesh():
+    """prepare_quant_state(mesh=...) with weight.gptq: the solve runs
+    (replicated) under GSPMD and the sharded state matches the host build
+    — GPTQ composes with the sharded-PTQ deployment path."""
+    from tests.conftest import randomize_head
+    from wanq_tpu.configs import tiny_config
+    from wanq_tpu.models.dit import init_params, linear_layer_names
+    from wanq_tpu.parallel import make_mesh
+    from wanq_tpu.quant import QuantConfig
+    from wanq_tpu.quant.ptq import params_get, prepare_quant_state
+
+    cfg = tiny_config()
+    params = randomize_head(init_params(cfg, jax.random.PRNGKey(0)))
+    names = [n for n in linear_layer_names(cfg) if n.endswith("ffn.0")]
+    rng = np.random.default_rng(6)
+    calib = {}
+    for n in names:
+        x = rng.normal(size=(512, cfg.dim)).astype(np.float32)
+        calib[n] = np.abs(x).max(axis=0)
+        calib[n + ".hess"] = x.T @ x
+    qcfg = QuantConfig.from_dict(
+        {"weight": {"n_bits": 4, "sym": False, "gptq": True},
+         "act": {"n_bits": 8, "sym": True}}
+    )
+    _, st_host, _ = prepare_quant_state(
+        params, names, qcfg, calib=calib, targets="both"
+    )
+    mesh = make_mesh(1, 8, 1, 1)
+    _, st_mesh, _ = prepare_quant_state(
+        params, names, qcfg, calib=calib, targets="both", mesh=mesh
+    )
+    for n in names:
+        # GPTQ actually engaged: the weights differ from plain RTN
+        from wanq_tpu.quant.quantizers import weight_fake_quant
+
+        w = params_get(params, n)["w"].astype(jnp.float32)
+        rtn = np.asarray(weight_fake_quant(w, qcfg.weight_cfg))
+        assert not np.allclose(np.asarray(st_host[n]["w_q"]), rtn)
+        np.testing.assert_allclose(
+            np.asarray(st_mesh[n]["w_q"]), np.asarray(st_host[n]["w_q"]),
+            rtol=1e-4, atol=1e-5,
+        )
+        assert {s.data.shape for s in st_mesh[n]["w_int4"].addressable_shards} == {
+            (cfg.dim // 2, cfg.ffn_dim // 8)
+        }

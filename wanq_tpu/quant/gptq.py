@@ -102,13 +102,85 @@ def _inverse_hessian_cholesky(
     damp = percdamp * jnp.mean(jnp.diagonal(hess))
     hess = hess + damp * jnp.eye(k, dtype=jnp.float32)
     chol = jnp.linalg.cholesky(hess)
-    eye = jnp.eye(k, dtype=jnp.float32)
-    hinv = jax.scipy.linalg.cho_solve((chol, True), eye)
+    if k <= 8192:
+        eye = jnp.eye(k, dtype=jnp.float32)
+        hinv = jax.scipy.linalg.cho_solve((chol, True), eye)
+    else:
+        # huge K (14B ffn.2 is 13824): a single cho_solve against a full
+        # [K, K] identity crashes the XLA compile at this size — chunk the
+        # triangular solves over column blocks instead
+        from jax.lax.linalg import triangular_solve
+
+        cols = []
+        step = 2048
+        for i in range(0, k, step):
+            b = min(step, k - i)
+            rhs = jnp.eye(k, b, -i, dtype=jnp.float32)
+            y = triangular_solve(chol, rhs, left_side=True, lower=True)
+            cols.append(
+                triangular_solve(
+                    chol, y, left_side=True, lower=True, transpose_a=True
+                )
+            )
+        hinv = jnp.concatenate(cols, axis=1)
     # lower L with H^{-1} = L L^T  =>  U = L^T is upper with U^T U = H^{-1}
     return jnp.linalg.cholesky(hinv).T
 
 
-@functools.partial(jax.jit, static_argnames=("block", "lo", "hi"))
+@functools.partial(
+    jax.jit, static_argnames=("block", "lo", "hi"), donate_argnums=(0, 1)
+)
+def _gptq_block_step(
+    wcur: jax.Array,    # [Kp, N] f32 (padded working weight, donated)
+    qcur: jax.Array,    # [Kp, N] int8 codes so far (donated)
+    u: jax.Array,       # [Kp, Kp] f32 upper Cholesky of H^{-1}
+    delta: jax.Array,   # [N]
+    zp: jax.Array,      # [N]
+    i0: jax.Array,      # scalar int32 block offset (traced: one compile)
+    block: int,
+    lo: int,
+    hi: int,
+):
+    """One GPTQ block: sequential rank-1 sweep inside [i0, i0+block),
+    then a masked MXU matmul propagates the block's error onto every
+    later row. The block offset rides as a traced scalar so the whole
+    solve compiles ONCE per (Kp, N, block) — a single jitted program over
+    all Kp/block blocks blows up XLA compile time at 14B ffn dims."""
+    kp, n = wcur.shape
+    u_tile = jax.lax.dynamic_slice(u, (i0, i0), (block, block))
+
+    def inner(c, i):
+        wb, qb, errb = c
+        row = jax.lax.dynamic_slice(wb, (i, 0), (1, n))[0]
+        q = jnp.clip(jnp.round(row / delta) - zp, lo, hi)
+        wq = (q + zp) * delta
+        err = (row - wq) / u_tile[i, i]
+        # propagate within the block onto rows > i (rank-1, masked)
+        mask = (jnp.arange(block) > i).astype(jnp.float32)
+        wb = wb - (u_tile[i, :] * mask)[:, None] * err[None, :]
+        wb = jax.lax.dynamic_update_slice(wb, wq[None, :], (i, 0))
+        qb = jax.lax.dynamic_update_slice(
+            qb, q.astype(jnp.int8)[None, :], (i, 0)
+        )
+        errb = jax.lax.dynamic_update_slice(errb, err[None, :], (i, 0))
+        return (wb, qb, errb), None
+
+    wblk = jax.lax.dynamic_slice(wcur, (i0, 0), (block, n))
+    qblk = jnp.zeros((block, n), jnp.int8)
+    eblk = jnp.zeros((block, n), jnp.float32)
+    (wblk, qblk, eblk), _ = jax.lax.scan(
+        inner, (wblk, qblk, eblk), jnp.arange(block)
+    )
+    wcur = jax.lax.dynamic_update_slice(wcur, wblk, (i0, 0))
+    qcur = jax.lax.dynamic_update_slice(qcur, qblk, (i0, 0))
+    # cross-block propagation onto rows >= i0 + block (MXU matmul,
+    # columns of U belonging to this or earlier blocks masked out)
+    u_rows = jax.lax.dynamic_slice(u, (i0, 0), (block, kp))
+    rowmask = (jnp.arange(kp) >= i0 + block).astype(jnp.float32)
+    wcur = wcur - (u_rows * rowmask[None, :]).T @ eblk
+    return wcur, qcur
+
+
 def _gptq_solve(
     w: jax.Array,       # [Kp, N] f32 (padded)
     u: jax.Array,       # [Kp, Kp] f32 upper Cholesky of H^{-1}
@@ -120,52 +192,15 @@ def _gptq_solve(
 ):
     """Blocked GPTQ sweep. Returns (w_q dequantized [Kp, N] f32,
     codes int8 [Kp, N])."""
-    kp, n = w.shape
-    nb = kp // block
-
-    def quant_row(row):
-        q = jnp.clip(jnp.round(row / delta) - zp, lo, hi)
-        return q, (q + zp) * delta
-
-    def block_step(carry, jb):
-        wcur, qcur = carry
-        i0 = jb * block
-        u_tile = jax.lax.dynamic_slice(u, (i0, i0), (block, block))
-
-        def inner(c, i):
-            wb, qb, errb = c
-            row = jax.lax.dynamic_slice(wb, (i, 0), (1, n))[0]
-            q, wq = quant_row(row)
-            err = (row - wq) / u_tile[i, i]
-            # propagate within the block onto rows > i (rank-1, masked)
-            mask = (jnp.arange(block) > i).astype(jnp.float32)
-            wb = wb - (u_tile[i, :] * mask)[:, None] * err[None, :]
-            wb = jax.lax.dynamic_update_slice(wb, wq[None, :], (i, 0))
-            qb = jax.lax.dynamic_update_slice(
-                qb, q.astype(jnp.int8)[None, :], (i, 0)
-            )
-            errb = jax.lax.dynamic_update_slice(errb, err[None, :], (i, 0))
-            return (wb, qb, errb), None
-
-        wblk = jax.lax.dynamic_slice(wcur, (i0, 0), (block, n))
-        qblk = jnp.zeros((block, n), jnp.int8)
-        eblk = jnp.zeros((block, n), jnp.float32)
-        (wblk, qblk, eblk), _ = jax.lax.scan(
-            inner, (wblk, qblk, eblk), jnp.arange(block)
+    # the block step donates its working buffers; detach from the caller's
+    # array (astype(f32) of an f32 input aliases, it does not copy)
+    w = w.copy()
+    q = jnp.zeros(w.shape, jnp.int8)
+    for jb in range(w.shape[0] // block):
+        w, q = _gptq_block_step(
+            w, q, u, delta, zp, jnp.int32(jb * block), block, lo, hi
         )
-        wcur = jax.lax.dynamic_update_slice(wcur, wblk, (i0, 0))
-        qcur = jax.lax.dynamic_update_slice(qcur, qblk, (i0, 0))
-        # cross-block propagation onto rows >= i0 + block (MXU matmul,
-        # columns of U belonging to this or earlier blocks masked out)
-        u_rows = jax.lax.dynamic_slice(u, (i0, 0), (block, kp))
-        rowmask = (jnp.arange(kp) >= i0 + block).astype(jnp.float32)
-        wcur = wcur - (u_rows * rowmask[None, :]).T @ eblk
-        return (wcur, qcur), None
-
-    (wq_all, q_all), _ = jax.lax.scan(
-        block_step, (w, jnp.zeros((kp, n), jnp.int8)), jnp.arange(nb)
-    )
-    return wq_all, q_all
+    return w, q
 
 
 def gptq_quantize(
