@@ -405,3 +405,49 @@ def test_gptq_state_matches_on_mesh():
         assert {s.data.shape for s in st_mesh[n]["w_int4"].addressable_shards} == {
             (cfg.dim // 2, cfg.ffn_dim // 8)
         }
+
+
+@pytest.mark.mesh
+def test_hessian_calibration_on_mesh_matches_single_device():
+    """Hessian calibration EXECUTED on the 8-virtual-device mesh (the way
+    a 14B calibration must run — the FP model does not fit one chip):
+    sharded calib forward collects the same X^T X as single-device."""
+    from tests.conftest import randomize_head
+    from wanq_tpu.configs import tiny_config
+    from wanq_tpu.models.dit import (
+        dit_forward,
+        init_params,
+        stack_block_params,
+    )
+    from wanq_tpu.parallel import ShardingPlan, make_mesh, shard_params
+    from wanq_tpu.quant.qlinear import QuantCtx
+
+    cfg = tiny_config(num_heads=8, dim=96)
+    params = stack_block_params(
+        randomize_head(init_params(cfg, jax.random.PRNGKey(0)))
+    )
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, cfg.in_dim, 2, 8, 8)).astype(np.float32))
+    t = jnp.asarray([500.0, 500.0])
+    txt = jnp.asarray(
+        rng.normal(size=(2, cfg.text_len, cfg.text_dim)).astype(np.float32)
+    )
+    seq_len = 32
+
+    def run(p, plan):
+        def fwd(p, x, t, c):
+            cctx = QuantCtx(mode="calib", hessian_regex=r"ffn\.0")
+            out = dit_forward(p, cfg, x, t, c, seq_len, ctx=cctx, plan=plan)
+            return out, dict(cctx.collect)
+
+        return jax.jit(fwd)(p, x, t, txt)
+
+    _, host = run(params, None)
+    mesh = make_mesh(1, 2, 2, 2)
+    _, sharded = run(shard_params(params, mesh), ShardingPlan(mesh))
+    keys = [k for k in host if k.endswith(".hess")]
+    assert len(keys) == cfg.num_layers
+    for k in keys:
+        np.testing.assert_allclose(
+            np.asarray(sharded[k]), np.asarray(host[k]), rtol=2e-3, atol=2e-2
+        )
