@@ -11,7 +11,7 @@ YAML schema (compatible with the reference's quant_configs/config.yaml):
 
     remain_fp_regex: <regex or null>
     calib_data: {save_path: ...}
-    weight: {n_bits: 8 | [4, 8], sym: false, gptq: false}
+    weight: {n_bits: 8 | [4, 8], sym: false, gptq: false, gptq_act_order: false}
     act:    {n_bits: 8, sym: true}
     smooth_quant: {alpha: 0.5, layer_name_regex: "..."}     # optional
     quarot:       {layer_name_regex: "..."}                 # optional
@@ -62,6 +62,8 @@ class LayerPolicy:
     # when PTQ receives a calibration Hessian for the layer (collected via
     # QuantCtx.hessian_regex / get_calib_data --collect_hessian).
     gptq: bool = False
+    # desc_act refinement: quantize rows by descending Hessian diagonal
+    gptq_act_order: bool = False
 
     @property
     def is_quantized(self) -> bool:
@@ -97,6 +99,9 @@ class QuantConfig:
         # weight.gptq: true enables Hessian-aware rounding for every
         # quantized layer whose calibration Hessian was collected
         self.weight_gptq: bool = bool(w.get("gptq", False)) if w else False
+        self.weight_gptq_act_order: bool = (
+            bool(w.get("gptq_act_order", False)) if w else False
+        )
         a = raw.get("act")
         self.act_cfg = (
             QuantizerCfg(
@@ -210,6 +215,7 @@ class QuantConfig:
             alpha=alpha,
             quant_mode=quant_mode,
             gptq=self.weight_gptq,
+            gptq_act_order=self.weight_gptq_act_order,
         )
 
     def resolve_all(self, layer_names: List[str]) -> Dict[str, LayerPolicy]:

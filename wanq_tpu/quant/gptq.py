@@ -209,6 +209,7 @@ def gptq_quantize(
     cfg: QuantizerCfg,
     block: int = 128,
     percdamp: float = 0.01,
+    act_order: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Error-compensated quantization of a [C_in, C_out] weight against the
     input Hessian ``hess`` = sum over calibration tokens of x x^T
@@ -220,12 +221,25 @@ def gptq_quantize(
     (for the int8 / packed-int4 paths), and the per-output-channel grid
     [C_out] each — the same convention as
     :func:`wanq_tpu.quant.quantizers.weight_int_quant`.
+
+    ``act_order`` processes rows by descending Hessian diagonal (the
+    desc_act refinement): high-energy input channels quantize first,
+    while later rows can still absorb their error. Pure reindexing —
+    outputs come back in the original row order, so nothing downstream
+    changes.
     """
     k, n = w.shape
     assert hess.shape == (k, k), f"hessian {hess.shape} vs weight K={k}"
     wf = w.astype(jnp.float32)
     delta, zp = weight_quant_params(wf, cfg)
     lo, hi = _code_bounds(cfg)
+
+    inv_perm = None
+    if act_order:
+        perm = jnp.argsort(-jnp.diagonal(hess))
+        inv_perm = jnp.argsort(perm)
+        wf = wf[perm]
+        hess = hess[perm][:, perm]
 
     block = min(block, k)
     kp = ((k + block - 1) // block) * block
@@ -240,4 +254,7 @@ def gptq_quantize(
 
     u = _inverse_hessian_cholesky(h, percdamp)
     wq, codes = _gptq_solve(wf, u, delta, zp, block, lo, hi)
-    return wq[:k], codes[:k], delta, zp
+    wq, codes = wq[:k], codes[:k]
+    if inv_perm is not None:
+        wq, codes = wq[inv_perm], codes[inv_perm]
+    return wq, codes, delta, zp

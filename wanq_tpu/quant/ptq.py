@@ -155,7 +155,9 @@ def prepare_layer_state(
             channel_mask=st.get("channel_mask"),
             act_rotation=act_rotation,
         )
-        w_gq, codes, d, z = gptq_quantize(w_work, hq, wcfg)
+        w_gq, codes, d, z = gptq_quantize(
+            w_work, hq, wcfg, act_order=policy.gptq_act_order
+        )
         if targets in ("sim", "both"):
             st["w_q"] = w_gq
         st["delta_w"] = d
