@@ -5,7 +5,7 @@ accumulation; dim-1536 input sites) → two W4 PTQ builds (RTN / GPTQ) →
 single-step noise-pred PSNR vs the FP forward across seeds.
 
 Weight-only W4 (acts FP) isolates the rounding error GPTQ optimizes.
-Run: python -u tools/gptq_probe.py [rounds] [steps]
+Run: python -u tools/gptq_probe.py [rounds] [steps] [act_order(0|1)]
 """
 
 import sys
@@ -53,7 +53,7 @@ def log(m):
     print(m, flush=True)
 
 
-def main(rounds=3, steps=4):
+def main(rounds=3, steps=4, act_order=False):
     cfg = WAN_CONFIGS["t2v-1.3B"]
     size, frames = (832, 480), 21  # short clip: calib speed; seq still 8k+
     target_shape = compute_target_shape(cfg, size, frames)
@@ -123,7 +123,9 @@ def main(rounds=3, steps=4):
     built = {}
     for label, gptq in (("rtn", False), ("gptq", True)):
         qd = dict(QDICT)
-        qd["weight"] = dict(qd["weight"], gptq=gptq)
+        qd["weight"] = dict(
+            qd["weight"], gptq=gptq, gptq_act_order=act_order
+        )
         t0 = time.time()
         built[label] = prepare_quant_state(
             list_params, names, QuantConfig.from_dict(qd), calib=acc,
@@ -158,4 +160,5 @@ def main(rounds=3, steps=4):
 if __name__ == "__main__":
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    main(rounds, steps)
+    act_order = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
+    main(rounds, steps, act_order)

@@ -10,15 +10,18 @@ Cholesky factor of the inverse input Hessian H = X^T X, minimizing the
 layer output error ||X W - X W_q||^2 on the calibration distribution —
 the classical OBS/OBQ update applied greedily in fixed order.
 
-TPU-native formulation: the whole solve is ONE jitted program — an outer
-`lax.scan` over row-blocks with an inner `lax.scan` over the rows of a
-block, static shapes throughout (ragged K is zero-padded with an identity
-Hessian block, which is exactly a no-op: padded rows quantize to 0 with
-zero error). The cross-block error propagation is a masked [block, K] x
-[block, N] matmul that rides the MXU, so the sequential part is only the
+TPU-native formulation: one jitted BLOCK STEP (inner `lax.scan` over the
+rows of a block, block offset as a traced scalar, working buffers
+donated) driven by an eager outer loop — each (K, N, block) shape
+compiles once and warm solves are sub-second even at 14B ffn dims, where
+a single all-blocks jitted scan blew up XLA compile time. Static shapes
+throughout (ragged K is zero-padded with an identity Hessian block,
+which is exactly a no-op: padded rows quantize to 0 with zero error).
+The cross-block error propagation is a masked [block, K] x [block, N]
+matmul that rides the MXU, so the sequential part is only the
 within-block rank-1 chain — the same blocking the published CUDA
-implementations use, but expressed as functional scans instead of
-in-place tensor mutation.
+implementations use, but expressed functionally instead of as in-place
+tensor mutation.
 
 Grid semantics match the framework's weight quantizers exactly
 (quantizers.py): per-output-channel (delta, zp) computed from the
