@@ -78,11 +78,12 @@ def main(rounds=3, steps=4, act_order=False):
 
     t0 = time.time()
     acc = None
+    # ONE pipe across rounds: the jitted-step cache lives on the instance
+    pipe = WanT2V(
+        cfg, params,
+        quant_ctx=QuantCtx(mode="calib", hessian_regex=HESS_RE),
+    )
     for rnd in range(rounds):
-        pipe = WanT2V(
-            cfg, params,
-            quant_ctx=QuantCtx(mode="calib", hessian_regex=HESS_RE),
-        )
         st = pipe.collect_calibration(
             ctx, ctxn, size=size, frame_num=frames, sampling_steps=steps,
             seed=11 + rnd,

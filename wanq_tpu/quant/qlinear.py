@@ -37,17 +37,6 @@ Params = Dict[str, Any]
 
 MODES = ("fp", "calib", "sim", "int8")
 
-_RE_CACHE: Dict[str, Any] = {}
-
-
-def _cached_search(pattern: str, name: str):
-    """re.search with a module-level compiled-pattern cache (runs per layer
-    per calibration trace)."""
-    pat = _RE_CACHE.get(pattern)
-    if pat is None:
-        pat = _RE_CACHE[pattern] = re.compile(pattern)
-    return pat.search(name)
-
 
 @dataclasses.dataclass
 class QuantCtx:
@@ -179,7 +168,7 @@ def qlinear(
             # (ref StaticQuantizer accumulation, base_quantizer.py:74-87)
             ctx.collect[f"{name}.act_max"] = jnp.max(xf2, axis=0)
             ctx.collect[f"{name}.act_min"] = jnp.min(xf2, axis=0)
-        if ctx.hessian_regex and _cached_search(ctx.hessian_regex, name):
+        if ctx.hessian_regex and re.search(ctx.hessian_regex, name):
             # input Hessian for GPTQ rounding (quant/gptq.py); summed over
             # the calibration sweep by the pipeline (per-step terms here)
             ctx.collect[f"{name}.hess"] = jnp.dot(
