@@ -213,3 +213,77 @@ def test_smooth_quant_channel_mask_and_forward_parity(ref_quant, rng):
     params = {"w": w_ours, "b": jnp.asarray(lin.bias.detach().numpy())}
     got = np.asarray(qlinear(ctx, "l", params, jnp.asarray(x), jnp.float32))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_reference_quant_params_artifact_import(ref_quant, rng, tmp_path):
+    """quant_params.pth import: a reference-format quant_param_dict (the
+    exact save schema of save_quant_param_dict_, quant_model.py:161-174,
+    built from the reference's own quantizer modules) loads into our
+    scale-dict schema and matches prepare_layer_state on identical
+    weights — the north-star's 'scale-dict parity against reference PTQ
+    artifacts' checked on the artifact itself."""
+    from wanq_tpu.quant.config import LayerPolicy
+    from wanq_tpu.quant.ptq import (
+        compare_scale_dicts,
+        load_reference_quant_params,
+        prepare_layer_state,
+    )
+    from wanq_tpu.quant.quantizers import QuantizerCfg
+
+    c_in, c_out = 48, 32
+    w = rng.normal(size=(c_out, c_in)).astype(np.float32)  # torch layout
+    act_mask = (np.abs(rng.normal(size=(c_in,))) + 0.1).astype(np.float32)
+    alpha = 0.5665
+
+    # --- reference side: SQQuantizedLinear scales the weight by the
+    # channel mask, then its w_quantizer holds the per-channel grid
+    lin = torch.nn.Linear(c_in, c_out)
+    with torch.no_grad():
+        lin.weight.copy_(torch.tensor(w))
+    qcfg = _EasyDict({"weight": {"n_bits": 8, "sym": False},
+                      "act": {"n_bits": 8, "sym": True},
+                      "smooth_quant": {"alpha": alpha}})
+    ref_layer = ref_quant.sq.SQQuantizedLinear(
+        c_in, c_out, True, torch.device("cpu"), qcfg, lin
+    )
+    ref_layer.a_quantizer.module_name = "t"
+    with torch.no_grad():
+        ref_layer.get_channel_mask(torch.tensor(act_mask))
+        ref_layer.update_quantized_weight_scaled()
+    artifact = {
+        "blocks.0.ffn.0.w_quantizer": {
+            "delta": ref_layer.w_quantizer.delta,
+            "zero_point": ref_layer.w_quantizer.zero_point,
+            "channel_mask": ref_layer.channel_mask,
+        },
+        # per-tensor static act entry (frozen StaticQuantizer scale)
+        "blocks.0.ffn.2.a_quantizer": {
+            "delta": torch.tensor([0.123]),
+            "zero_point": torch.tensor([0.0]),
+        },
+        # dynamic act entry (transient per-call grid): must be skipped
+        "blocks.0.ffn.0.a_quantizer": {
+            "delta": torch.ones(12, 1),
+            "zero_point": torch.zeros(12, 1),
+        },
+    }
+    path = tmp_path / "quant_params.pth"
+    torch.save(artifact, str(path))
+
+    imported = load_reference_quant_params(str(path))
+    assert set(imported) == {"blocks.0.ffn.0", "blocks.0.ffn.2"}
+    assert "delta_a" not in imported["blocks.0.ffn.0"]  # dynamic skipped
+    np.testing.assert_allclose(
+        imported["blocks.0.ffn.2"]["delta_a"], [0.123]
+    )
+
+    # --- our side: same weight through prepare_layer_state
+    policy = LayerPolicy(method="smooth_quant", weight=QuantizerCfg(8, False),
+                         act=QuantizerCfg(8, True), alpha=alpha)
+    st = prepare_layer_state(policy, jnp.asarray(w.T), act_mask, None)
+    report = compare_scale_dicts(
+        {"blocks.0.ffn.0": st}, imported, rtol=1e-3
+    )
+    errs = report["layers"]["blocks.0.ffn.0"]
+    assert set(errs) == {"delta_w", "zp_w", "channel_mask"}
+    assert report["pass"], report

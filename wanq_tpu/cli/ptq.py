@@ -30,6 +30,12 @@ def parse_args(argv=None):
                    help="npz from get_calib_data (or a reference .pth)")
     p.add_argument("--save_path", type=str, default="quant_params.npz")
     p.add_argument("--rotation_seed", type=int, default=0)
+    p.add_argument("--check_reference_params", type=str, default=None,
+                   metavar="QUANT_PARAMS_PTH",
+                   help="after PTQ, import a reference quant_params.pth "
+                        "artifact and print a scale-dict parity report "
+                        "(per-layer max rel err of delta_w/zp_w/"
+                        "channel_mask/static-act scales)")
     return p.parse_args(argv)
 
 
@@ -64,6 +70,26 @@ def generate(args):
     )
     save_quant_state(args.save_path, state, seed=args.rotation_seed)
     logging.info("saved %s", args.save_path)
+
+    if args.check_reference_params:
+        from wanq_tpu.quant.ptq import (
+            compare_scale_dicts,
+            load_reference_quant_params,
+        )
+
+        theirs = load_reference_quant_params(args.check_reference_params)
+        report = compare_scale_dicts(state, theirs)
+        layer, key, err = report["worst"]
+        logging.info(
+            "scale-dict parity vs %s: %d shared layers, worst %s.%s "
+            "rel_err=%.3e, pass(rtol=1e-3)=%s",
+            args.check_reference_params, len(report["layers"]),
+            layer, key, err, report["pass"],
+        )
+        for lname, errs in sorted(report["layers"].items()):
+            bad = {k: v for k, v in errs.items() if v > 1e-3}
+            if bad:
+                logging.warning("  %s: %s", lname, bad)
     return args.save_path
 
 

@@ -507,3 +507,108 @@ def load_reference_calib(path: str) -> Dict[str, np.ndarray]:
 
     d = torch.load(path, map_location="cpu", weights_only=False)
     return {k: v.float().numpy() for k, v in d.items()}
+
+
+def load_reference_quant_params(
+    path_or_dict,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Import the reference's saved ``quant_params.pth`` into this
+    framework's per-layer scale-dict schema.
+
+    The reference artifact is ``model.quant_param_dict`` (saved by
+    ``save_quant_param_dict_``, quant_model.py:161-174): one entry per
+    quantizer module path — ``<layer>.w_quantizer`` / ``<layer>.a_quantizer``
+    — each ``{'delta', 'zero_point'[, 'channel_mask'][, 'rotation_matrix':
+    None]}``. Weight deltas are per-output-channel ``[C_out, 1]`` (torch
+    Linear weight layout); they flatten to our ``delta_w [C_out]``.
+    ``channel_mask`` is per input channel ``[C_in]``.
+
+    Activation entries import only when per-tensor (``numel == 1`` — a
+    frozen StaticQuantizer scale); DynamicQuantizer deltas are transient
+    per-call values the reference never reuses, so they are skipped.
+    Rotation matrices are NOT recoverable: the reference regenerates them
+    from torch's *global* RNG at load (``get_rotation_matrix`` →
+    ``random_hadamard_matrix`` with no explicit seed,
+    quarot_quant_layer.py:27-28) — entries that carry a rotation slot are
+    imported with ``"rotated": True`` so callers can refuse to deploy them
+    without a matching rotation replay.
+
+    Returns ``{layer_path: {delta_w, zp_w[, channel_mask][, delta_a, zp_a]
+    [, rotated]}}`` as numpy arrays, directly comparable against
+    :func:`prepare_layer_state` output (``compare_scale_dicts``).
+    """
+    if isinstance(path_or_dict, (str, bytes)):
+        import torch
+
+        d = torch.load(path_or_dict, map_location="cpu", weights_only=False)
+    else:
+        d = path_or_dict
+
+    def _np(t):
+        import torch
+
+        if isinstance(t, torch.Tensor):
+            return t.detach().float().cpu().numpy()
+        return np.asarray(t, dtype=np.float32)
+
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for full_name, entry in d.items():
+        for suffix, dkey, zkey in (
+            (".w_quantizer", "delta_w", "zp_w"),
+            (".a_quantizer", "delta_a", "zp_a"),
+        ):
+            if not full_name.endswith(suffix):
+                continue
+            layer = full_name[: -len(suffix)]
+            delta = _np(entry["delta"])
+            zp = _np(entry["zero_point"])
+            if suffix == ".a_quantizer" and delta.size != 1:
+                break  # transient dynamic-quantizer params: recomputed live
+            st = out.setdefault(layer, {})
+            st[dkey] = delta.reshape(-1)
+            st[zkey] = zp.reshape(-1)
+            if entry.get("channel_mask") is not None:
+                st["channel_mask"] = _np(entry["channel_mask"]).reshape(-1)
+            if "rotation_matrix" in entry:
+                st["rotated"] = np.asarray(True)
+            break
+    return out
+
+
+def compare_scale_dicts(
+    ours: Mapping[str, Mapping[str, Any]],
+    theirs: Mapping[str, Mapping[str, np.ndarray]],
+    rtol: float = 1e-3,
+) -> Dict[str, Any]:
+    """Scale-dict parity report between this framework's quant state and
+    an imported reference artifact (the driver north-star's 'scale-dict
+    parity against reference PTQ artifacts').
+
+    Compares every key present on both sides per layer (delta_w / zp_w /
+    channel_mask / delta_a / zp_a), returning ``{'layers': {layer:
+    {key: max_rel_err}}, 'worst': (layer, key, err), 'pass': bool}``.
+    """
+    report: Dict[str, Any] = {"layers": {}, "worst": None, "pass": True}
+    worst = ("", "", -1.0)
+    for layer, tstate in theirs.items():
+        if layer not in ours:
+            continue
+        ostate = ours[layer]
+        errs = {}
+        for key in ("delta_w", "zp_w", "channel_mask", "delta_a", "zp_a"):
+            if key not in tstate or key not in ostate:
+                continue
+            a = np.asarray(ostate[key], np.float64).reshape(-1)
+            b = np.asarray(tstate[key], np.float64).reshape(-1)
+            if a.shape != b.shape:
+                errs[key] = float("inf")
+            else:
+                denom = np.maximum(np.abs(b), 1e-8)
+                errs[key] = float(np.max(np.abs(a - b) / denom))
+            if errs[key] > worst[2]:
+                worst = (layer, key, errs[key])
+            if errs[key] > rtol:
+                report["pass"] = False
+        report["layers"][layer] = errs
+    report["worst"] = worst
+    return report
