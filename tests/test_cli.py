@@ -260,3 +260,53 @@ def test_cli_hessian_calib_and_reference_artifact_check(workdir):
                   "--save_path", "quant_params_g2.npz",
                   "--check_reference_params", "ref_qp.pth"]
     ))
+
+
+@pytest.mark.slow
+def test_quant_generate_from_reference_artifact(workdir):
+    """quant_generate --quant_params <reference .pth>: deploying straight
+    from an imported reference artifact must produce the same video as
+    the native npz path (same grids -> same fake-quant weights)."""
+    import torch
+
+    from wanq_tpu.quant.ptq import load_quant_state
+
+    # base (unrotated) W8A8 so the artifact grids fully determine w_q
+    with open("qb.yaml", "w") as f:
+        yaml.safe_dump({
+            "remain_fp_regex": QCFG["remain_fp_regex"],
+            "calib_data": {"save_path": "calib_b.npz"},
+            "weight": {"n_bits": 8, "sym": False},
+            "act": {"n_bits": 8, "sym": True},
+        }, f)
+    calib_file = get_calib_data.generate(get_calib_data.parse_args(
+        COMMON + ["--quant_config", "qb.yaml",
+                  "--calib_save_path", "calib_b.npz"]
+    ))
+    qp_file = ptq.generate(ptq.parse_args(
+        COMMON + ["--quant_config", "qb.yaml", "--calib_data", calib_file,
+                  "--save_path", "quant_params_b.npz"]
+    ))
+    state, _ = load_quant_state(qp_file)
+    artifact = {
+        f"{layer}.w_quantizer": {
+            "delta": torch.tensor(np.asarray(st["delta_w"])).unsqueeze(-1),
+            "zero_point": torch.tensor(np.asarray(st["zp_w"])).unsqueeze(-1),
+        }
+        for layer, st in state.items()
+    }
+    torch.save(artifact, "ref_full.pth")
+
+    out_npz = quant_generate.generate(quant_generate.parse_args(
+        COMMON + ["--quant_config", "qb.yaml",
+                  "--quant_params", "quant_params_b.npz",
+                  "--save_file", "from_npz.npz"]
+    ))
+    out_pth = quant_generate.generate(quant_generate.parse_args(
+        COMMON + ["--quant_config", "qb.yaml",
+                  "--quant_params", "ref_full.pth",
+                  "--save_file", "from_ref.npz"]
+    ))
+    a = np.load(out_npz)["latents"]
+    b = np.load(out_pth)["latents"]
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)

@@ -85,7 +85,25 @@ def generate(args):
     names = linear_layer_names(cfg)
     policies = {n: qcfg.resolve(n) for n in names}
 
-    if args.quant_params:
+    if args.quant_params and args.quant_params.endswith(".pth"):
+        # a REFERENCE quant_params.pth artifact: import the scale dicts
+        # and rebuild the deployed weights from them (rotated methods
+        # raise — their matrices are not recoverable from the artifact)
+        from wanq_tpu.quant.ptq import (
+            load_reference_quant_params,
+            state_from_reference_params,
+        )
+
+        imported = load_reference_quant_params(args.quant_params)
+        state = state_from_reference_params(
+            params, policies, imported, targets=mode
+        )
+        rotations = {}
+        logging.info(
+            "deployed from reference artifact %s: %d layers",
+            args.quant_params, len(state),
+        )
+    elif args.quant_params:
         from wanq_tpu.quant.ptq import rebuild_rotations
 
         state, seed = load_quant_state(args.quant_params)

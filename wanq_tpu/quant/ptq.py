@@ -575,6 +575,76 @@ def load_reference_quant_params(
     return out
 
 
+def state_from_reference_params(
+    params: Params,
+    policies: Mapping[str, LayerPolicy],
+    imported: Mapping[str, Mapping[str, np.ndarray]],
+    targets: str = "both",
+) -> Dict[str, Dict[str, jax.Array]]:
+    """Deploy directly from an imported reference ``quant_params.pth``
+    (:func:`load_reference_quant_params`): rebuild each quantized layer's
+    deployed weights from the FP weight and the artifact's grids — the
+    analog of the reference's own load path
+    (``update_quantized_weight_scaled``, quant_model.py:138-157), so a
+    reference user's PTQ artifact drops into this framework unchanged.
+
+    Rotated layers (quarot/viditq artifacts) raise: the reference
+    regenerates rotation matrices from torch's global RNG at load, which
+    is not recoverable from the artifact — re-run PTQ here instead.
+    """
+    state: Dict[str, Dict[str, jax.Array]] = {}
+    for name, policy in policies.items():
+        if not policy.is_quantized:
+            continue
+        if name not in imported:
+            raise KeyError(
+                f"reference artifact has no entry for quantized layer "
+                f"{name} — was it PTQ'd with a different remain_fp_regex?"
+            )
+        imp = imported[name]
+        if imp.get("rotated") is not None and bool(imp["rotated"]):
+            raise ValueError(
+                f"{name}: the reference artifact used a rotation "
+                "(quarot/viditq) whose matrix is regenerated from torch's "
+                "global RNG at load and cannot be recovered from the "
+                "artifact — re-run PTQ in this framework for rotated "
+                "methods"
+            )
+        wcfg = policy.weight
+        assert wcfg is not None
+        wf = params_get(params, name)["w"].astype(jnp.float32)
+        st: Dict[str, jax.Array] = {}
+        if "channel_mask" in imp:
+            mask = jnp.asarray(imp["channel_mask"], jnp.float32)
+            st["channel_mask"] = mask
+            wf = wf / mask[:, None]
+        d = jnp.asarray(imp["delta_w"], jnp.float32)
+        z = jnp.asarray(imp["zp_w"], jnp.float32)
+        st["delta_w"], st["zp_w"] = d, z
+        if targets in ("sim", "both"):
+            from wanq_tpu.quant.quantizers import fake_quant
+
+            st["w_q"] = fake_quant(
+                wf, d[None, :], z[None, :], wcfg.active_bits, wcfg.sym
+            )
+        if wcfg.active_bits in (4, 8) and targets in ("int8", "both"):
+            lo, hi = (-8, 7) if wcfg.active_bits == 4 else (-128, 127)
+            q = jnp.clip(
+                jnp.round(wf / d[None, :]) - z[None, :], lo, hi
+            ).astype(jnp.int8)
+            if wcfg.active_bits == 4 and q.shape[0] % 2 == 0:
+                st["w_int4"] = pack_int4(q)
+            else:
+                st["w_int8"] = q
+            st["scale_w"] = d
+            st["zp_w_int"] = z
+        if "delta_a" in imp and policy.act is not None and not policy.act.dynamic:
+            st["delta_a"] = jnp.asarray(imp["delta_a"], jnp.float32)
+            st["zp_a"] = jnp.asarray(imp["zp_a"], jnp.float32)
+        state[name] = st
+    return state
+
+
 def compare_scale_dicts(
     ours: Mapping[str, Mapping[str, Any]],
     theirs: Mapping[str, Mapping[str, np.ndarray]],
