@@ -553,6 +553,9 @@ def load_reference_quant_params(
 
     out: Dict[str, Dict[str, np.ndarray]] = {}
     for full_name, entry in d.items():
+        # artifacts saved under FSDP carry wrapper prefixes the reference
+        # itself strips at load (quant_generate.py:385-388)
+        full_name = full_name.replace("_fsdp_wrapped_module.", "")
         for suffix, dkey, zkey in (
             (".w_quantizer", "delta_w", "zp_w"),
             (".a_quantizer", "delta_a", "zp_a"),
