@@ -130,3 +130,261 @@ def test_lora_checkpoint_roundtrip(tmp_path):
     assert len(got_mu) == len(want_mu)
     for g, w in zip(got_mu, want_mu):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+
+
+# ---------------------------------------------------------------------------
+# QLoRA: adapters riding the quant-state pytree over a FROZEN quantized base
+# ---------------------------------------------------------------------------
+
+
+def _qlora_setup(rng, targets=r"self_attn\.(q|k|v)|ffn\.0"):
+    from wanq_tpu.quant import QuantConfig
+    from wanq_tpu.quant.ptq import prepare_quant_state
+    from wanq_tpu.quant.qlinear import QuantCtx
+
+    cfg, params, names = _setup()
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": (
+            r"text_embedding|time_embedding|time_projection|head\.head|"
+            r"self_attn\.o|cross_attn|ffn\.2"
+        ),
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+    })
+    pol, state, rot = prepare_quant_state(params, names, qcfg)
+    qctx = QuantCtx(mode="sim", policies=pol, state=state, rotations=rot)
+    lora = init_lora(params, names, rank=4, seed=3, targets=targets)
+    return cfg, params, names, qctx, lora
+
+
+def test_qlora_zero_init_is_identity_and_merge_math(rng):
+    """Zero-init adapters leave the quantized forward unchanged; a nonzero
+    adapter adds exactly (x @ a) @ b·scale on the RAW input (before any
+    channel mask / rotation)."""
+    from wanq_tpu.quant.qlinear import qlinear
+    from wanq_tpu.training.lora import merge_lora_into_quant_state
+
+    cfg, params, names, qctx, lora = _qlora_setup(rng)
+    name = "blocks.0.self_attn.q"
+    x = jnp.asarray(rng.normal(size=(1, 12, cfg.dim)).astype(np.float32))
+    p = params["blocks"][0]["self_attn"]["q"]
+
+    base = qlinear(qctx, name, p, x)
+    qctx0 = _ctx_with_state(qctx, merge_lora_into_quant_state(qctx.state, lora))
+    np.testing.assert_allclose(
+        np.asarray(qlinear(qctx0, name, p, x)), np.asarray(base), atol=1e-6
+    )
+
+    lora[name]["b"] = jnp.asarray(
+        rng.normal(size=lora[name]["b"].shape).astype(np.float32)
+    )
+    qctx1 = _ctx_with_state(qctx, merge_lora_into_quant_state(qctx.state, lora))
+    got = np.asarray(qlinear(qctx1, name, p, x))
+    scale = float(lora["__scale__"])
+    want = np.asarray(base) + (
+        np.asarray(x) @ np.asarray(lora[name]["a"])
+    ) @ np.asarray(lora[name]["b"]) * scale
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _ctx_with_state(qctx, state):
+    from wanq_tpu.quant.qlinear import QuantCtx
+
+    new = QuantCtx(mode=qctx.mode, policies=qctx.policies, state=state,
+                   rotations=qctx.rotations)
+    new.scan_state = qctx.scan_state
+    new.attn_perms = qctx.attn_perms
+    return new
+
+
+def test_qlora_grads_reach_every_adapter(rng):
+    """STE through the sim quant path: d loss / d lora is nonzero for the
+    b of every adapted layer in the full quantized DiT forward."""
+    from wanq_tpu.training.lora import merge_lora_into_quant_state
+
+    cfg, params, names, qctx, lora = _qlora_setup(rng)
+    # one gradient step off zero-init so a-grads are live too
+    for k in lora:
+        if k != "__scale__":
+            lora[k]["b"] = 0.01 * jnp.asarray(
+                rng.normal(size=lora[k]["b"].shape).astype(np.float32)
+            )
+    x = jnp.asarray(rng.normal(size=(1, cfg.in_dim, 2, 8, 8)).astype(np.float32))
+    t = jnp.asarray([500.0])
+    txt = jnp.asarray(
+        rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32)
+    )
+
+    def loss(lo):
+        ctx2 = _ctx_with_state(
+            qctx, merge_lora_into_quant_state(qctx.state, lo)
+        )
+        out = dit_forward(params, cfg, x, t, txt, 32, ctx=ctx2, training=True)
+        return jnp.mean(out**2)
+
+    grads = jax.grad(loss)(lora)
+    for k, g in grads.items():
+        if k == "__scale__":
+            continue
+        assert float(jnp.max(jnp.abs(g["a"]))) > 0, f"dead a-grad at {k}"
+        assert float(jnp.max(jnp.abs(g["b"]))) > 0, f"dead b-grad at {k}"
+
+
+def test_qlora_scan_matches_unrolled(rng):
+    """merge_lora_into_scan_ctx (adapters stacked to scan xs) produces the
+    same forward as the unrolled merged state."""
+    from wanq_tpu.models.dit import make_scan_ctx, stack_block_params
+    from wanq_tpu.training.lora import (
+        merge_lora_into_quant_state,
+        merge_lora_into_scan_ctx,
+    )
+
+    cfg, params, names, qctx, lora = _qlora_setup(rng)
+    for k in lora:
+        if k != "__scale__":
+            lora[k]["b"] = 0.1 * jnp.asarray(
+                rng.normal(size=lora[k]["b"].shape).astype(np.float32)
+            )
+    x = jnp.asarray(rng.normal(size=(1, cfg.in_dim, 2, 8, 8)).astype(np.float32))
+    t = jnp.asarray([500.0])
+    txt = jnp.asarray(
+        rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32)
+    )
+    ctx_u = _ctx_with_state(qctx, merge_lora_into_quant_state(qctx.state, lora))
+    out_u = dit_forward(params, cfg, x, t, txt, 32, ctx=ctx_u)
+
+    sctx = make_scan_ctx(qctx, cfg.num_layers)
+    sctx_l = merge_lora_into_scan_ctx(sctx, lora, cfg.num_layers)
+    out_s = dit_forward(
+        stack_block_params(params), cfg, x, t, txt, 32, ctx=sctx_l
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_u), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_qlora_distill_step_trains(rng):
+    """make_qlora_distill_step: loss is finite, adapters move, base params
+    and quant state stay frozen, and a few steps reduce the loss."""
+    import optax
+
+    from wanq_tpu.training import DistillConfig, make_qlora_distill_step
+
+    cfg, params, names, qctx, lora = _qlora_setup(rng)
+    dcfg = DistillConfig(seq_len=32, remat=False)
+    tx = optax.adamw(1e-3)
+    step = make_qlora_distill_step(cfg, dcfg, tx)
+    opt_state = tx.init(lora)
+    ema = jax.tree.map(lambda x: x, lora)
+
+    x0 = jnp.asarray(rng.normal(size=(1, cfg.in_dim, 2, 8, 8)).astype(np.float32))
+    noise = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+    t = jnp.asarray([500.0])
+    txt = jnp.asarray(
+        rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32)
+    )
+    null = jnp.asarray(
+        rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32)
+    )
+    g = jnp.float32(3.0)
+
+    w_q_before = np.asarray(qctx.state["blocks.0.ffn.0"]["w_q"]).copy()
+    losses = []
+    for _ in range(5):
+        lora, ema, opt_state, loss, gnorm = step(
+            lora, ema, opt_state, params, qctx, x0, noise, t, txt, null, g
+        )
+        losses.append(float(loss))
+        assert np.isfinite(losses[-1]) and float(gnorm) > 0
+    assert losses[-1] < losses[0], losses
+    # the quantized base never moves
+    np.testing.assert_array_equal(
+        np.asarray(qctx.state["blocks.0.ffn.0"]["w_q"]), w_q_before
+    )
+
+
+def test_qlora_blocks_fused_paths(rng):
+    """int8 fused fast paths must refuse sites that carry adapters (they
+    would silently drop them)."""
+    from wanq_tpu.quant.qlinear import int8_fusable
+    from wanq_tpu.quant import QuantConfig
+    from wanq_tpu.quant.ptq import prepare_quant_state
+    from wanq_tpu.quant.qlinear import QuantCtx
+    from wanq_tpu.training.lora import merge_lora_into_quant_state
+
+    cfg, params, names = _setup()
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": r"text_embedding|time_embedding|time_projection|head\.head",
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+    })
+    pol, state, rot = prepare_quant_state(params, names, qcfg, targets="int8")
+    qctx = QuantCtx(mode="int8", policies=pol, state=state, rotations=rot)
+    sites = [f"blocks.0.self_attn.{s}" for s in ("q", "k", "v")]
+    assert int8_fusable(qctx, sites)
+    lora = init_lora(params, names, rank=4, targets=r"blocks\.0\.self_attn\.q$")
+    qctx2 = _ctx_with_state(qctx, merge_lora_into_quant_state(qctx.state, lora))
+    assert not int8_fusable(qctx2, sites)
+
+
+def test_int8_path_ste_gradients_match_sim(rng):
+    """The int8 hardware path is now trainable-through: its STE backward
+    (g @ dequant(W)^T) matches the sim path's input gradient, and QLoRA
+    adapters train against the REAL int8 kernels with int-at-rest base
+    weights."""
+    from wanq_tpu.quant import QuantConfig
+    from wanq_tpu.quant.ptq import prepare_quant_state
+    from wanq_tpu.quant.qlinear import QuantCtx, qlinear
+    from wanq_tpu.training.lora import merge_lora_into_quant_state
+
+    cfg, params, names = _setup()
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": (
+            r"text_embedding|time_embedding|time_projection|head\.head|"
+            r"self_attn\.(k|v|o)|cross_attn|ffn"
+        ),
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+    })
+    pol, state, rot = prepare_quant_state(params, names, qcfg, targets="both")
+    name = "blocks.0.self_attn.q"
+    p = params["blocks"][0]["self_attn"]["q"]
+    x = jnp.asarray(rng.normal(size=(1, 12, cfg.dim)).astype(np.float32))
+
+    def out_sum(mode, xin):
+        ctx = QuantCtx(mode=mode, policies=pol, state=state, rotations=rot,
+                       trainable=(mode == "int8"))
+        return jnp.sum(qlinear(ctx, name, p, xin) ** 2)
+
+    g_sim = jax.grad(lambda xx: out_sum("sim", xx))(x)
+    g_int = jax.grad(lambda xx: out_sum("int8", xx))(x)
+    # forward parity: the trainable dequant route computes the kernel's
+    # math with plain GEMMs
+    f_int = float(out_sum("int8", x))
+    ctx_hw = QuantCtx(mode="int8", policies=pol, state=state, rotations=rot)
+    f_hw = float(jnp.sum(qlinear(ctx_hw, name, p, x) ** 2))
+    assert abs(f_int - f_hw) / abs(f_hw) < 5e-2, (f_int, f_hw)
+    # same STE rule up to the sim path's extra delta(absmax) terms and the
+    # int kernel's own rounding — direction and magnitude must agree
+    cos = float(
+        jnp.sum(g_sim * g_int)
+        / (jnp.linalg.norm(g_sim) * jnp.linalg.norm(g_int))
+    )
+    assert cos > 0.99, cos
+
+    # adapter gradients flow through the int8 kernels
+    lora = init_lora(params, names, rank=4, seed=5,
+                     targets=r"blocks\.0\.self_attn\.q$")
+    lora[name]["b"] = 0.01 * jnp.asarray(
+        rng.normal(size=lora[name]["b"].shape).astype(np.float32)
+    )
+
+    def loss(lo):
+        ctx = QuantCtx(mode="int8", policies=pol,
+                       state=merge_lora_into_quant_state(state, lo),
+                       rotations=rot, trainable=True)
+        return jnp.sum(qlinear(ctx, name, p, x) ** 2)
+
+    grads = jax.grad(loss)(lora)
+    assert float(jnp.max(jnp.abs(grads[name]["a"]))) > 0
+    assert float(jnp.max(jnp.abs(grads[name]["b"]))) > 0

@@ -752,7 +752,18 @@ def block_forward(
     from wanq_tpu.quant.qlinear import int8_fusable, int8_static_fusable
 
     qkv_sites = [f"{name}.self_attn.{l}" for l in ("q", "k", "v")]
-    if all(int8_static_fusable(ctx, s) for s in qkv_sites):
+    if training:
+        # the fused producers are fwd-only Pallas kernels; QLoRA training
+        # through the int8 path takes the plain qlinear route (its
+        # _int8_ste backward handles the GEMMs)
+        fusable_qkv = static_qkv = cq_static = cq_dyn = False
+    else:
+        static_qkv = all(int8_static_fusable(ctx, s) for s in qkv_sites)
+        fusable_qkv = int8_fusable(ctx, qkv_sites)
+        cq_site_ = f"{name}.cross_attn.q"
+        cq_static = cfg.cross_attn_norm and int8_static_fusable(ctx, cq_site_)
+        cq_dyn = cfg.cross_attn_norm and int8_fusable(ctx, [cq_site_])
+    if static_qkv:
         # STATIC-scale shared producer (ref quant_sum_static, fused.cu:586
         # applied at the LN site): q/k/v see the same input, so their
         # calibrated scales coincide — one frozen per-tensor scale, no
@@ -767,7 +778,7 @@ def block_forward(
             cos, sin, valid_len, dtype, plan=plan, prequant=prequant,
             training=training,
         )
-    elif int8_fusable(ctx, qkv_sites):
+    elif fusable_qkv:
         # fused LN + modulate + shared per-token int8 quant (one HBM pass
         # instead of an f32 LN write + three act-quant passes; the analog of
         # the reference's LayerNormGeneral + QuantParams, quant_wanx_cuda.py:142)
@@ -788,8 +799,7 @@ def block_forward(
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e2[:, None, :]).astype(x.dtype)
 
     cq_site = f"{name}.cross_attn.q"
-    cq_static = cfg.cross_attn_norm and int8_static_fusable(ctx, cq_site)
-    if cq_static or (cfg.cross_attn_norm and int8_fusable(ctx, [cq_site])):
+    if cq_static or cq_dyn:
         # fused norm3 + per-token int8 quant: the affine LN maps onto the
         # ln_modulate producer with scale = w-1, shift = b, so the bf16
         # xn3 write and the separate act-quant passes collapse into one
@@ -832,7 +842,7 @@ def block_forward(
     from wanq_tpu.quant.qlinear import int8_static_fusable
 
     ffn2_static = int8_static_fusable(ctx, ffn_sites[1])
-    if int8_fusable(ctx, [ffn_sites[0]], allow_mask=True) and (
+    if not training and int8_fusable(ctx, [ffn_sites[0]], allow_mask=True) and (
         ffn2_static or int8_fusable(ctx, [ffn_sites[1]], allow_mask=True)
     ):
         # fused LN+modulate+quant → int8 GEMM (bf16 out) → fused GELU+quant
@@ -921,6 +931,10 @@ def dit_forward(
     activation offload instead).
     """
     dtype = cfg.dtype
+    if training and ctx is not None and ctx.mode == "int8" and not ctx.trainable:
+        # QLoRA/QAT route: int-at-rest weights dequantize transiently for
+        # differentiable GEMMs (the Pallas int kernels are fwd-only)
+        ctx = _ctx_with_trainable(ctx)
     if y is not None:
         x = jnp.concatenate([x, y], axis=1)  # i2v channel concat (model.py:577)
 
@@ -1041,6 +1055,18 @@ def stack_quant_state(
     return other, stacked
 
 
+def _ctx_with_trainable(ctx: QuantCtx) -> QuantCtx:
+    new = QuantCtx(
+        mode=ctx.mode, policies=ctx.policies, state=ctx.state,
+        rotations=ctx.rotations, attn=ctx.attn, cross_attn=ctx.cross_attn,
+        collect_minmax=ctx.collect_minmax, attn_map_pool=ctx.attn_map_pool,
+        hessian_regex=ctx.hessian_regex, trainable=True,
+    )
+    new.scan_state = ctx.scan_state
+    new.attn_perms = ctx.attn_perms
+    return new
+
+
 def make_scan_ctx(ctx: QuantCtx, num_layers: int) -> QuantCtx:
     """Pre-stack the per-block quant state once (outside jit) so the scan
     body consumes it as xs instead of re-stacking at every trace."""
@@ -1049,7 +1075,7 @@ def make_scan_ctx(ctx: QuantCtx, num_layers: int) -> QuantCtx:
         mode=ctx.mode, policies=ctx.policies, state=other,
         rotations=ctx.rotations, attn=ctx.attn, cross_attn=ctx.cross_attn,
         collect_minmax=ctx.collect_minmax, attn_map_pool=ctx.attn_map_pool,
-        hessian_regex=ctx.hessian_regex,
+        hessian_regex=ctx.hessian_regex, trainable=ctx.trainable,
     )
     new.scan_state = stacked
     new.attn_perms = ctx.attn_perms
@@ -1097,7 +1123,7 @@ def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
                 mode=mode, rotations=rotations, attn=ctx.attn,
                 cross_attn=ctx.cross_attn, collect_minmax=ctx.collect_minmax,
                 attn_map_pool=ctx.attn_map_pool,
-                hessian_regex=ctx.hessian_regex,
+                hessian_regex=ctx.hessian_regex, trainable=ctx.trainable,
             )
             sub.policies = {
                 k: v for k, v in policies.items() if k.startswith(_SCAN_NAME + ".")

@@ -68,6 +68,11 @@ class QuantCtx:
     # Matched with re.search against the layer path (under scan the path is
     # the scan placeholder, so match on suffixes like r"ffn\.0|self_attn").
     hessian_regex: Optional[str] = None
+    # QLoRA training route: int8 mode with the weights int-at-rest but the
+    # GEMM computed from a transient dequantization (the Pallas int kernels
+    # are fwd-only) + STE act fake-quant — fully differentiable. Set by
+    # dit_forward(training=True); static (changes the traced graph).
+    trainable: bool = False
     # per-layer attn-map reorder tables {layer: [H, S] int32} (ref
     # optimal_reorder, quant_attn.py:176-238)
     attn_perms: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
@@ -91,13 +96,14 @@ def _ctx_flatten(ctx: QuantCtx):
         ctx.collect_minmax,
         ctx.attn_map_pool,
         ctx.hessian_regex,
+        ctx.trainable,
     )
     return children, aux
 
 
 def _ctx_unflatten(aux, children):
     (mode, policies, attn, cross_attn, collect_minmax, attn_map_pool,
-     hessian_regex) = aux
+     hessian_regex, trainable) = aux
     ctx = QuantCtx(
         mode=mode,
         policies=dict(policies),
@@ -108,6 +114,7 @@ def _ctx_unflatten(aux, children):
         collect_minmax=collect_minmax,
         attn_map_pool=attn_map_pool,
         hessian_regex=hessian_regex,
+        trainable=trainable,
     )
     ctx.scan_state = children[2]
     ctx.attn_perms = children[3]
@@ -182,6 +189,7 @@ def qlinear(
     st = ctx.state[name]
     b, n, c = x.shape
     xf = x.astype(jnp.float32)
+    x_raw = xf  # pre-mask/rotation input: QLoRA adapters apply to it
 
     # method preprocessing (activation side)
     if policy.uses_channel_mask:
@@ -210,13 +218,48 @@ def qlinear(
         )
         if params.get("b") is not None:
             y = y + params["b"].astype(jnp.float32)
-        return y
+        return _maybe_lora(st, x_raw, y)
 
     if ctx.mode == "int8":
         assert policy.act is not None and policy.act.sym, (
             "int8 path implements the Wan config: symmetric per-token "
             "act quant (quant_configs/config.yaml act.sym=True)"
         )
+        bias = params.get("b")
+
+        if ctx.trainable:
+            # QLoRA training route: weights stay int-at-rest (int8 /
+            # packed int4 in HBM) and dequantize TRANSIENTLY for a plain
+            # differentiable GEMM; the act quant uses the STE round
+            # (quantizers.round_ste). Mathematically this is exactly the
+            # int kernel's computation ((q·s_a) @ ((codes+zp)·scale_w));
+            # the fwd-only Pallas kernels stay on the inference path.
+            from wanq_tpu.quant.quantizers import (
+                compute_quant_params,
+                fake_quant,
+                unpack_int4,
+            )
+
+            if not policy.act.dynamic:
+                xq = fake_quant(xf, st["delta_a"], st["zp_a"], 8, True)
+            else:
+                xf2 = xf.reshape(b * n, c)
+                d_a, zp_a = compute_quant_params(xf2, 8, True)
+                xq = fake_quant(xf2, d_a, zp_a, 8, True).reshape(b, n, c)
+            codes = (
+                unpack_int4(st["w_int4"]) if "w_int4" in st else st["w_int8"]
+            )
+            w_deq = (
+                codes.astype(jnp.float32) + st["zp_w_int"][None, :]
+            ) * st["scale_w"][None, :]
+            y = jnp.dot(
+                xq.astype(jnp.bfloat16), w_deq.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            if bias is not None:
+                y = y + bias.astype(jnp.float32)
+            return _maybe_lora(st, x_raw, y)
+
         if not policy.act.dynamic:
             # static-scale quant: no absmax pass (the analog of the
             # reference's quant_sum_static kernel, fused.cu:586)
@@ -228,15 +271,30 @@ def qlinear(
             sum_a = s_a * jnp.sum(q.astype(jnp.float32), axis=1)
         else:
             q, s_a, sum_a = act_dynamic_int_quant(xf.reshape(b * n, c), sym=True)
-        bias = params.get("b")
         y = _int_linear(
             st, q, s_a, sum_a,
             bias.astype(jnp.float32) if bias is not None else None,
             jnp.float32,
         )
-        return y.reshape(b, n, -1)
+        return _maybe_lora(st, x_raw, y.reshape(b, n, -1))
 
     raise ValueError(f"unknown quant mode {ctx.mode}")
+
+
+def _maybe_lora(st: Params, x_raw: jax.Array, y: jax.Array) -> jax.Array:
+    """QLoRA adapter riding the quant state (training/lora.py
+    merge_lora_into_quant_state): y += (x @ A) @ B on the RAW layer input
+    — the standard QLoRA formulation (rank-r adapters beside the frozen
+    quantized base; the rank-r chain is negligible next to the GEMM).
+    Differentiable end to end: training takes the sim path, where the
+    dequantized-weight matmul is plain jnp."""
+    a = st.get("lora_a")
+    if a is None:
+        return y
+    h = jnp.dot(x_raw, st["lora_a"].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    return y + jnp.dot(h, st["lora_b"].astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
 
 
 def _int_linear(st, q, s_a, sum_a, bias, out_dtype):
@@ -272,6 +330,10 @@ def int8_fusable(ctx: Optional[QuantCtx], names, allow_mask: bool = False) -> bo
         st = ctx.state.get(n)
         if st is None or ("w_int8" not in st and "w_int4" not in st):
             return False
+        if "lora_a" in st:
+            # QLoRA adapters apply inside qlinear (_maybe_lora); the fused
+            # block paths would silently drop them
+            return False
     return True
 
 
@@ -295,6 +357,7 @@ def int8_static_fusable(ctx: Optional[QuantCtx], name: str) -> bool:
     return (
         st is not None
         and "delta_a" in st
+        and "lora_a" not in st  # adapters apply inside qlinear only
         and ("w_int8" in st or "w_int4" in st)
     )
 

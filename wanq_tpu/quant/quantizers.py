@@ -107,12 +107,22 @@ def compute_quant_params(
     return delta[:, None], zp[:, None]
 
 
+def round_ste(x: jax.Array) -> jax.Array:
+    """Straight-through round: exact round in the forward pass, identity
+    in the backward pass. The inference numerics are bit-identical to
+    jnp.round; under autodiff (QLoRA / QAT through the sim path) the
+    quantizer stops killing gradients. The reference never trains through
+    its quantizers (plain torch.round, base_quantizer.py:66), so this is
+    forward-compatible with its semantics."""
+    return x + jax.lax.stop_gradient(jnp.round(x) - x)
+
+
 def quantize(
     x: jax.Array, delta: jax.Array, zp: jax.Array, n_bits: int, sym: bool
 ) -> jax.Array:
     """q = clamp(round(x/delta) - zp, -nl-1, nl). ref: base_quantizer.py:66-67."""
     nl = n_levels_for(n_bits, sym)
-    q = jnp.round(x.astype(jnp.float32) / delta) - zp
+    q = round_ste(x.astype(jnp.float32) / delta) - zp
     return jnp.clip(q, -nl - 1, nl)
 
 

@@ -8,4 +8,11 @@ from wanq_tpu.training.distill import (
     ema_update,
     init_train_state,
     make_distill_step,
+    make_lora_distill_step,
+    make_qlora_distill_step,
+)
+from wanq_tpu.training.lora import (
+    merge_lora_into_quant_state,
+    merge_lora_into_scan_ctx,
+    stack_lora,
 )

@@ -170,6 +170,85 @@ def make_lora_distill_step(
     return step
 
 
+def make_qlora_distill_step(
+    model_cfg: WanConfig,
+    dcfg: DistillConfig,
+    tx,
+    plan=None,
+    scan: bool = False,
+) -> Callable:
+    """QLoRA distillation: a FROZEN QUANTIZED base (sim-mode fake-quant
+    matmuls — quantized at rest, dequantized for compute, the QLoRA
+    training semantics) plus trainable rank-r adapters that ride the
+    quant-state pytree (qlinear applies them on the raw layer input).
+    The same quantized base WITHOUT adapters is the frozen teacher.
+
+    This is what lets a 14B model fine-tune on a single 16 GB chip: the
+    base lives as packed int4/int8 state (6.6 GiB at 14B W4), FP copies
+    stripped, while gradients and optimizer state exist only for the
+    O(rank·dim) adapters.
+
+    ``scan``: the quant ctx came from make_scan_ctx (stacked base state);
+    the adapters stack to scan xs per step (stack_lora). The step takes
+    (lora, ema_lora, opt_state, params, qctx, ...) — ``qctx`` rides as a
+    pytree ARGUMENT (closing over int8 state embeds GBs as HLO literals)
+    and ``params`` carries the non-quantized leaves (embeddings, norms,
+    biases; quantized weights may be stripped)."""
+    from wanq_tpu.training.lora import (
+        merge_lora_into_quant_state,
+        merge_lora_into_scan_ctx,
+    )
+    from wanq_tpu.quant.qlinear import QuantCtx
+
+    def with_lora(qctx, lora):
+        if scan:
+            return merge_lora_into_scan_ctx(qctx, lora, model_cfg.num_layers)
+        new = QuantCtx(
+            mode=qctx.mode, policies=qctx.policies,
+            state=merge_lora_into_quant_state(qctx.state, lora),
+            rotations=qctx.rotations, attn=qctx.attn,
+            cross_attn=qctx.cross_attn,
+        )
+        new.scan_state = qctx.scan_state
+        new.attn_perms = qctx.attn_perms
+        return new
+
+    def loss_fn(lora, params, qctx, x0, noise, t, context, null_context, g):
+        sigma = (t / dcfg.num_train_timesteps)[:, None, None, None, None]
+        xt = (1.0 - sigma) * x0 + sigma * noise
+        v_student = dit_forward(
+            params, model_cfg, xt, t, context, dcfg.seq_len, plan=plan,
+            remat=dcfg.remat, training=True, ctx=with_lora(qctx, lora),
+        )
+        tcond = dit_forward(
+            params, model_cfg, xt, t, context, dcfg.seq_len,
+            plan=plan, training=True, ctx=qctx,
+        )
+        tuncond = dit_forward(
+            params, model_cfg, xt, t, null_context, dcfg.seq_len,
+            plan=plan, training=True, ctx=qctx,
+        )
+        v_teacher = jax.lax.stop_gradient(tuncond + g * (tcond - tuncond))
+        return jnp.mean(jnp.square(v_student - v_teacher))
+
+    @jax.jit
+    def step(lora, ema_lora, opt_state, params, qctx, x0, noise, t,
+             context, null_context, g):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            lora, params, qctx, x0, noise, t, context, null_context, g
+        )
+        updates, opt_state = tx.update(grads, opt_state, lora)
+        scale = lora.get("__scale__")
+        lora = optax.apply_updates(lora, updates)
+        if scale is not None:  # alpha/r stays a constant hyperparameter
+            lora = dict(lora) | {"__scale__": scale}
+        ema_lora = ema_update(ema_lora, lora, dcfg.ema_decay)
+        gnorm = optax.global_norm(grads)
+        return lora, ema_lora, opt_state, loss, gnorm
+
+    return step
+
+
 def distill_step(
     state: TrainState,
     step_fn: Callable,

@@ -177,3 +177,99 @@ def resume_lora_checkpoint(checkpoint_dir: str, opt_state_target: Any = None):
 
         opt_state = load_checkpoint(opt_path, target=opt_state_target)
     return lora, opt_state, int(cfg["step"]), cfg
+
+
+def merge_lora_into_quant_state(state, lora):
+    """QLoRA: attach the adapters to the quant-state pytree so they reach
+    every qlinear site through the same machinery as the frozen quantized
+    base (scan stacking, mesh sharding, pytree-arg passing). qlinear
+    applies ``y += (x @ a) @ b`` on the raw layer input (_maybe_lora);
+    the alpha/r scale folds into ``b`` here. Pure — returns a new dict.
+
+    Every adapted layer must be a quantized layer present in ``state``;
+    FP layers take the weight-merging :func:`apply_lora` path instead.
+    """
+    scale = lora.get("__scale__", 1.0)
+    if isinstance(scale, jnp.ndarray):
+        scale = jax.lax.stop_gradient(scale)
+    out = dict(state)
+    for name, ab in lora.items():
+        if name == "__scale__":
+            continue
+        if name not in out:
+            raise KeyError(
+                f"QLoRA target {name} has no quant-state entry — adapt FP "
+                "layers via apply_lora, or extend the quant config"
+            )
+        st = dict(out[name])
+        st["lora_a"] = ab["a"]
+        st["lora_b"] = ab["b"] * scale
+        out[name] = st
+    return out
+
+
+def stack_lora(lora, num_layers: int, prefix: str = "blocks."):
+    """Stack per-block adapters to scan xs: {suffix: {lora_a: [L, C_in, r],
+    lora_b: [L, r, C_out]}} — the shape models.dit._scan_blocks consumes
+    inside ``scan_state``. Every scanned suffix must be adapted in ALL
+    ``num_layers`` blocks (lax.scan needs uniform xs); non-block entries
+    pass through under their full name for the unscanned sites."""
+    scale = lora.get("__scale__", 1.0)
+    if isinstance(scale, jnp.ndarray):
+        scale = jax.lax.stop_gradient(scale)
+    per_suffix: Dict[str, Dict[int, Any]] = {}
+    other: Dict[str, Dict[str, jax.Array]] = {}
+    for name, ab in lora.items():
+        if name == "__scale__":
+            continue
+        if name.startswith(prefix):
+            idx_str, suffix = name[len(prefix):].split(".", 1)
+            per_suffix.setdefault(suffix, {})[int(idx_str)] = ab
+        else:
+            other[name] = {"lora_a": ab["a"], "lora_b": ab["b"] * scale}
+    stacked: Dict[str, Dict[str, jax.Array]] = {}
+    for suffix, by_idx in per_suffix.items():
+        if len(by_idx) != num_layers:
+            raise ValueError(
+                f"QLoRA under scan needs the {suffix} adapter in all "
+                f"{num_layers} blocks (got {len(by_idx)}): lax.scan xs "
+                "must be uniform"
+            )
+        stacked[suffix] = {
+            "lora_a": jnp.stack([by_idx[i]["a"] for i in range(num_layers)]),
+            "lora_b": jnp.stack(
+                [by_idx[i]["b"] * scale for i in range(num_layers)]
+            ),
+        }
+    return stacked, other
+
+
+def merge_lora_into_scan_ctx(sctx, lora, num_layers: int):
+    """QLoRA under scan-over-blocks: returns a copy of a make_scan_ctx
+    context with the stacked adapters merged into ``scan_state`` (per
+    suffix) and non-block adapters into ``state`` — the 14B-scale path
+    (one compiled block body; adapters ride as scan xs)."""
+    from wanq_tpu.quant.qlinear import QuantCtx
+
+    stacked, other = stack_lora(lora, num_layers)
+    scan_state = dict(sctx.scan_state or {})
+    for suffix, leaves in stacked.items():
+        scan_state[suffix] = {**scan_state.get(suffix, {}), **leaves}
+    state = sctx.state
+    if other:  # non-block adapters (scale already folded by stack_lora)
+        state = dict(state)
+        for name, leaves in other.items():
+            if name not in state:
+                raise KeyError(
+                    f"QLoRA target {name} has no quant-state entry"
+                )
+            state[name] = {**state[name], **leaves}
+    new = QuantCtx(
+        mode=sctx.mode, policies=sctx.policies, state=state,
+        rotations=sctx.rotations, attn=sctx.attn, cross_attn=sctx.cross_attn,
+        collect_minmax=sctx.collect_minmax, attn_map_pool=sctx.attn_map_pool,
+        hessian_regex=sctx.hessian_regex, trainable=sctx.trainable,
+    )
+    new.scan_state = scan_state
+    new.attn_perms = sctx.attn_perms
+    return new
