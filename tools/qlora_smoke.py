@@ -10,8 +10,11 @@ The forward runs the actual int8 MXU kernels (weights int4 AT REST);
 the backward is the STE rule dL/dx = g @ dequant(W)^T (qlinear._int8_ste)
 plus exact adapter gradients.
 
-Usage: python -u tools/qlora_smoke.py [steps]
-Expected: finite decreasing loss at full 30-layer depth.
+Usage: python -u tools/qlora_smoke.py [steps] [model: 1.3b|14b]
+Expected: finite decreasing loss at full depth. The 14b mode streams the
+quantized base per layer (the deploy_14b_probe init — the FP 14B never
+exists anywhere) and fine-tunes the 14-billion-parameter model on ONE
+16 GB chip: ~6.6 GiB int4 base + rank-16 adapters + remat activations.
 """
 
 from __future__ import annotations
@@ -44,9 +47,11 @@ from wanq_tpu.training import DistillConfig, make_qlora_distill_step
 from wanq_tpu.training.lora import init_lora
 
 W4A8 = {
+    # quantize EVERY block linear (incl. cross k/v — at 14B their FP
+    # copies alone would cost 4.2 GiB bf16; QLoRA's base must be fully
+    # int-at-rest, matching the deploy probe's single-chip config)
     "remain_fp_regex": (
-        r"text_embedding|time_embedding|time_projection|head\.head|"
-        r"cross_attn\.(k|v)$"
+        r"text_embedding|time_embedding|time_projection|head\.head"
     ),
     "weight": {"n_bits": 4, "sym": False},
     "act": {"n_bits": 8, "sym": True},
@@ -58,7 +63,78 @@ def log(m):
     print(m, flush=True)
 
 
-def main(steps=4):
+BLOCK_LINEARS = (
+    "self_attn.q", "self_attn.k", "self_attn.v", "self_attn.o",
+    "cross_attn.q", "cross_attn.k", "cross_attn.v", "cross_attn.o",
+    "ffn.0", "ffn.2",
+)
+
+
+def build_14b_base(cfg, qcfg):
+    """Streamed per-layer quantized init (tools/deploy_14b_probe.py): one
+    FP block exists only as jit workspace; its int4 state writes straight
+    into the pre-allocated stacked scan arrays."""
+    from wanq_tpu.models.dit import make_block_generator, make_nonblock_generator
+    from wanq_tpu.quant.ptq import prepare_layer_state
+
+    t0 = time.time()
+    params = jax.jit(make_nonblock_generator(cfg))(jax.random.PRNGKey(0))
+    params["head"]["head"]["w"] = (
+        0.02 * jax.random.normal(jax.random.PRNGKey(7),
+                                 params["head"]["head"]["w"].shape)
+    ).astype(params["head"]["head"]["w"].dtype)
+    block_policies = {f"blocks.0.{ln}": qcfg.resolve(f"blocks.0.{ln}")
+                      for ln in BLOCK_LINEARS}
+    gen_block = make_block_generator(cfg)
+
+    def build_layer(key):
+        bp = gen_block(key)
+        st = {}
+        for ln in BLOCK_LINEARS:
+            node = bp
+            for part in ln.split("."):
+                node = node[part]
+            pol = block_policies[f"blocks.0.{ln}"]
+            if not pol.is_quantized:
+                continue
+            st[ln] = prepare_layer_state(pol, node["w"], None, None,
+                                         targets="int8")
+        sb = strip_quantized_weights({"blocks": [bp]},
+                                     block_policies)["blocks"][0]
+        return sb, st
+
+    jbuild = jax.jit(build_layer)
+    jwrite = jax.jit(
+        lambda S, st, i: jax.tree.map(lambda s, x: s.at[i].set(x), S, st),
+        donate_argnums=0)
+    policies = {}
+    scan_state = None
+    blocks = []
+    for i in range(cfg.num_layers):
+        sb, st = jbuild(jax.random.PRNGKey(100 + i))
+        blocks.append(sb)
+        if scan_state is None:
+            scan_state = jax.tree.map(
+                lambda l: jnp.zeros((cfg.num_layers,) + l.shape, l.dtype), st)
+        scan_state = jwrite(scan_state, st, i)
+        for ln in BLOCK_LINEARS:
+            policies[f"blocks.{i}.{ln}"] = block_policies[f"blocks.0.{ln}"]
+        if i % 10 == 0:
+            log(f"  layer {i} quantized ({time.time()-t0:.0f}s)")
+    jax.block_until_ready(scan_state)
+    params["blocks"] = blocks
+    stacked = stack_block_params(params)
+    qctx = QuantCtx(mode="int8", policies=policies, state={})
+    qctx.scan_state = scan_state
+    qbytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(scan_state))
+    log(f"streamed 14B base in {time.time()-t0:.0f}s: "
+        f"{qbytes/2**30:.2f} GiB int4-at-rest (bf16 would be ~27 GiB)")
+    return stacked, qctx
+
+
+def main(steps=4, model="1.3b"):
+    if model == "14b":
+        return main_14b(steps)
     cfg = WAN_CONFIGS["t2v-1.3B"]  # FULL depth: all 30 layers
     f, h, w = 3, 60, 104  # 832x480, 9 frames of latents
     seq = f * (h // 2) * (w // 2)
@@ -117,5 +193,50 @@ def main(steps=4):
         assert np.isfinite(loss)
 
 
+def main_14b(steps=3):
+    """14B QLoRA on ONE chip: streamed int4 base + rank-16 adapters."""
+    cfg = WAN_CONFIGS["t2v-14B"]
+    f, h, w = 3, 60, 104  # 832x480, 9 frames of latents
+    seq = f * (h // 2) * (w // 2)
+    log(f"QLoRA 14B: full {cfg.num_layers}-layer, seq={seq} "
+        f"on {jax.devices()[0]}")
+    qcfg = QuantConfig.from_dict(W4A8)
+    stacked, qctx = build_14b_base(cfg, qcfg)
+
+    from wanq_tpu.training.lora import init_lora_from_cfg
+
+    lora = init_lora_from_cfg(cfg, rank=16, seed=3, targets=TARGETS)
+    dcfg = DistillConfig(learning_rate=1e-4, seq_len=seq, remat=True)
+    tx = optax.adamw(dcfg.learning_rate)
+    step = make_qlora_distill_step(cfg, dcfg, tx, scan=True)
+    opt_state = tx.init(lora)
+    ema = jax.tree.map(lambda x: x, lora)
+
+    key = jax.random.PRNGKey(11)
+    x0 = jax.random.normal(key, (1, cfg.in_dim, f, h, w), jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(12), x0.shape, jnp.float32)
+    t = jnp.asarray([500.0])
+    txt = jax.random.normal(
+        jax.random.PRNGKey(13), (1, cfg.text_len, cfg.text_dim), jnp.float32
+    )
+    null = jax.random.normal(
+        jax.random.PRNGKey(14), (1, cfg.text_len, cfg.text_dim), jnp.float32
+    )
+    g = jnp.float32(3.0)
+
+    for i in range(steps):
+        t0 = time.time()
+        lora, ema, opt_state, loss, gnorm = step(
+            lora, ema, opt_state, stacked, qctx, x0, noise, t, txt, null, g
+        )
+        loss = float(loss)
+        log(f"step {i}: loss {loss:.4f} gnorm {float(gnorm):.3e} "
+            f"({time.time()-t0:.1f}s)")
+        assert np.isfinite(loss)
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 4,
+        sys.argv[2] if len(sys.argv) > 2 else "1.3b",
+    )

@@ -273,3 +273,35 @@ def merge_lora_into_scan_ctx(sctx, lora, num_layers: int):
     new.scan_state = scan_state
     new.attn_perms = sctx.attn_perms
     return new
+
+
+def init_lora_from_cfg(
+    cfg,
+    rank: int = 16,
+    targets: str = DEFAULT_TARGETS,
+    seed: int = 0,
+    alpha: Optional[float] = None,
+):
+    """Shape-driven adapter init for stripped/streamed bases — the 14B
+    single-chip QLoRA path quantizes each block as it is generated and
+    never materializes FP weights, so adapter shapes come from the model
+    config (planner.block_linear_dims) instead of a params tree."""
+    from wanq_tpu.quant.planner import block_linear_dims
+
+    rng = np.random.default_rng(seed)
+    scale = (alpha or rank) / rank
+    pat = re.compile(targets)
+    lora: Dict[str, Any] = {"__scale__": jnp.float32(scale)}
+    for sfx, (c_in, c_out) in block_linear_dims(cfg).items():
+        for i in range(cfg.num_layers):
+            name = f"blocks.{i}.{sfx}"
+            if not pat.search(name):
+                continue
+            lora[name] = {
+                "a": jnp.asarray(
+                    (rng.standard_normal((c_in, rank)) / np.sqrt(rank))
+                    .astype(np.float32)
+                ),
+                "b": jnp.zeros((rank, c_out), jnp.float32),
+            }
+    return lora
