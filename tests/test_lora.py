@@ -388,3 +388,74 @@ def test_int8_path_ste_gradients_match_sim(rng):
     grads = jax.grad(loss)(lora)
     assert float(jnp.max(jnp.abs(grads[name]["a"]))) > 0
     assert float(jnp.max(jnp.abs(grads[name]["b"]))) > 0
+
+
+@pytest.mark.mesh
+@pytest.mark.slow
+def test_qlora_grads_on_mesh_match_single_device(rng):
+    """QLoRA under GSPMD: int8 trainable forward + adapter gradients on
+    the 8-virtual-device mesh match single-device — the pod-scale
+    fine-tuning path (sharded int base, replicated adapters)."""
+    from wanq_tpu.models.dit import make_scan_ctx, stack_block_params
+    from wanq_tpu.parallel import ShardingPlan, make_mesh, shard_params
+    from wanq_tpu.quant import QuantConfig
+    from wanq_tpu.quant.ptq import prepare_quant_state, shard_scan_ctx
+    from wanq_tpu.quant.qlinear import QuantCtx
+    from wanq_tpu.training.lora import merge_lora_into_scan_ctx
+
+    from wanq_tpu.configs import tiny_config
+    from wanq_tpu.models.dit import dit_forward, init_params, linear_layer_names
+    from tests.conftest import randomize_head
+
+    cfg = tiny_config(num_heads=8, dim=96)
+    params = randomize_head(init_params(cfg, jax.random.PRNGKey(0)))
+    names = linear_layer_names(cfg)
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": r"text_embedding|time_embedding|time_projection|head\.head",
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+    })
+    pol, state, rot = prepare_quant_state(params, names, qcfg, targets="int8")
+    base = QuantCtx(mode="int8", policies=pol, state=state, rotations=rot,
+                    trainable=True)
+    sctx = make_scan_ctx(base, cfg.num_layers)
+    lora = init_lora(params, names, rank=4, seed=9,
+                     targets=r"self_attn\.(q|v)|ffn\.0")
+    for k in lora:
+        if k != "__scale__":
+            lora[k]["b"] = 0.05 * jnp.asarray(
+                np.random.default_rng(4).normal(
+                    size=lora[k]["b"].shape
+                ).astype(np.float32)
+            )
+    stacked = stack_block_params(params)
+    x = jnp.asarray(rng.normal(size=(2, cfg.in_dim, 2, 8, 8)).astype(np.float32))
+    t = jnp.asarray([500.0, 500.0])
+    txt = jnp.asarray(
+        rng.normal(size=(2, cfg.text_len, cfg.text_dim)).astype(np.float32)
+    )
+
+    def make_loss(plan):
+        def loss(lo, p, qctx):
+            ctx2 = merge_lora_into_scan_ctx(qctx, lo, cfg.num_layers)
+            out = dit_forward(p, cfg, x, t, txt, 32, ctx=ctx2, plan=plan,
+                              training=True)
+            return jnp.mean(out**2)
+        return loss
+
+    l_host, g_host = jax.value_and_grad(make_loss(None))(lora, stacked, sctx)
+
+    mesh = make_mesh(1, 2, 2, 2)
+    plan = ShardingPlan(mesh)
+    sp = shard_params(stacked, mesh)
+    mctx = shard_scan_ctx(sctx, mesh)
+    l_mesh, g_mesh = jax.jit(jax.value_and_grad(make_loss(plan)))(lora, sp, mctx)
+
+    np.testing.assert_allclose(float(l_mesh), float(l_host), rtol=2e-4)
+    for k in g_host:
+        if k == "__scale__":
+            continue
+        np.testing.assert_allclose(
+            np.asarray(g_mesh[k]["b"]), np.asarray(g_host[k]["b"]),
+            rtol=5e-3, atol=1e-6,
+        )
