@@ -310,3 +310,46 @@ def test_quant_generate_from_reference_artifact(workdir):
     a = np.load(out_npz)["latents"]
     b = np.load(out_pth)["latents"]
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_quant_generate_with_qlora_adapters(workdir):
+    """quant_generate --lora: zero-init adapters are exactly a no-op;
+    trained (nonzero) adapters change the output."""
+    from wanq_tpu.configs import tiny_config as _tiny
+    from wanq_tpu.models.dit import init_params as _init, linear_layer_names
+    from wanq_tpu.training.lora import init_lora, save_lora
+
+    cfg = _tiny()
+    params = _init(cfg, __import__("jax").random.PRNGKey(0))
+    names = linear_layer_names(cfg)
+    lora0 = init_lora(params, names, rank=4, seed=3,
+                      targets=r"self_attn\.(q|v)|ffn\.0")
+    save_lora("lora0.npz", lora0)
+    lora1 = {k: (v if k == "__scale__" else dict(v)) for k, v in lora0.items()}
+    for k in lora1:
+        if k != "__scale__":
+            lora1[k]["b"] = 0.2 * np.float32(1.0) * np.ones_like(
+                np.asarray(lora1[k]["b"])
+            )
+    save_lora("lora1.npz", lora1)
+
+    with open("qlo.yaml", "w") as f:
+        yaml.safe_dump({
+            "remain_fp_regex": QCFG["remain_fp_regex"],
+            "weight": {"n_bits": 8, "sym": False},
+            "act": {"n_bits": 8, "sym": True},
+        }, f)
+    # no --quant_params: state computes on the fly (same seed -> same state)
+    base_args = COMMON + ["--quant_config", "qlo.yaml"]
+    out_base = quant_generate.generate(quant_generate.parse_args(
+        base_args + ["--save_file", "ql_base.npz"]))
+    out_zero = quant_generate.generate(quant_generate.parse_args(
+        base_args + ["--lora", "lora0.npz", "--save_file", "ql_zero.npz"]))
+    out_trained = quant_generate.generate(quant_generate.parse_args(
+        base_args + ["--lora", "lora1.npz", "--save_file", "ql_trained.npz"]))
+    a = np.load(out_base)["latents"]
+    z = np.load(out_zero)["latents"]
+    tr = np.load(out_trained)["latents"]
+    np.testing.assert_allclose(z, a, atol=1e-5)
+    assert float(np.abs(tr - a).max()) > 1e-4

@@ -51,6 +51,12 @@ def parse_args(argv=None):
     p.add_argument("--hardware", action="store_true",
                    help="int8 Pallas kernel path (ref if_hardware, "
                         "quant_generate.py:372); default is simulated quant")
+    p.add_argument("--lora", type=str, default=None,
+                   help="QLoRA adapters (training/lora.py save_lora npz or "
+                        "a lora-checkpoint-N dir) merged into the quant "
+                        "state at inference — fused fast paths "
+                        "automatically yield to the qlinear adapter route "
+                        "on adapted sites")
     p.add_argument("--strip_fp", action="store_true",
                    help="free the FP copies of quantized weights (the "
                         "reference hardware refactor's deletion, "
@@ -125,6 +131,20 @@ def generate(args):
 
         params = strip_quantized_weights(params, policies)
         logging.info("stripped FP copies of quantized weights")
+    if getattr(args, "lora", None):
+        # QLoRA adapters ride the quant state (qlinear applies them on the
+        # raw input); int8 fused fast paths refuse adapted sites, so the
+        # fine-tuned deployment is exact by construction
+        import os as _os
+
+        from wanq_tpu.training.lora import load_lora, merge_lora_into_quant_state
+
+        lp = args.lora
+        if _os.path.isdir(lp):
+            lp = _os.path.join(lp, "lora_weights.npz")
+        state = merge_lora_into_quant_state(state, load_lora(lp))
+        logging.info("merged QLoRA adapters from %s", args.lora)
+
     ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations,
                    attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg)
 
