@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import time
 
 import jax.numpy as jnp
@@ -135,13 +136,11 @@ def generate(args):
         # QLoRA adapters ride the quant state (qlinear applies them on the
         # raw input); int8 fused fast paths refuse adapted sites, so the
         # fine-tuned deployment is exact by construction
-        import os as _os
-
         from wanq_tpu.training.lora import load_lora, merge_lora_into_quant_state
 
         lp = args.lora
-        if _os.path.isdir(lp):
-            lp = _os.path.join(lp, "lora_weights.npz")
+        if os.path.isdir(lp):
+            lp = os.path.join(lp, "lora_weights.npz")
         state = merge_lora_into_quant_state(state, load_lora(lp))
         logging.info("merged QLoRA adapters from %s", args.lora)
 

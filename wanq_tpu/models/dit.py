@@ -754,8 +754,8 @@ def block_forward(
     qkv_sites = [f"{name}.self_attn.{l}" for l in ("q", "k", "v")]
     if training:
         # the fused producers are fwd-only Pallas kernels; QLoRA training
-        # through the int8 path takes the plain qlinear route (its
-        # _int8_ste backward handles the GEMMs)
+        # through the int8 path takes the plain qlinear route (the
+        # QuantCtx.trainable dequant GEMMs differentiate)
         fusable_qkv = static_qkv = cq_static = cq_dyn = False
     else:
         static_qkv = all(int8_static_fusable(ctx, s) for s in qkv_sites)
@@ -934,7 +934,7 @@ def dit_forward(
     if training and ctx is not None and ctx.mode == "int8" and not ctx.trainable:
         # QLoRA/QAT route: int-at-rest weights dequantize transiently for
         # differentiable GEMMs (the Pallas int kernels are fwd-only)
-        ctx = _ctx_with_trainable(ctx)
+        ctx = ctx.replace(trainable=True)
     if y is not None:
         x = jnp.concatenate([x, y], axis=1)  # i2v channel concat (model.py:577)
 
@@ -1055,31 +1055,11 @@ def stack_quant_state(
     return other, stacked
 
 
-def _ctx_with_trainable(ctx: QuantCtx) -> QuantCtx:
-    new = QuantCtx(
-        mode=ctx.mode, policies=ctx.policies, state=ctx.state,
-        rotations=ctx.rotations, attn=ctx.attn, cross_attn=ctx.cross_attn,
-        collect_minmax=ctx.collect_minmax, attn_map_pool=ctx.attn_map_pool,
-        hessian_regex=ctx.hessian_regex, trainable=True,
-    )
-    new.scan_state = ctx.scan_state
-    new.attn_perms = ctx.attn_perms
-    return new
-
-
 def make_scan_ctx(ctx: QuantCtx, num_layers: int) -> QuantCtx:
     """Pre-stack the per-block quant state once (outside jit) so the scan
     body consumes it as xs instead of re-stacking at every trace."""
     other, stacked = stack_quant_state(ctx, num_layers)
-    new = QuantCtx(
-        mode=ctx.mode, policies=ctx.policies, state=other,
-        rotations=ctx.rotations, attn=ctx.attn, cross_attn=ctx.cross_attn,
-        collect_minmax=ctx.collect_minmax, attn_map_pool=ctx.attn_map_pool,
-        hessian_regex=ctx.hessian_regex, trainable=ctx.trainable,
-    )
-    new.scan_state = stacked
-    new.attn_perms = ctx.attn_perms
-    return new
+    return ctx.replace(state=other, scan_state=stacked)
 
 
 def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
@@ -1116,22 +1096,22 @@ def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
         bp, bstate, bperms = xs
         sub = None
         if ctx is not None:
-            # carry EVERY per-ctx behavior flag into the per-block view —
-            # dropping attn/cross_attn here would silently disable
-            # attention quantization under scan
-            sub = QuantCtx(
-                mode=mode, rotations=rotations, attn=ctx.attn,
-                cross_attn=ctx.cross_attn, collect_minmax=ctx.collect_minmax,
-                attn_map_pool=ctx.attn_map_pool,
-                hessian_regex=ctx.hessian_regex, trainable=ctx.trainable,
+            # the per-block view carries every behavior flag (ctx.replace)
+            # with this iteration's xs slices as its state; collect must be
+            # FRESH — the body's calibration entries are extracted below
+            # and outer entries would be mis-stripped into scan outputs
+            sub = ctx.replace(
+                state={f"{_SCAN_NAME}.{sfx}": st for sfx, st in bstate.items()},
+                policies={
+                    k: v for k, v in policies.items()
+                    if k.startswith(_SCAN_NAME + ".")
+                },
+                attn_perms={
+                    f"{_SCAN_NAME}.{sfx}": p for sfx, p in bperms.items()
+                },
+                scan_state=None,
+                collect={},
             )
-            sub.policies = {
-                k: v for k, v in policies.items() if k.startswith(_SCAN_NAME + ".")
-            }
-            sub.state = {f"{_SCAN_NAME}.{sfx}": st for sfx, st in bstate.items()}
-            sub.attn_perms = {
-                f"{_SCAN_NAME}.{sfx}": p for sfx, p in bperms.items()
-            }
         y = block_forward(
             bp, _SCAN_NAME, sub, carry, e0, c, cfg, cos, sin, valid_len,
             plan=plan, training=training,

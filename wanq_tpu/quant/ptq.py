@@ -160,33 +160,25 @@ def prepare_layer_state(
         )
         if targets in ("sim", "both"):
             st["w_q"] = w_gq
-        st["delta_w"] = d
-        st["zp_w"] = z
-        if wcfg.active_bits in (4, 8) and targets in ("int8", "both"):
-            if wcfg.active_bits == 4 and codes.shape[0] % 2 == 0:
-                st["w_int4"] = pack_int4(codes)
-            else:
-                st["w_int8"] = codes
-            st["scale_w"] = d
-            st["zp_w_int"] = z
-        _finish_static_act(st, policy, act_minmax)
-        return st
-    if targets in ("sim", "both"):
-        st["w_q"] = weight_fake_quant(w_work, wcfg)
-    d, z = weight_quant_params(w_work, wcfg)
+    else:
+        codes = None
+        if targets in ("sim", "both"):
+            st["w_q"] = weight_fake_quant(w_work, wcfg)
+        d, z = weight_quant_params(w_work, wcfg)
     st["delta_w"] = d
     st["zp_w"] = z
     if wcfg.active_bits in (4, 8) and targets in ("int8", "both"):
-        w_int8, scale_w, zp_w_int = weight_int_quant(w_work, wcfg)
-        if wcfg.active_bits == 4 and w_int8.shape[0] % 2 == 0:
+        if codes is None:
+            codes, d, z = weight_int_quant(w_work, wcfg)
+        if wcfg.active_bits == 4 and codes.shape[0] % 2 == 0:
             # true 4-bit storage: two int4 per byte along K — 0.5x the int8
             # container bytes in HBM (ref packed weights,
             # csrc/qgemm/w4a8/w4a8_per_channel_gemm_cuda_qserve.cu)
-            st["w_int4"] = pack_int4(w_int8)
+            st["w_int4"] = pack_int4(codes)
         else:
-            st["w_int8"] = w_int8
-        st["scale_w"] = scale_w
-        st["zp_w_int"] = zp_w_int
+            st["w_int8"] = codes
+        st["scale_w"] = d
+        st["zp_w_int"] = z
 
     _finish_static_act(st, policy, act_minmax)
     return st

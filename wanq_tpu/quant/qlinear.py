@@ -80,6 +80,17 @@ class QuantCtx:
     def policy(self, name: str) -> LayerPolicy:
         return self.policies.get(name, FP_POLICY)
 
+    def replace(self, **overrides) -> "QuantCtx":
+        """Copy with field overrides (dataclasses.replace). Every consumer
+        that needs a modified view (scan sub-ctx, trainable route, LoRA
+        merge) goes through this — hand-copying the constructor has twice
+        silently dropped a newly added field."""
+        if "collect" not in overrides:
+            # the calibration dict is mutated during tracing — never share
+            # it between views
+            overrides["collect"] = dict(self.collect)
+        return dataclasses.replace(self, **overrides)
+
 
 def _ctx_flatten(ctx: QuantCtx):
     """QuantCtx is a registered pytree so jitted step functions take it as

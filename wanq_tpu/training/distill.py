@@ -198,20 +198,13 @@ def make_qlora_distill_step(
         merge_lora_into_quant_state,
         merge_lora_into_scan_ctx,
     )
-    from wanq_tpu.quant.qlinear import QuantCtx
 
     def with_lora(qctx, lora):
         if scan:
             return merge_lora_into_scan_ctx(qctx, lora, model_cfg.num_layers)
-        new = QuantCtx(
-            mode=qctx.mode, policies=qctx.policies,
-            state=merge_lora_into_quant_state(qctx.state, lora),
-            rotations=qctx.rotations, attn=qctx.attn,
-            cross_attn=qctx.cross_attn,
+        return qctx.replace(
+            state=merge_lora_into_quant_state(qctx.state, lora)
         )
-        new.scan_state = qctx.scan_state
-        new.attn_perms = qctx.attn_perms
-        return new
 
     def loss_fn(lora, params, qctx, x0, noise, t, context, null_context, g):
         sigma = (t / dcfg.num_train_timesteps)[:, None, None, None, None]

@@ -20,6 +20,14 @@ from wanq_tpu.quant.ptq import params_get
 DEFAULT_TARGETS = r"self_attn\.(q|k|v|o)|ffn\.(0|2)"
 
 
+def _lora_scale(lora):
+    """alpha/r as a non-trainable constant (a hyperparameter, not a leaf)."""
+    scale = lora.get("__scale__", 1.0)
+    if isinstance(scale, jnp.ndarray):
+        scale = jax.lax.stop_gradient(scale)
+    return scale
+
+
 def lora_layer_names(layer_names, targets: str = DEFAULT_TARGETS):
     pat = re.compile(targets)
     return [n for n in layer_names if pat.search(n)]
@@ -53,10 +61,7 @@ def init_lora(
 def apply_lora(params: Any, lora: Dict[str, Dict[str, jax.Array]]) -> Any:
     """Merged params: w' = w + scale · a @ b per adapted layer (pure —
     returns a new tree; jit fuses the update into consumers)."""
-    scale = lora.get("__scale__", 1.0)
-    if isinstance(scale, jnp.ndarray):
-        # alpha/r is a hyperparameter, not a trainable leaf
-        scale = jax.lax.stop_gradient(scale)
+    scale = _lora_scale(lora)
 
     def merge_path(tree, path, delta):
         parts = path.split(".")
@@ -189,9 +194,7 @@ def merge_lora_into_quant_state(state, lora):
     Every adapted layer must be a quantized layer present in ``state``;
     FP layers take the weight-merging :func:`apply_lora` path instead.
     """
-    scale = lora.get("__scale__", 1.0)
-    if isinstance(scale, jnp.ndarray):
-        scale = jax.lax.stop_gradient(scale)
+    scale = _lora_scale(lora)
     out = dict(state)
     for name, ab in lora.items():
         if name == "__scale__":
@@ -214,9 +217,7 @@ def stack_lora(lora, num_layers: int, prefix: str = "blocks."):
     inside ``scan_state``. Every scanned suffix must be adapted in ALL
     ``num_layers`` blocks (lax.scan needs uniform xs); non-block entries
     pass through under their full name for the unscanned sites."""
-    scale = lora.get("__scale__", 1.0)
-    if isinstance(scale, jnp.ndarray):
-        scale = jax.lax.stop_gradient(scale)
+    scale = _lora_scale(lora)
     per_suffix: Dict[str, Dict[int, Any]] = {}
     other: Dict[str, Dict[str, jax.Array]] = {}
     for name, ab in lora.items():
@@ -249,8 +250,6 @@ def merge_lora_into_scan_ctx(sctx, lora, num_layers: int):
     context with the stacked adapters merged into ``scan_state`` (per
     suffix) and non-block adapters into ``state`` — the 14B-scale path
     (one compiled block body; adapters ride as scan xs)."""
-    from wanq_tpu.quant.qlinear import QuantCtx
-
     stacked, other = stack_lora(lora, num_layers)
     scan_state = dict(sctx.scan_state or {})
     for suffix, leaves in stacked.items():
@@ -264,15 +263,7 @@ def merge_lora_into_scan_ctx(sctx, lora, num_layers: int):
                     f"QLoRA target {name} has no quant-state entry"
                 )
             state[name] = {**state[name], **leaves}
-    new = QuantCtx(
-        mode=sctx.mode, policies=sctx.policies, state=state,
-        rotations=sctx.rotations, attn=sctx.attn, cross_attn=sctx.cross_attn,
-        collect_minmax=sctx.collect_minmax, attn_map_pool=sctx.attn_map_pool,
-        hessian_regex=sctx.hessian_regex, trainable=sctx.trainable,
-    )
-    new.scan_state = scan_state
-    new.attn_perms = sctx.attn_perms
-    return new
+    return sctx.replace(state=state, scan_state=scan_state)
 
 
 def init_lora_from_cfg(
