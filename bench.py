@@ -98,18 +98,26 @@ def _sync(x) -> float:
     return float(jnp.sum(x))
 
 
-def time_step(step_fn, params, qctx, latents, t, c, cn, gs, iters=6, warmup=2):
+def time_step(step_fn, params, qctx, latents, t, c, cn, gs, iters=6, warmup=2,
+              reps=2):
     """Chained timing: each step consumes the previous output; a scalar
-    fetch at the end fences the whole chain."""
+    fetch at the end fences the whole chain. Takes the MIN over ``reps``
+    independent chains — a transient relay stall inside one chain
+    otherwise poisons the whole measurement (observed: a bf16 chain
+    reading 19.2 s/step while the int8 chain in the same run measured
+    its usual 3.14 s)."""
     x = latents
     for _ in range(warmup):
         x = 0.99 * step_fn(params, qctx, x, t, c, cn, gs)
     _sync(x)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = 0.99 * step_fn(params, qctx, x, t, c, cn, gs)
-    _sync(x)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = 0.99 * step_fn(params, qctx, x, t, c, cn, gs)
+        _sync(x)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def run(frame_num: int):
