@@ -41,14 +41,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/wanq_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from wanq_tpu.configs import WAN_CONFIGS
-from wanq_tpu.models.dit import (
-    dit_forward,
-    stack_block_params,
-)
+from wanq_tpu.models.dit import dit_forward
 from wanq_tpu.pipelines.text2video import compute_seq_len, compute_target_shape
 from wanq_tpu.quant import QuantConfig
-from wanq_tpu.quant.ptq import prepare_layer_state, strip_quantized_weights
-from wanq_tpu.quant.qlinear import QuantCtx
 
 W4A8 = {
     "remain_fp_regex": (
@@ -57,12 +52,6 @@ W4A8 = {
     "weight": {"n_bits": 4, "sym": False},
     "act": {"n_bits": 8, "sym": True},
 }
-
-BLOCK_LINEARS = (
-    "self_attn.q", "self_attn.k", "self_attn.v", "self_attn.o",
-    "cross_attn.q", "cross_attn.k", "cross_attn.v", "cross_attn.o",
-    "ffn.0", "ffn.2",
-)
 
 
 def main():
@@ -98,81 +87,16 @@ def main():
     print(f"14B W4A8 single-chip probe: {res}p x {frame_num}f, B={batch}, "
           f"seq {seq_len}", flush=True)
 
-    t0 = time.time()
-    from wanq_tpu.models.dit import make_block_generator, make_nonblock_generator
+    from wanq_tpu.quant.stream import build_streamed_quant_base
 
-    params = jax.jit(make_nonblock_generator(cfg))(jax.random.PRNGKey(0))
-    # head.head is zero-init (DiT convention); randomize so the output —
-    # and the timing — reflect the full network, not a zero graph
-    params["head"]["head"]["w"] = (
-        0.02 * jax.random.normal(jax.random.PRNGKey(7),
-                                 params["head"]["head"]["w"].shape)
-    ).astype(params["head"]["head"]["w"].dtype)
-
-    block_policies = {f"blocks.0.{ln}": qcfg.resolve(f"blocks.0.{ln}")
-                      for ln in BLOCK_LINEARS}
-    gen_block = make_block_generator(cfg)
-
-    def build_layer(key):
-        # generate one FP block, int4-quantize every linear, strip the FP
-        # weights — all inside ONE program, so the bf16 block is pure
-        # workspace and never materializes as an output
-        bp = gen_block(key)
-        st = {}
-        for ln in BLOCK_LINEARS:
-            node = bp
-            for part in ln.split("."):
-                node = node[part]
-            pol = block_policies[f"blocks.0.{ln}"]
-            if not pol.is_quantized:
-                continue
-            st[ln] = prepare_layer_state(
-                pol, node["w"], None, None, targets="int8",
-                # static sites freeze a per-tensor scale; ±8 safely bounds
-                # random-init GELU outputs (real deployments calibrate)
-                act_minmax=(np.asarray([8.0], np.float32),
-                            np.asarray([-8.0], np.float32))
-                if (pol.act is not None and not pol.act.dynamic) else None)
-        sb = strip_quantized_weights({"blocks": [bp]},
-                                     block_policies)["blocks"][0]
-        return sb, st
-
-    jbuild = jax.jit(build_layer)
-    # each layer's quant state writes STRAIGHT into the pre-allocated
-    # stacked scan arrays (donated dynamic-update-slice) — peak extra
-    # residency is ONE block of state, never the former stack-then-free
-    # 2x copy that capped the old path at ~6.6 GiB of weight state
-    jwrite = jax.jit(
-        lambda S, st, i: jax.tree.map(lambda s, x: s.at[i].set(x), S, st),
-        donate_argnums=0)
-    policies = {}
-    scan_state = None
-    stripped_blocks = []
-    total_qbytes = 0
-    L = cfg.num_layers
-    for i in range(L):
-        sb, st = jbuild(jax.random.PRNGKey(100 + i))
-        stripped_blocks.append(sb)
-        if scan_state is None:
-            scan_state = jax.tree.map(
-                lambda l: jnp.zeros((L,) + l.shape, l.dtype), st)
-            total_qbytes = sum(
-                l.size * l.dtype.itemsize
-                for l in jax.tree.leaves(scan_state))
-        scan_state = jwrite(scan_state, st, i)
-        for ln in BLOCK_LINEARS:
-            policies[f"blocks.{i}.{ln}"] = block_policies[f"blocks.0.{ln}"]
-        if i % 10 == 0:
-            print(f"  layer {i} quantized ({time.time()-t0:.0f}s)", flush=True)
-    jax.block_until_ready(scan_state)
-    params["blocks"] = stripped_blocks
+    # streamed per-layer quantized init (quant/stream.py): the FP 14B
+    # never exists — each block is jit workspace, its int state writes
+    # into pre-allocated stacked scan arrays (donated updates, peak extra
+    # residency ONE block), FP copies stripped
+    params, ctx, total_qbytes = build_streamed_quant_base(
+        cfg, qcfg, log=lambda m: print(m, flush=True))
     print(f"quantized weight state: {total_qbytes/2**30:.2f} GiB "
-          f"(bf16 blocks would be ~27 GiB) in {time.time()-t0:.0f}s",
-          flush=True)
-
-    params = stack_block_params(params)
-    ctx = QuantCtx(mode="int8", policies=policies, state={})
-    ctx.scan_state = scan_state
+          f"(bf16 blocks would be ~27 GiB)", flush=True)
 
     key = jax.random.PRNGKey(1)
     x = jax.random.normal(key, (batch, *target_shape), jnp.float32)

@@ -63,75 +63,6 @@ def log(m):
     print(m, flush=True)
 
 
-BLOCK_LINEARS = (
-    "self_attn.q", "self_attn.k", "self_attn.v", "self_attn.o",
-    "cross_attn.q", "cross_attn.k", "cross_attn.v", "cross_attn.o",
-    "ffn.0", "ffn.2",
-)
-
-
-def build_14b_base(cfg, qcfg):
-    """Streamed per-layer quantized init (tools/deploy_14b_probe.py): one
-    FP block exists only as jit workspace; its int4 state writes straight
-    into the pre-allocated stacked scan arrays."""
-    from wanq_tpu.models.dit import make_block_generator, make_nonblock_generator
-    from wanq_tpu.quant.ptq import prepare_layer_state
-
-    t0 = time.time()
-    params = jax.jit(make_nonblock_generator(cfg))(jax.random.PRNGKey(0))
-    params["head"]["head"]["w"] = (
-        0.02 * jax.random.normal(jax.random.PRNGKey(7),
-                                 params["head"]["head"]["w"].shape)
-    ).astype(params["head"]["head"]["w"].dtype)
-    block_policies = {f"blocks.0.{ln}": qcfg.resolve(f"blocks.0.{ln}")
-                      for ln in BLOCK_LINEARS}
-    gen_block = make_block_generator(cfg)
-
-    def build_layer(key):
-        bp = gen_block(key)
-        st = {}
-        for ln in BLOCK_LINEARS:
-            node = bp
-            for part in ln.split("."):
-                node = node[part]
-            pol = block_policies[f"blocks.0.{ln}"]
-            if not pol.is_quantized:
-                continue
-            st[ln] = prepare_layer_state(pol, node["w"], None, None,
-                                         targets="int8")
-        sb = strip_quantized_weights({"blocks": [bp]},
-                                     block_policies)["blocks"][0]
-        return sb, st
-
-    jbuild = jax.jit(build_layer)
-    jwrite = jax.jit(
-        lambda S, st, i: jax.tree.map(lambda s, x: s.at[i].set(x), S, st),
-        donate_argnums=0)
-    policies = {}
-    scan_state = None
-    blocks = []
-    for i in range(cfg.num_layers):
-        sb, st = jbuild(jax.random.PRNGKey(100 + i))
-        blocks.append(sb)
-        if scan_state is None:
-            scan_state = jax.tree.map(
-                lambda l: jnp.zeros((cfg.num_layers,) + l.shape, l.dtype), st)
-        scan_state = jwrite(scan_state, st, i)
-        for ln in BLOCK_LINEARS:
-            policies[f"blocks.{i}.{ln}"] = block_policies[f"blocks.0.{ln}"]
-        if i % 10 == 0:
-            log(f"  layer {i} quantized ({time.time()-t0:.0f}s)")
-    jax.block_until_ready(scan_state)
-    params["blocks"] = blocks
-    stacked = stack_block_params(params)
-    qctx = QuantCtx(mode="int8", policies=policies, state={})
-    qctx.scan_state = scan_state
-    qbytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(scan_state))
-    log(f"streamed 14B base in {time.time()-t0:.0f}s: "
-        f"{qbytes/2**30:.2f} GiB int4-at-rest (bf16 would be ~27 GiB)")
-    return stacked, qctx
-
-
 def main(steps=4, model="1.3b"):
     if model == "14b":
         return main_14b(steps)
@@ -201,7 +132,9 @@ def main_14b(steps=3):
     log(f"QLoRA 14B: full {cfg.num_layers}-layer, seq={seq} "
         f"on {jax.devices()[0]}")
     qcfg = QuantConfig.from_dict(W4A8)
-    stacked, qctx = build_14b_base(cfg, qcfg)
+    from wanq_tpu.quant.stream import build_streamed_quant_base
+
+    stacked, qctx, _ = build_streamed_quant_base(cfg, qcfg, log=log)
 
     from wanq_tpu.training.lora import init_lora_from_cfg
 
