@@ -1,0 +1,67 @@
+"""Streamed quantized-base builder (quant/stream.py) — the construction
+path that puts 14B on one chip for inference and QLoRA. The CPU test pins
+it against the conventional build: same generators + prepare_quant_state
+must produce the same forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wanq_tpu.configs import tiny_config
+from wanq_tpu.models.dit import (
+    dit_forward,
+    linear_layer_names,
+    make_block_generator,
+    make_nonblock_generator,
+    make_scan_ctx,
+    stack_block_params,
+)
+from wanq_tpu.quant import QuantConfig
+from wanq_tpu.quant.ptq import prepare_quant_state
+from wanq_tpu.quant.qlinear import QuantCtx
+from wanq_tpu.quant.stream import build_streamed_quant_base
+
+QDICT = {
+    "remain_fp_regex": r"text_embedding|time_embedding|time_projection|head\.head",
+    "weight": {"n_bits": 4, "sym": False},
+    "act": {"n_bits": 8, "sym": True},
+}
+
+
+def test_streamed_base_matches_conventional_build(rng):
+    cfg = tiny_config()
+    qcfg = QuantConfig.from_dict(QDICT)
+    stacked_s, qctx_s, qbytes = build_streamed_quant_base(cfg, qcfg)
+    assert qbytes > 0
+
+    # conventional path from the SAME generator draws
+    params = make_nonblock_generator(cfg)(jax.random.PRNGKey(0))
+    params["head"]["head"]["w"] = (
+        0.02 * jax.random.normal(jax.random.PRNGKey(7),
+                                 params["head"]["head"]["w"].shape)
+    ).astype(params["head"]["head"]["w"].dtype)
+    gen_block = make_block_generator(cfg)
+    params["blocks"] = [
+        gen_block(jax.random.PRNGKey(100 + i)) for i in range(cfg.num_layers)
+    ]
+    names = linear_layer_names(cfg)
+    pol, state, rot = prepare_quant_state(params, names, qcfg, targets="int8")
+    qctx_c = make_scan_ctx(
+        QuantCtx(mode="int8", policies=pol, state=state, rotations=rot),
+        cfg.num_layers,
+    )
+
+    x = jnp.asarray(rng.normal(size=(1, cfg.in_dim, 2, 8, 8)).astype(np.float32))
+    t = jnp.asarray([500.0])
+    txt = jnp.asarray(
+        rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32)
+    )
+    out_s = dit_forward(stacked_s, cfg, x, t, txt, 32, ctx=qctx_s)
+    out_c = dit_forward(
+        stack_block_params(params), cfg, x, t, txt, 32, ctx=qctx_c
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_c), rtol=1e-5, atol=1e-5
+    )
+    # the streamed base really is stripped: placeholder FP weights
+    assert stacked_s["blocks"]["self_attn"]["q"]["w"].shape[-2:] == (1, 1)
