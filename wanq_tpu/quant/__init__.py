@@ -43,6 +43,7 @@ from wanq_tpu.quant.ptq import (
 )
 from wanq_tpu.quant.qlinear import QuantCtx, qlinear
 from wanq_tpu.quant.gptq import gptq_quantize, transform_hessian
+from wanq_tpu.quant.stream import build_streamed_quant_base
 from wanq_tpu.quant.planner import (
     CapacityPlan,
     class_weight_bytes,
