@@ -64,10 +64,26 @@ class LayerPolicy:
     gptq: bool = False
     # desc_act refinement: quantize rows by descending Hessian diagonal
     gptq_act_order: bool = False
+    # K-group size for the W4A4 route (Atom GROUP_SIZE, ref
+    # csrc/qgemm/w4a4/atom.cu); only consulted when is_w4a4
+    group: int = 128
 
     @property
     def is_quantized(self) -> bool:
         return self.method != "fp" and self.quant_mode
+
+    @property
+    def is_w4a4(self) -> bool:
+        """Atom-style W4A4 route: 4-bit weight AND 4-bit activation, both
+        group-quantized along K (ref csrc/qgemm/w4a4/atom.cu). Selected
+        from YAML by weight.n_bits: 4 + act.n_bits: 4."""
+        return (
+            self.is_quantized
+            and self.weight is not None
+            and self.act is not None
+            and self.weight.active_bits == 4
+            and self.act.active_bits == 4
+        )
 
     @property
     def uses_channel_mask(self) -> bool:
@@ -119,6 +135,8 @@ class QuantConfig:
         self.act_static_regex: Optional[str] = (
             a.get("static_regex") if a else None
         )
+        # W4A4 K-group size (act.group; Atom GROUP_SIZE 128 default)
+        self.act_group: int = int(a.get("group", 128)) if a else 128
 
         self.methods: Dict[str, Dict[str, Any]] = {}
         for m in ("smooth_quant", "quarot", "viditq"):
@@ -216,6 +234,7 @@ class QuantConfig:
             quant_mode=quant_mode,
             gptq=self.weight_gptq,
             gptq_act_order=self.weight_gptq_act_order,
+            group=self.act_group,
         )
 
     def resolve_all(self, layer_names: List[str]) -> Dict[str, LayerPolicy]:

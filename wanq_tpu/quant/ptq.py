@@ -144,6 +144,45 @@ def prepare_layer_state(
             )
 
     w_work = wf
+
+    if policy.is_w4a4:
+        # Atom-style W4A4 (ref csrc/qgemm/w4a4/atom.cu): symmetric int4
+        # group quant along K for BOTH weight and activation; one scale
+        # per (K-group, out-channel). Orthogonal to the per-output-channel
+        # grid below — the per-group scales ride their own state entries
+        # (w_int4g packed codes + scale_wg [G, C_out]) and the activation
+        # side quantizes dynamically per (token, group) inside qlinear.
+        if policy.gptq:
+            raise ValueError(
+                "GPTQ rounding operates on the per-output-channel grid; "
+                "the W4A4 route quantizes per K-group — combine is not "
+                "implemented (the reference's atom.cu is plain RTN too)"
+            )
+        if not policy.act.dynamic:
+            raise ValueError("W4A4 activations quantize per (token, group) "
+                             "dynamically; static A4 is not supported")
+        from wanq_tpu.quant.quantizers import weight_group_int4_quant
+
+        g = policy.group
+        if int(w_work.shape[0]) % g:
+            raise ValueError(
+                f"W4A4 group size {g} must divide in_features "
+                f"{int(w_work.shape[0])}; set act.group in the quant YAML "
+                "to a common divisor of every quantized layer's input dim "
+                "(all production Wan dims are multiples of 128)"
+            )
+        codes4, scale_g = weight_group_int4_quant(w_work, g)
+        if targets in ("sim", "both"):
+            k, n = w_work.shape
+            st["w_q"] = (
+                codes4.astype(jnp.float32).reshape(k // g, g, n)
+                * scale_g[:, None, :]
+            ).reshape(k, n)
+        if targets in ("int8", "both"):
+            st["w_int4g"] = pack_int4(codes4)
+            st["scale_wg"] = scale_g
+        return st
+
     if policy.gptq and hessian is not None:
         # Hessian-aware rounding (quant/gptq.py): same per-output-channel
         # grid and code convention as the RTN path below — the produced
@@ -235,7 +274,11 @@ def quant_state_shardings(
     axes, fs = storage_axes(mesh, full_shard)
 
     def spec(key, leaf):
-        if key in ("w_q", "w_int8", "w_int4") and leaf.shape[-1] % fs == 0:
+        if key in ("w_q", "w_int8", "w_int4", "w_int4g", "scale_wg") and (
+            leaf.shape[-1] % fs == 0
+        ):
+            # all 2D with C_out last: weight matrices and the W4A4
+            # per-(K-group, C_out) scale plane split on the output dim
             return NamedSharding(mesh, P(None, axes))
         if key in ("delta_w", "zp_w", "scale_w", "zp_w_int") and (
             leaf.shape and leaf.shape[0] % fs == 0
@@ -265,7 +308,9 @@ def scan_state_sharding_for(mesh, key: str, leaf, full_shard: bool = False):
     from wanq_tpu.parallel.sharding import storage_axes
 
     axes, fs = storage_axes(mesh, full_shard)
-    if key in ("w_q", "w_int8", "w_int4") and leaf.shape[-1] % fs == 0:
+    if key in ("w_q", "w_int8", "w_int4", "w_int4g", "scale_wg") and (
+        leaf.shape[-1] % fs == 0
+    ):
         return NamedSharding(mesh, P(None, None, axes))
     if key in ("delta_w", "zp_w", "scale_w", "zp_w_int") and (
         len(leaf.shape) >= 2 and leaf.shape[1] % fs == 0
@@ -481,8 +526,8 @@ def rebuild_rotations(
             continue
         if "w_q" in st or "w_int8" in st:
             c_in = int(st.get("w_q", st.get("w_int8")).shape[0])
-        elif "w_int4" in st:
-            c_in = 2 * int(st["w_int4"].shape[0])
+        elif "w_int4" in st or "w_int4g" in st:
+            c_in = 2 * int(st.get("w_int4", st.get("w_int4g")).shape[0])
         else:
             raise KeyError(f"no deployed weight entry in quant state for {n}")
         if c_in not in rotations:

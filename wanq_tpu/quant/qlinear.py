@@ -210,6 +210,27 @@ def qlinear(
         xf = jnp.dot(xf, rot, preferred_element_type=jnp.float32)
 
     if ctx.mode == "sim":
+        if policy.is_w4a4:
+            # Atom W4A4 sim: per-(token, K-group) int4 act fake-quant
+            # against the group-dequantized weight already in st["w_q"] —
+            # the same math the hardware kernel computes, modulo f32
+            # accumulation order (ref csrc/qgemm/w4a4/atom.cu)
+            from wanq_tpu.quant.quantizers import act_group_int4_quant
+
+            g = policy.group
+            q4, s4 = act_group_int4_quant(xf.reshape(b * n, c), g)
+            xq = (
+                q4.astype(jnp.float32).reshape(b * n, c // g, g)
+                * s4[..., None]
+            ).reshape(b, n, c)
+            w_q = st["w_q"].astype(compute_dtype)
+            y = jnp.dot(
+                xq.astype(compute_dtype), w_q,
+                preferred_element_type=jnp.float32,
+            )
+            if params.get("b") is not None:
+                y = y + params["b"].astype(jnp.float32)
+            return _maybe_lora(st, x_raw, y)
         if policy.act is not None and not policy.act.dynamic:
             # static A8: calibration-frozen per-tensor params
             # (ref StaticQuantizer.forward, base_quantizer.py:58-68)
@@ -237,6 +258,24 @@ def qlinear(
             "act quant (quant_configs/config.yaml act.sym=True)"
         )
         bias = params.get("b")
+
+        if policy.is_w4a4:
+            # Atom W4A4 hardware route (ref csrc/qgemm/w4a4/atom.cu):
+            # dynamic per-(token, group) int4 act quant inside the op,
+            # packed-int4 weight + per-(group, C_out) scales from state.
+            # No trainable dequant route — QLoRA trains over W4A8/W8A8.
+            assert not ctx.trainable, (
+                "W4A4 has no trainable dequant route; use w4a8/w8a8 for "
+                "QLoRA bases"
+            )
+            from wanq_tpu.ops.qgemm import w4a4_linear
+
+            y = w4a4_linear(
+                xf.reshape(b * n, c), st["w_int4g"], st["scale_wg"],
+                bias.astype(jnp.float32) if bias is not None else None,
+                group=policy.group, out_dtype=jnp.float32,
+            )
+            return _maybe_lora(st, x_raw, y.reshape(b, n, -1))
 
         if ctx.trainable:
             # QLoRA training route: weights stay int-at-rest (int8 /
