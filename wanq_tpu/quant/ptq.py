@@ -360,6 +360,7 @@ def prepare_quant_state(
     targets: str = "both",
     mesh=None,
     full_shard: bool = False,
+    rotate_on_device: Optional[bool] = None,
 ) -> Tuple[Dict[str, LayerPolicy], Dict[str, Dict[str, jax.Array]], Dict[int, jax.Array]]:
     """Full-model PTQ (ref ptq_wanx.py generate() :261-385).
 
@@ -370,7 +371,13 @@ def prepare_quant_state(
     never pulled to host) and every state entry lands FSDP-sharded;
     ``full_shard`` stores it over every non-dp axis (matches
     parallel.sharding.storage_axes).
+    ``rotate_on_device``: force the f32 on-device FWHT for weight
+    rotations (default: only when ``mesh`` is given). Single-chip PTQ at
+    real dims wants this too — the host-f64 route pulls each weight over
+    the device link (f32-vs-f64 FWHT error is benign, tests/test_hadamard.py).
     Returns (policies, state, rotations)."""
+    if rotate_on_device is None:
+        rotate_on_device = mesh is not None
     policies = {name: qcfg.resolve(name) for name in layer_names}
     calib_max = reduce_calib(calib) if calib is not None else {}
 
@@ -412,7 +419,7 @@ def prepare_quant_state(
                 )
         state[name] = prepare_layer_state(
             policy, w, act_absmax, rot_seed, targets,
-            rotate_on_device=mesh is not None,
+            rotate_on_device=rotate_on_device,
             act_minmax=act_minmax,
             hessian=hessian,
             act_rotation=act_rotation,
