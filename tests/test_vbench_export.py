@@ -52,3 +52,77 @@ def test_export_vbench_channels_last_and_subset(tmp_path):
     assert info[0]["dimension"] == ["scene", "background_consistency"]
     assert sorted(os.listdir(tmp_path / "scene")) != []
     assert not (tmp_path / "subject_consistency").exists()
+
+
+def test_ingest_vbench_results(tmp_path):
+    """Round-trip the reference runner's save_json format
+    (vbench/__init__.py:88): {dim: [avg, per_video_list]} per JSON file,
+    one file per dimension-group invocation."""
+    from wanq_tpu.utils.vbench import ingest_vbench_results
+
+    r1 = {
+        "scene": [0.42, [{"video_path": "a.mp4", "video_results": 0.4}]],
+        "background_consistency": [0.91, []],
+    }
+    r2 = {"subject_consistency": 0.88}  # bare-float variant
+    (tmp_path / "scene_eval_results.json").write_text(json.dumps(r1))
+    (tmp_path / "subject_consistency_eval_results.json").write_text(
+        json.dumps(r2)
+    )
+    # directory scan
+    rep = ingest_vbench_results(str(tmp_path))
+    assert rep["scene"] == 0.42
+    assert rep["background_consistency"] == 0.91
+    assert rep["subject_consistency"] == 0.88
+    assert abs(rep["vbench_mean_raw"] - (0.42 + 0.91 + 0.88) / 3) < 1e-9
+    # explicit file list
+    rep2 = ingest_vbench_results([str(tmp_path / "scene_eval_results.json")])
+    assert set(rep2) == {"scene", "background_consistency", "vbench_mean_raw"}
+
+
+def test_imagereward_adapter_roundtrip(tmp_path):
+    """Export layout matches test_score.py's CocoDataset contract
+    (output_{i}.jpg + one-prompt-per-line txt, test_score.py:18-45) and
+    the result-score.json ingest summarizes {id: reward}."""
+    from wanq_tpu.utils.imagereward import export_imagereward, ingest_imagereward
+
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(-1, 1, size=(3, 16, 16, 3)).astype(np.float32)
+    prompts = ["a red cube", "a blue sphere", "a green cone"]
+    out = export_imagereward(imgs, prompts, str(tmp_path / "ir"))
+    for i in range(3):
+        assert os.path.exists(os.path.join(out, f"output_{i}.jpg"))
+    lines = (tmp_path / "ir" / "prompts.txt").read_text().splitlines()
+    assert lines == prompts
+    runner = (tmp_path / "ir" / "run_imagereward.sh").read_text()
+    assert "test_score.py" in runner and "--img_dir" in runner
+
+    (tmp_path / "result-score.json").write_text(
+        json.dumps({"0": 1.2, "1": -0.4, "2": 0.1})
+    )
+    rep = ingest_imagereward(str(tmp_path / "result-score.json"))
+    assert abs(rep["reward_mean"] - 0.3) < 1e-9
+    assert rep["n_scored"] == 3.0
+
+
+def test_evaluate_cli_ingest_flags(tmp_path):
+    """The evaluate CLI folds VBench + reward ingests into its report."""
+    from wanq_tpu.cli.evaluate import main as eval_main
+
+    rng = np.random.default_rng(3)
+    imgs = rng.uniform(-1, 1, size=(2, 16, 16, 3)).astype(np.float32)
+    np.savez(tmp_path / "fp.npz", images=imgs)
+    np.savez(tmp_path / "q.npz", images=imgs + 0.01 * rng.standard_normal(imgs.shape).astype(np.float32))
+    (tmp_path / "scene_eval_results.json").write_text(
+        json.dumps({"scene": [0.5, []]})
+    )
+    (tmp_path / "result-score.json").write_text(json.dumps({"0": 2.0}))
+    rep = eval_main([
+        "--fp", str(tmp_path / "fp.npz"), "--quant", str(tmp_path / "q.npz"),
+        "--vbench_results", str(tmp_path / "scene_eval_results.json"),
+        "--imagereward_out", str(tmp_path / "ir_out"),
+        "--imagereward_results", str(tmp_path / "result-score.json"),
+    ])
+    assert rep["vbench_scene"] == 0.5
+    assert rep["reward_mean"] == 2.0
+    assert os.path.exists(tmp_path / "ir_out" / "output_1.jpg")

@@ -75,6 +75,23 @@ def main(argv=None):
         help="prompt file (one per line) naming the videos for --vbench_out",
     )
     p.add_argument("--fps", type=int, default=16)
+    p.add_argument(
+        "--vbench_results", nargs="+", default=None,
+        help="ingest VBench *_eval_results.json files (or dirs) produced "
+        "by the exported run_vbench.sh and fold the per-dimension scores "
+        "into this report (ref vbench/__init__.py:88 save_json format)",
+    )
+    p.add_argument(
+        "--imagereward_out", default=None,
+        help="export the QUANT images in the reward-scoring layout "
+        "(output_{i}.jpg + prompts.txt + runner) consumed by the "
+        "reference's eval/image/evaluation/test_score.py (t2i only)",
+    )
+    p.add_argument(
+        "--imagereward_results", default=None,
+        help="ingest a result-score.json written by the reference's "
+        "test_score.py and fold reward stats into this report",
+    )
     args = p.parse_args(argv)
 
     from wanq_tpu.utils.fvd import I3DLikeFeatures, fpfvd_report, latents_as_videos
@@ -143,6 +160,31 @@ def main(argv=None):
         info = export_vbench(q, prompts, args.vbench_out, fps=args.fps)
         rep["vbench_export"] = 1.0
         print(f"VBench layout written: {info}")
+
+    if args.vbench_results:
+        from wanq_tpu.utils.vbench import ingest_vbench_results
+
+        rep.update({f"vbench_{k}" if not k.startswith("vbench") else k: v
+                    for k, v in ingest_vbench_results(args.vbench_results).items()})
+
+    if args.imagereward_out:
+        from wanq_tpu.utils.imagereward import export_imagereward
+
+        if q_kind != "images":
+            raise SystemExit("--imagereward_out needs t2i images")
+        if args.prompts:
+            with open(args.prompts) as f:
+                ir_prompts = [ln.strip() for ln in f if ln.strip()]
+        else:
+            ir_prompts = [f"sample_{i:04d}" for i in range(q.shape[0])]
+        export_imagereward(q, ir_prompts, args.imagereward_out)
+        rep["imagereward_export"] = 1.0
+        print(f"reward-scoring layout written: {args.imagereward_out}")
+
+    if args.imagereward_results:
+        from wanq_tpu.utils.imagereward import ingest_imagereward
+
+        rep.update(ingest_imagereward(args.imagereward_results))
 
     print(json.dumps({k: float(v) for k, v in rep.items()}))
     return rep
