@@ -588,10 +588,24 @@ def _self_attention(
         # KV shards rotate via ppermute (ref xFuserLongContextAttention,
         # xdit_context_parallel.py:179-184)
         if ctx is not None and ctx.attn is not None and ctx.mode in ("int8", "sim"):
+            # Measured "never pays" (BENCH_NOTES.md round 4): attn-map
+            # quant buys ZERO speed on this hardware (int8 PV measured
+            # speed-neutral, tools/pv_int8_probe.py; int8 QK^T loses at
+            # D=128), so its only role is fidelity SIMULATION of the
+            # reference scheme — and the sim's row/block group scales are
+            # statistics over the FULL map axis (per key column / per
+            # global block), which under ring would need a per-column
+            # all-reduce across the ring axis plus a second full pass over
+            # every rotating KV shard: >=2x attention cost for a path
+            # whose single-chip divergence from the sim is already bounded
+            # at ~3 dB (tools/attn_divergence_probe.py). Simulate on one
+            # chip or under Ulysses-only (--ring_size 1), deploy plain/int8
+            # attention under ring.
             raise NotImplementedError(
-                "attention-map quantization is not implemented under ring "
-                "context parallelism (the ring kernel folds KV shards "
-                "online); run with --ring_size 1 or drop the attn section"
+                "attention-map quantization is not supported under ring "
+                "context parallelism — measured to never pay on TPU (see "
+                "BENCH_NOTES.md 'ring x attn-quant'); run with "
+                "--ring_size 1 or drop the attn section"
             )
         y = plan.ring_attention(
             q.astype(dtype), k.astype(dtype), v, k_valid_len=valid_len
