@@ -78,7 +78,33 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
     p.add_argument("--prompt_extend_model", type=str, default=None)
     p.add_argument("--prompt_extend_target_lang", type=str, default="en",
                    choices=["en", "zh"])
+    # step-level caching (beyond-reference; pipelines/text2video.py
+    # StepCachePolicy — fidelity measured in tools/cache_probe.py)
+    p.add_argument("--cfg_cache_interval", type=int, default=1,
+                   help="refresh the uncond CFG branch every K-th step; "
+                        "between refreshes only the cond branch runs "
+                        "(half the tokens per step). 1 = off")
+    p.add_argument("--reuse_interval", type=int, default=1,
+                   help="run the model every R-th step, reuse the previous "
+                        "noise prediction on skipped steps. 1 = off")
+    p.add_argument("--cache_warmup", type=int, default=4,
+                   help="always-full steps at the start of the trajectory")
+    p.add_argument("--cache_tail", type=int, default=4,
+                   help="always-full steps at the end of the trajectory")
     return p
+
+
+def cache_policy_from_args(args):
+    """StepCachePolicy from the CLI cache flags; None when inactive."""
+    from wanq_tpu.pipelines.text2video import StepCachePolicy
+
+    pol = StepCachePolicy(
+        cfg_interval=getattr(args, "cfg_cache_interval", 1),
+        reuse_interval=getattr(args, "reuse_interval", 1),
+        warmup=getattr(args, "cache_warmup", 4),
+        tail=getattr(args, "cache_tail", 4),
+    )
+    return pol if pol.active else None
 
 
 def maybe_extend_prompt(args, logger=None):

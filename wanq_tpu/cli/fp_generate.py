@@ -17,6 +17,7 @@ import numpy as np
 from wanq_tpu.cli.common import (
     seq_parallel_size,
     add_common_args,
+    cache_policy_from_args,
     build_mesh_and_plan,
     load_contexts,
     load_params,
@@ -66,6 +67,7 @@ def generate(args):
         sampling_steps=args.sample_steps,
         guide_scale=args.sample_guide_scale,
         seed=args.base_seed,
+        cache_policy=cache_policy_from_args(args),
     )
     latents.block_until_ready()
     logging.info("denoise done in %.2fs, latents %s", time.time() - t0, latents.shape)

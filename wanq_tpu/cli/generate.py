@@ -18,6 +18,7 @@ import numpy as np
 from wanq_tpu.cli.common import (
     seq_parallel_size,
     add_common_args,
+    cache_policy_from_args,
     build_mesh_and_plan,
     load_contexts,
     load_params,
@@ -153,7 +154,8 @@ def generate(args):
                       mesh=mesh, shardings=plan)
         latents = pipe.generate(
             jnp.asarray(context), jnp.asarray(context_null),
-            size=SIZE_CONFIGS[args.size], **common,
+            size=SIZE_CONFIGS[args.size],
+            cache_policy=cache_policy_from_args(args), **common,
         )
 
     save_file = args.save_file or f"gen_{args.task}_{args.size.replace('*','x')}.npz"

@@ -66,6 +66,58 @@ def compute_seq_len(
     return int(math.ceil(tokens / m)) * m
 
 
+@dataclasses.dataclass(frozen=True)
+class StepCachePolicy:
+    """Step-level redundancy elimination across the denoise trajectory
+    (beyond-reference: the reference always runs 2 full DiT forwards per
+    step, text2video.py:255-261).
+
+    Two orthogonal mechanisms, both on a STATIC schedule (the denoise
+    loop is host-driven, so no data-dependent control flow enters jit):
+
+    * ``cfg_interval`` K — the uncond branch is refreshed every K-th
+      step; in between, only the cond branch runs (a B-sized forward
+      instead of the 2B CFG pair) and combines with the cached uncond.
+      Exploits the slow drift of the unconditional prediction relative
+      to the conditional one (the observation behind adaptive-guidance /
+      CFG-cache methods).
+    * ``reuse_interval`` R — the full model runs every R-th step; skipped
+      steps reuse the previous noise prediction verbatim (zero forwards,
+      FORA-style static feature reuse at the coarsest granularity).
+
+    ``warmup``/``tail`` steps at the trajectory ends always run the full
+    CFG pair — the high-noise start sets global structure and the final
+    steps set fine detail; both are the known failure modes of caching
+    schedules. Fidelity is gated by measurement (tools/cache_probe.py
+    PSNR/FVD vs the uncached trajectory), not assumed.
+    """
+
+    cfg_interval: int = 1
+    reuse_interval: int = 1
+    warmup: int = 4
+    tail: int = 4
+
+    def plan(self, n_steps: int) -> List[str]:
+        """Per-step actions: 'full' | 'cond' | 'reuse'."""
+        acts = []
+        for i in range(n_steps):
+            if i < self.warmup or i >= n_steps - self.tail:
+                acts.append("full")
+                continue
+            j = i - self.warmup
+            if self.reuse_interval > 1 and j % self.reuse_interval:
+                acts.append("reuse")
+            elif self.cfg_interval > 1 and j % self.cfg_interval:
+                acts.append("cond")
+            else:
+                acts.append("full")
+        return acts
+
+    @property
+    def active(self) -> bool:
+        return self.cfg_interval > 1 or self.reuse_interval > 1
+
+
 @dataclasses.dataclass
 class WanT2V:
     """Latent-space pipeline; text encoding / VAE decode are pluggable
@@ -85,6 +137,7 @@ class WanT2V:
 
     def __post_init__(self):
         self._step_fn_cache: Dict[Tuple, Callable] = {}
+        self.last_cache_stats: Optional[Dict[str, int]] = None
         if self.quant_ctx_schedule:
             threshs = [t for t, _ in self.quant_ctx_schedule]
             if threshs != sorted(threshs, reverse=True):
@@ -131,10 +184,47 @@ class WanT2V:
 
         return jax.jit(step)
 
+    def _build_split_step_fn(self, seq_len: int):
+        """CFG pair forward returning (cond, uncond) separately — the
+        caching loop needs the raw uncond to hold across steps."""
+        cfg = self.config
+
+        def step(params, qctx, latents, t, context, context_null):
+            b = latents.shape[0]
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            c2 = jnp.concatenate([context, context_null], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            out = dit_forward(
+                params, cfg, x2, t2, c2, seq_len, ctx=qctx,
+                plan=self.shardings,
+            )
+            return out[:b], out[b:]
+
+        return jax.jit(step)
+
+    def _build_cond_step_fn(self, seq_len: int):
+        """Single-branch forward (B, not 2B) — the cached-uncond steps'
+        entire saving: half the tokens through the model."""
+        cfg = self.config
+
+        def step(params, qctx, latents, t, context):
+            return dit_forward(
+                params, cfg, latents, t, context, seq_len, ctx=qctx,
+                plan=self.shardings,
+            )
+
+        return jax.jit(step)
+
     def _step_fn(self, seq_len: int, mode: str):
         key = (seq_len, mode)
         if key not in self._step_fn_cache:
-            self._step_fn_cache[key] = self._build_step_fn(seq_len, mode)
+            if mode == "split":
+                fn = self._build_split_step_fn(seq_len)
+            elif mode == "cond":
+                fn = self._build_cond_step_fn(seq_len)
+            else:
+                fn = self._build_step_fn(seq_len, mode)
+            self._step_fn_cache[key] = fn
         return self._step_fn_cache[key]
 
     def _make_scheduler(self, sample_solver: str, sampling_steps: int, shift: float):
@@ -169,6 +259,7 @@ class WanT2V:
         guide_scale: float = 5.0,
         seed: int = -1,
         collect_calib: bool = False,
+        cache_policy: Optional[StepCachePolicy] = None,
     ):
         """Denoise loop (ref WanT2V.generate, text2video.py:120-318).
 
@@ -202,6 +293,17 @@ class WanT2V:
         )
 
         gs = jnp.float32(guide_scale)
+
+        if cache_policy is not None and cache_policy.active:
+            assert not collect_calib, (
+                "calibration sweeps must observe every site every step; "
+                "run calibration without a cache_policy"
+            )
+            return self._generate_cached(
+                cache_policy, sch, timesteps, latents, arg_ctx,
+                context, context_null, gs, seq_len, b,
+            )
+
         all_stats: Dict[str, List[np.ndarray]] = {}
         hess_acc: Dict[str, jax.Array] = {}  # device-resident running sums
         for t in timesteps:
@@ -236,6 +338,45 @@ class WanT2V:
             # np.savez/np.asarray convert transparently where needed.
             stacked.update(hess_acc)
             return latents, stacked
+        return latents
+
+    def _generate_cached(
+        self, policy, sch, timesteps, latents, arg_ctx,
+        context, context_null, gs, seq_len, b,
+    ):
+        """Denoise loop under a StepCachePolicy. Per-step forward cost:
+        'full' = 2B tokens, 'cond' = B tokens, 'reuse' = 0. The schedule
+        is static; each action's step function compiles once."""
+        split_fn = self._step_fn(seq_len, "split")
+        cond_fn = self._step_fn(seq_len, "cond")
+        actions = policy.plan(len(timesteps))
+        stats = {"full": 0, "cond": 0, "reuse": 0}
+        last_uncond = None
+        last_pred = None
+        for t, act in zip(timesteps, actions):
+            tt = jnp.full((b,), float(t), dtype=jnp.float32)
+            step_ctx = arg_ctx
+            if self.quant_ctx_schedule:
+                sched = self._ctx_for_timestep(float(t))
+                step_ctx = sched if (
+                    sched is not None and sched.mode in ("sim", "int8")
+                ) else None
+            if act == "reuse" and last_pred is not None:
+                noise_pred = last_pred
+            elif act == "cond" and last_uncond is not None:
+                cond = cond_fn(self.params, step_ctx, latents, tt, context)
+                noise_pred = last_uncond + gs * (cond - last_uncond)
+            else:
+                act = "full"
+                cond, uncond = split_fn(
+                    self.params, step_ctx, latents, tt, context, context_null
+                )
+                last_uncond = uncond
+                noise_pred = uncond + gs * (cond - uncond)
+            stats[act] += 1
+            last_pred = noise_pred
+            latents = sch.step(noise_pred, int(t), latents)
+        self.last_cache_stats = stats
         return latents
 
     # -- calibration sweep (ref get_calib_data_wanx.py:278-473) -------------
