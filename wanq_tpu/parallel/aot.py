@@ -67,7 +67,7 @@ def _scan_state_sharding(
     return scan_state_sharding_for(mesh, key, leaf, full_shard)
 
 
-def aot_validate(
+def aot_compile_step(
     cfg: WanConfig,
     mesh: Mesh,
     quant: Optional[QuantConfig] = None,
@@ -75,14 +75,13 @@ def aot_validate(
     batch: int = 2,
     full_shard: bool = False,
     strip_fp: bool = False,
-) -> str:
-    """AOT-compile one CFG denoise step of ``cfg`` over ``mesh`` (abstract
-    weights; W8A8 scan state when ``quant`` is given). Returns a short
-    summary string; raises on any lowering/partitioning failure.
-    ``full_shard`` stores weights over every non-dp axis (the reference's
-    dit_fsdp-on-all-8-ranks memory layout); ``strip_fp`` drops the FP
-    copies of quantized weights (the reference's hardware-refactor
-    deletion, quant_wanx.py:137-185)."""
+):
+    """AOT-compile one CFG denoise step of ``cfg`` over ``mesh`` with
+    abstract weights (W8A8 scan state when ``quant`` is given). Returns
+    ``(compiled, seq_len, arg_tree)`` — the compiled SPMD executable (its
+    ``as_text()`` HLO carries the real collectives, consumed by
+    tools/comm_model.py), the padded token count, and the abstract
+    argument tree used for residency accounting."""
     plan = ShardingPlan(mesh)
     sp_total = plan.sp_size
 
@@ -184,11 +183,32 @@ def aot_validate(
             .lower(astacked, actx, ax, at, ac, aclip, ay)
             .compile()
         )
-    mem = compiled.memory_analysis()
-    tmpb = getattr(mem, "temp_size_in_bytes", 0)
     arg_tree = [astacked, actx, ax, at, ac]
     if is_i2v:
         arg_tree += [aclip, ay]  # i2v conditioning counts toward residency
+    return compiled, seq_len, arg_tree
+
+
+def aot_validate(
+    cfg: WanConfig,
+    mesh: Mesh,
+    quant: Optional[QuantConfig] = None,
+    latent_fhw: Tuple[int, int, int] = (4, 16, 16),
+    batch: int = 2,
+    full_shard: bool = False,
+    strip_fp: bool = False,
+) -> str:
+    """AOT-compile and summarize (raises on any lowering/partitioning
+    failure). ``full_shard`` stores weights over every non-dp axis (the
+    reference's dit_fsdp-on-all-8-ranks memory layout); ``strip_fp``
+    drops the FP copies of quantized weights (the reference's
+    hardware-refactor deletion, quant_wanx.py:137-185)."""
+    compiled, seq_len, arg_tree = aot_compile_step(
+        cfg, mesh, quant=quant, latent_fhw=latent_fhw, batch=batch,
+        full_shard=full_shard, strip_fp=strip_fp,
+    )
+    mem = compiled.memory_analysis()
+    tmpb = getattr(mem, "temp_size_in_bytes", 0)
     argb = _per_device_bytes(arg_tree)
     return (
         f"aot ok: dim={cfg.dim} layers={cfg.num_layers} heads={cfg.num_heads} "
