@@ -51,9 +51,14 @@ def test_plan_shapes_and_protected_windows():
     assert acts2 == ["full", "full", "reuse", "reuse",
                      "full", "reuse", "reuse", "full"]
 
-    # reuse takes precedence over cond on overlapping offsets
+    # reuse takes precedence; the cfg cycle advances over MODEL-EVAL steps
+    # so the two mechanisms interleave instead of collapsing
     p3 = StepCachePolicy(cfg_interval=2, reuse_interval=2, warmup=1, tail=1)
-    assert p3.plan(6) == ["full", "full", "reuse", "full", "reuse", "full"]
+    assert p3.plan(6) == ["full", "cond", "reuse", "full", "reuse", "full"]
+    p4 = StepCachePolicy(cfg_interval=2, reuse_interval=2, warmup=2, tail=2)
+    acts4 = p4.plan(10)
+    assert acts4 == ["full", "full", "full", "reuse", "cond", "reuse",
+                     "full", "reuse", "full", "full"]
 
 
 def test_inactive_policy_is_exact_parity(tiny, contexts):

@@ -98,19 +98,27 @@ class StepCachePolicy:
     tail: int = 4
 
     def plan(self, n_steps: int) -> List[str]:
-        """Per-step actions: 'full' | 'cond' | 'reuse'."""
+        """Per-step actions: 'full' | 'cond' | 'reuse'. The cfg cycle
+        counts MODEL-EVAL steps (non-reuse), so the two mechanisms
+        compose: reuse_interval=2 + cfg_interval=2 alternates
+        full/reuse/cond/reuse... instead of collapsing onto the same
+        offsets."""
         acts = []
+        n_eval = 0
         for i in range(n_steps):
             if i < self.warmup or i >= n_steps - self.tail:
                 acts.append("full")
+                n_eval += 1
                 continue
             j = i - self.warmup
             if self.reuse_interval > 1 and j % self.reuse_interval:
                 acts.append("reuse")
-            elif self.cfg_interval > 1 and j % self.cfg_interval:
+                continue
+            if self.cfg_interval > 1 and n_eval % self.cfg_interval:
                 acts.append("cond")
             else:
                 acts.append("full")
+            n_eval += 1
         return acts
 
     @property
