@@ -1,20 +1,26 @@
 """Gradio web demo (TPU-native rebuild of the reference's
-gradio/t2v_1.3B_singleGPU.py family): text → video with optional prompt
-extension, FP or quantized. Gated on gradio availability (not baked into
-the TPU image); everything it calls is the plain pipeline API.
+gradio/ directory: t2v_1.3B_singleGPU.py, t2v_14B_singleGPU.py,
+t2i_14B_singleGPU.py, i2v_14B_singleGPU.py — one parametric demo
+instead of four near-identical scripts; --task selects the surface):
 
     python -m wanq_tpu.cli.gradio_demo --task t2v-1.3B --ckpt_dir ...
+    python -m wanq_tpu.cli.gradio_demo --task t2i-14B  --ckpt_dir ...
+    python -m wanq_tpu.cli.gradio_demo --task i2v-14B --size 1280*720 ...
+
+Gated on gradio availability (not baked into the TPU image); everything
+it calls is the plain pipeline API used by wanq_tpu.cli.generate.
 """
 
 from __future__ import annotations
 
 import argparse
 import logging
+import os
 
 import numpy as np
 
 from wanq_tpu.cli.common import add_common_args, load_params, setup_logging
-from wanq_tpu.configs import SIZE_CONFIGS, WAN_CONFIGS
+from wanq_tpu.configs import MAX_AREA_CONFIGS, SIZE_CONFIGS, WAN_CONFIGS
 
 
 def parse_args(argv=None):
@@ -37,7 +43,6 @@ def build_demo(args):
 
     import jax.numpy as jnp
 
-    from wanq_tpu.pipelines.text2video import WanT2V
     from wanq_tpu.utils.prompt_extend import (
         DashScopePromptExpander,
         IdentityPromptExpander,
@@ -47,8 +52,9 @@ def build_demo(args):
 
     setup_logging()
     cfg = WAN_CONFIGS[args.task]
+    is_i2v = cfg.model_type == "i2v"
+    is_t2i = args.task.startswith("t2i")
     params = load_params(args, cfg)
-    pipe = WanT2V(cfg, params)
 
     expander = {
         "none": IdentityPromptExpander,
@@ -56,44 +62,73 @@ def build_demo(args):
         "dashscope": DashScopePromptExpander,
     }[args.prompt_extend]()
 
-    encoder = None
+    encoder = vae = clip = None
     if args.ckpt_dir:
-        import os
-
         from wanq_tpu.models.t5 import T5EncoderModel
+        from wanq_tpu.models.vae import WanVAE
 
         encoder = T5EncoderModel(
             cfg.text_len,
             checkpoint_path=os.path.join(args.ckpt_dir, cfg.t5_checkpoint),
             tokenizer_path=cfg.t5_tokenizer,
         )
+        vae = WanVAE(vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint))
+        if is_i2v:
+            from wanq_tpu.models.clip import CLIPModel
 
-    def run(prompt, steps, guide_scale, shift, seed, extend):
+            clip = CLIPModel(checkpoint_path=os.path.join(
+                args.ckpt_dir, cfg.clip_checkpoint))
+
+    if is_i2v:
+        from wanq_tpu.pipelines.image2video import WanI2V
+
+        pipe = WanI2V(cfg, params, vae=vae, clip=clip)
+    else:
+        from wanq_tpu.pipelines.text2video import WanT2V
+
+        pipe = WanT2V(cfg, params)
+
+    def run(prompt, image, steps, guide_scale, shift, seed, extend):
         if extend:
             prompt = expander(prompt, tar_lang="en").prompt
         if encoder is None:
             raise gr.Error("no --ckpt_dir: demo needs the T5 checkpoint")
         ctx = encoder([prompt])
         ctx_null = encoder([args.neg_prompt])
-        latents = pipe.generate(
-            jnp.asarray(ctx), jnp.asarray(ctx_null),
-            size=SIZE_CONFIGS[args.size], frame_num=args.frame_num,
-            sampling_steps=int(steps), guide_scale=float(guide_scale),
-            shift=float(shift), seed=int(seed),
-        )
-        import os
-
-        from wanq_tpu.models.vae import WanVAE
-
-        vae = WanVAE(vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint))
+        frame_num = 1 if is_t2i else args.frame_num
+        if is_i2v:
+            if image is None:
+                raise gr.Error("i2v needs an input image")
+            img = jnp.asarray(
+                np.asarray(image, np.float32).transpose(2, 0, 1) / 127.5 - 1.0)
+            latents = pipe.generate(
+                img, jnp.asarray(ctx), jnp.asarray(ctx_null),
+                max_area=MAX_AREA_CONFIGS[args.size], frame_num=frame_num,
+                sampling_steps=int(steps), guide_scale=float(guide_scale),
+                shift=float(shift), seed=int(seed),
+            )
+        else:
+            latents = pipe.generate(
+                jnp.asarray(ctx), jnp.asarray(ctx_null),
+                size=SIZE_CONFIGS[args.size], frame_num=frame_num,
+                sampling_steps=int(steps), guide_scale=float(guide_scale),
+                shift=float(shift), seed=int(seed),
+            )
         video = vae.decode(latents)
-        path = cache_video(np.asarray(video), "gradio_out.mp4", fps=cfg.sample_fps)
-        return path, prompt
+        if is_t2i:
+            frame = np.asarray(video)[0, :, 0]  # [3, H, W] in [-1, 1]
+            img_out = ((frame.transpose(1, 2, 0) + 1.0) * 127.5).clip(0, 255)
+            return None, img_out.astype(np.uint8), prompt
+        path = cache_video(np.asarray(video), "gradio_out.mp4",
+                           fps=cfg.sample_fps)
+        return path, None, prompt
 
+    title = f"Wan2.1 {args.task} (TPU-native)"
     with gr.Blocks(title=f"wanq_tpu {args.task}") as demo:
-        gr.Markdown(f"## Wan2.1 {args.task} (TPU-native)")
+        gr.Markdown(f"## {title}")
         with gr.Row():
             prompt = gr.Textbox(label="Prompt", lines=3)
+            image = gr.Image(label="Input image", visible=is_i2v)
         with gr.Row():
             steps = gr.Slider(1, 100, value=args.sample_steps, label="Steps")
             gs = gr.Slider(1, 15, value=args.sample_guide_scale, label="Guidance")
@@ -101,10 +136,11 @@ def build_demo(args):
             seed = gr.Number(value=args.base_seed, label="Seed")
             extend = gr.Checkbox(label="Extend prompt")
         btn = gr.Button("Generate")
-        video = gr.Video(label="Output")
+        video = gr.Video(label="Output video", visible=not is_t2i)
+        image_out = gr.Image(label="Output image", visible=is_t2i)
         final_prompt = gr.Textbox(label="Final prompt", interactive=False)
-        btn.click(run, [prompt, steps, gs, shift, seed, extend],
-                  [video, final_prompt])
+        btn.click(run, [prompt, image, steps, gs, shift, seed, extend],
+                  [video, image_out, final_prompt])
     return demo
 
 
