@@ -133,12 +133,12 @@ def time_blocks(cfg, blocks_stacked, ctx, x, e0, c, cos, sin, valid_len,
     return dt / (rounds * k)
 
 
-def main():
-    res = int(sys.argv[1]) if len(sys.argv) > 1 else 720
-    frame_num = int(sys.argv[2]) if len(sys.argv) > 2 else 81
-    K = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    R = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-    variant = sys.argv[5] if len(sys.argv) > 5 else "speed"
+def measure(res: int = 720, frame_num: int = 81, K: int = 3, R: int = 4,
+            variant: str = "speed"):
+    """Measure the 14B per-block bf16 and W8A8 times at ``res``p.
+    Returns (t_bf16_seconds, t_int8_seconds) per block. Callable from
+    bench.py so the driver-recorded JSON carries the measured 14B ratios
+    (round-3 VERDICT #1)."""
     size = (1280, 720) if res == 720 else (832, 480)
     B = 1
 
@@ -210,6 +210,16 @@ def main():
           f"(x40 blocks = {40*t_int8:.2f} s/fwd)", flush=True)
     print(f"MEASURED 14B block ratio @ {res}p: "
           f"{t_bf16/t_int8:.3f}x (bf16/int8)", flush=True)
+    return t_bf16, t_int8
+
+
+def main():
+    res = int(sys.argv[1]) if len(sys.argv) > 1 else 720
+    frame_num = int(sys.argv[2]) if len(sys.argv) > 2 else 81
+    K = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    R = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    variant = sys.argv[5] if len(sys.argv) > 5 else "speed"
+    measure(res, frame_num, K, R, variant)
 
 
 if __name__ == "__main__":
