@@ -339,6 +339,57 @@ def init_t5_params(cfg: T5Config, seed: int = 0, encoder_only: bool = True) -> P
     }
 
 
+def init_t5_params_on_device(cfg: T5Config, seed: int = 0) -> Params:
+    """Encoder-only random init generated ON the accelerator.
+
+    Same structure/stds as ``init_t5_params`` (ref t5.py init_weights
+    :27-43) but built by one jitted program of ``seed`` — the host-numpy
+    init moves ~11 GiB for umT5-XXL over the host link (~16 min on a
+    tunneled chip) while this lands in seconds. Draws differ from the
+    numpy RNG; use for benches/probes, not for pinned-value tests.
+    """
+    dtype = cfg.dtype
+
+    def build(key):
+        def lin(k, c_in, c_out, std):
+            return {"w": (jax.random.normal(k, (c_in, c_out), jnp.float32)
+                          * std).astype(dtype)}
+
+        def block(k):
+            ks = jax.random.split(k, 8)
+            return {
+                "norm1": {"w": jnp.ones((cfg.dim,), jnp.float32)},
+                "attn": {
+                    "q": lin(ks[0], cfg.dim, cfg.dim_attn,
+                             (cfg.dim * cfg.dim_attn) ** -0.5),
+                    "k": lin(ks[1], cfg.dim, cfg.dim_attn, cfg.dim**-0.5),
+                    "v": lin(ks[2], cfg.dim, cfg.dim_attn, cfg.dim**-0.5),
+                    "o": lin(ks[3], cfg.dim_attn, cfg.dim,
+                             (cfg.num_heads * cfg.head_dim) ** -0.5),
+                },
+                "norm2": {"w": jnp.ones((cfg.dim,), jnp.float32)},
+                "ffn": {
+                    "gate": {"0": lin(ks[4], cfg.dim, cfg.dim_ffn,
+                                      cfg.dim**-0.5)},
+                    "fc1": lin(ks[5], cfg.dim, cfg.dim_ffn, cfg.dim**-0.5),
+                    "fc2": lin(ks[6], cfg.dim_ffn, cfg.dim, cfg.dim_ffn**-0.5),
+                },
+                "pos_embedding": {"embedding": jax.random.normal(
+                    ks[7], (cfg.num_buckets, cfg.num_heads), jnp.float32)
+                    * (2 * cfg.num_buckets * cfg.num_heads) ** -0.5},
+            }
+
+        keys = jax.random.split(key, cfg.num_layers + 1)
+        return {
+            "token_embedding": jax.random.normal(
+                keys[0], (cfg.vocab_size, cfg.dim), jnp.float32).astype(dtype),
+            "blocks": [block(keys[i + 1]) for i in range(cfg.num_layers)],
+            "norm": {"w": jnp.ones((cfg.dim,), jnp.float32)},
+        }
+
+    return jax.jit(build)(jax.random.PRNGKey(seed))
+
+
 def convert_t5_state_dict(sd: Dict[str, Any], dtype=jnp.bfloat16) -> Params:
     """Reference models_t5_umt5-xxl-enc-bf16.pth state dict → pytree."""
     import re as _re
