@@ -56,3 +56,57 @@ def test_collectives_parsed_from_real_spmd_hlo():
     # scan-body collectives must be multiplied by the trip count
     assert any(c[3] == cfg.num_layers for c in colls), (
         "no in-loop collectives detected — op_name loop detection drifted")
+
+
+def test_no_parasitic_fullseq_allgathers_in_block_loop():
+    """Regression for the round-4 comm-layout work (BENCH_NOTES 'Token-
+    sharding pin + ZeRO-3 use-time weight gather'): with activations
+    pinned token-sharded, per-block weights gathered ZeRO-3-style, and the
+    GEMM wrappers unflattened, the scan body must contain NO all-gather
+    that reconstructs the FULL sequence — those were the 330+ GB/step
+    parasitic regathers at 14B (e.g. the [B,S,C]→[B·S,C] flatten at each
+    int8 GEMM interface). Intended seq movement is all-to-all (Ulysses)
+    and collective-permute (ring) only."""
+    import re
+
+    from wanq_tpu.configs import tiny_config
+    from wanq_tpu.parallel.aot import aot_compile_step
+    from wanq_tpu.parallel.sharding import make_mesh
+    from wanq_tpu.quant.config import QuantConfig
+
+    cfg = tiny_config()
+    mesh = make_mesh(1, 2, 2, 2)
+    quant = QuantConfig.from_dict({
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+        "remain_fp_regex": r"text_embedding|time_embedding|time_projection",
+    })
+    compiled, seq_len, _ = aot_compile_step(
+        cfg, mesh, quant=quant, latent_fhw=(4, 16, 16),
+        full_shard=True, strip_fp=True,
+    )
+    hlo = compiled.as_text()
+    bad = []
+    weight_gathers = 0
+    for line in hlo.splitlines():
+        m = re.search(
+            r"=\s*((?:\([^)]*\)|\S+))\s+(all-gather)(?:-start)?\(", line)
+        if not m or "/while/body" not in line:
+            continue
+        shape_str = m.group(1)
+        dims = {
+            int(d)
+            for _, ds in re.findall(r"(\w+)\[([\d,]*)\]", shape_str)
+            for d in ds.split(",") if d
+        }
+        if seq_len in dims:
+            bad.append(line.strip()[:200])
+        else:
+            weight_gathers += 1
+    assert not bad, (
+        f"full-seq (S={seq_len}) all-gathers re-appeared in the scan body "
+        f"— an activation lost its token sharding:\n" + "\n".join(bad[:8])
+    )
+    # the ZeRO-3 use-time weight gathers must still be there
+    assert weight_gathers > 0, "no weight all-gathers in scan body — did " \
+        "full_shard storage or gather_weights change?"

@@ -511,6 +511,14 @@ def _self_attention(
         q = qlinear(ctx, f"{name}.q", p["q"], x, dtype).astype(dtype)
         k = qlinear(ctx, f"{name}.k", p["k"], x, dtype).astype(dtype)
         v = qlinear(ctx, f"{name}.v", p["v"], x, dtype).astype(dtype)
+    if plan is not None:
+        # pin the projection outputs token-sharded: without this the
+        # partitioner keeps activations FULL-seq at the block dot_generals
+        # and pays seq all-gathers (~270 GB/step at 14B 720p,
+        # tools/comm_model.py attribution); pinned, it all-gathers the far
+        # smaller fsdp weight shards instead and the only seq movement left
+        # is the intended Ulysses all-to-all at plan.heads below
+        q, k, v = plan.tokens(q), plan.tokens(k), plan.tokens(v)
     # layout-friendly rope (x·ca + pairswap(x)·sb, see models/rope.py):
     # f32 compute inside the fusion, bf16 at rest — profiled ~10 ms/block
     # cheaper than the pair-reshape form on TPU. On the plain-attention
@@ -679,6 +687,11 @@ def _cross_attention(
         # ~20 ms/step at 1.3B; the norms recompute f32 internally, matching
         # the self-attn path's rounding discipline)
         q = qlinear(ctx, f"{name}.q", p["q"], x, dtype).astype(dtype)
+    if plan is not None:
+        # queries stay token-sharded through cross-attention: KV is the
+        # short text context (replicated), so each device attends its own
+        # token shard with ZERO seq collectives — no Ulysses reshard needed
+        q = plan.tokens(q)
     k = qlinear(ctx, f"{name}.k", p["k"], context_txt, dtype).astype(dtype)
     v = qlinear(ctx, f"{name}.v", p["v"], context_txt, dtype).astype(dtype)
     if cfg.qk_norm:
@@ -740,6 +753,8 @@ def _cross_attention(
         y = y + attention(q, k_img, v_img, trainable=training)
 
     y = y.reshape(b, -1, n * hd)
+    if plan is not None:
+        y = plan.tokens(y)
     return qlinear(ctx, f"{name}.o", p["o"], y, dtype)
 
 
@@ -787,6 +802,8 @@ def block_forward(
         prequant = ln_modulate_quant_static(
             x, e0, e1, ctx.state[qkv_sites[0]]["delta_a"], eps=cfg.eps
         )
+        if plan is not None:
+            prequant = plan.prequant(prequant)
         y = _self_attention(
             p["self_attn"], f"{name}.self_attn", ctx, None, cfg,
             cos, sin, valid_len, dtype, plan=plan, prequant=prequant,
@@ -799,6 +816,8 @@ def block_forward(
         from wanq_tpu.ops.fused import ln_modulate_quant
 
         prequant = ln_modulate_quant(x, e0, e1, eps=cfg.eps)
+        if plan is not None:
+            prequant = plan.prequant(prequant)
         y = _self_attention(
             p["self_attn"], f"{name}.self_attn", ctx, None, cfg,
             cos, sin, valid_len, dtype, plan=plan, prequant=prequant,
@@ -811,6 +830,10 @@ def block_forward(
             cos, sin, valid_len, dtype, plan=plan, training=training,
         )
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e2[:, None, :]).astype(x.dtype)
+    if plan is not None:
+        # keep the residual stream token-sharded between sublayers so the
+        # scan carry (and every LN/producer reading it) never re-gathers seq
+        x = plan.tokens(x)
 
     cq_site = f"{name}.cross_attn.q"
     if cq_static or cq_dyn:
@@ -836,6 +859,8 @@ def block_forward(
             )
         else:
             cq_prequant = ln_modulate_quant(x, shift3, scale3, eps=cfg.eps)
+        if plan is not None:
+            cq_prequant = plan.prequant(cq_prequant)
         y = _cross_attention(
             p["cross_attn"], f"{name}.cross_attn", ctx, None,
             context, cfg, dtype, plan=plan, prequant=cq_prequant,
@@ -851,6 +876,8 @@ def block_forward(
             context, cfg, dtype, plan=plan, training=training,
         )
     x = (x.astype(jnp.float32) + y.astype(jnp.float32)).astype(x.dtype)
+    if plan is not None:
+        x = plan.tokens(x)
 
     ffn_sites = [f"{name}.ffn.0", f"{name}.ffn.2"]
     from wanq_tpu.quant.qlinear import int8_static_fusable
@@ -870,9 +897,13 @@ def block_forward(
         h8, s_a, ssum = ln_modulate_quant(
             x, e3, e4, eps=cfg.eps, channel_scale=st0.get("channel_mask")
         )
+        if plan is not None:
+            h8, s_a, ssum = plan.prequant((h8, s_a, ssum))
         h = w8a8_from_prequant(ctx, ffn_sites[0], p["ffn"]["0"], h8, s_a, ssum,
                                out_dtype=jnp.bfloat16)
-        bh, nh, ch = h.shape
+        if plan is not None:
+            h = plan.tokens(h)
+        bh, nh = h.shape[:2]
         if ffn2_static:
             # static-scale GELU+quant (ref quant_sum_static, fused.cu:586):
             # elementwise → XLA fuses it into the first GEMM's epilogue, so
@@ -885,22 +916,26 @@ def block_forward(
                 h8b, axis=-1, dtype=jnp.float32
             )
         else:
-            h8f, s2f, sm2f = quant_sum(
-                h.reshape(bh * nh, ch), gelu=True,
-                channel_scale=st2.get("channel_mask"),
+            # 3D-native (no [B·N, C] flatten — it would full-gather the
+            # token-sharded seq dim under GSPMD, see w8a8_linear_xla)
+            h8b, s2, sm2 = quant_sum(
+                h, gelu=True, channel_scale=st2.get("channel_mask"),
             )
-            h8b = h8f.reshape(bh, nh, ch)
-            s2 = s2f.reshape(bh, nh)
-            sm2 = sm2f.reshape(bh, nh)
+        if plan is not None:
+            h8b, s2, sm2 = plan.prequant((h8b, s2, sm2))
         y = w8a8_from_prequant(
             ctx, ffn_sites[1], p["ffn"]["2"], h8b, s2, sm2,
         )
     else:
         xn2 = layer_norm(x, cfg.eps) * (1.0 + e4[:, None, :]) + e3[:, None, :]
         h = qlinear(ctx, f"{name}.ffn.0", p["ffn"]["0"], xn2.astype(dtype), dtype)
+        if plan is not None:
+            h = plan.tokens(h)
         h = gelu_tanh(h).astype(dtype)
         y = qlinear(ctx, f"{name}.ffn.2", p["ffn"]["2"], h, dtype)
     x = (x.astype(jnp.float32) + y.astype(jnp.float32) * e5[:, None, :]).astype(x.dtype)
+    if plan is not None:
+        x = plan.tokens(x)
     return x
 
 
@@ -1017,6 +1052,8 @@ def dit_forward(
     else:
         for i in range(cfg.num_layers):
             def body(bp, xf_, e0_, c_, _i=i):
+                if plan is not None:
+                    bp = plan.gather_weights(bp)
                 return block_forward(
                     bp, f"blocks.{_i}", ctx, xf_, e0_, c_, cfg,
                     cos, sin, valid_len, plan=plan, training=training,
@@ -1108,6 +1145,13 @@ def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
 
     def body(carry, xs):
         bp, bstate, bperms = xs
+        if plan is not None:
+            # ZeRO-3 use-time gather (see ShardingPlan.gather_weights):
+            # this block's weight + quant-state slice replicates for the
+            # duration of one iteration; all block dots run comm-free on
+            # token-sharded activations
+            bp = plan.gather_weights(bp)
+            bstate = plan.gather_weights(bstate)
         sub = None
         if ctx is not None:
             # the per-block view carries every behavior flag (ctx.replace)

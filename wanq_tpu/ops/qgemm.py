@@ -35,11 +35,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _epilogue(acc_i32, s_a, s_w, sum_a, zp_w, bias, out_dtype=jnp.float32):
-    out = acc_i32.astype(jnp.float32) * (s_a[:, None] * s_w[None, :])
+    # broadcast form serves both [M,N] and batched [..., M, N] accumulators
+    # (s_a/sum_a carry the leading dims, s_w/zp_w/bias are per-column)
+    out = acc_i32.astype(jnp.float32) * (s_a[..., None] * s_w)
     if zp_w is not None:
-        out = out + sum_a[:, None] * (zp_w * s_w)[None, :]
+        out = out + sum_a[..., None] * (zp_w * s_w)
     if bias is not None:
-        out = out + bias[None, :]
+        out = out + bias
     return out.astype(out_dtype)
 
 
@@ -53,11 +55,17 @@ def w8a8_linear_xla(
     bias: Optional[jax.Array] = None,
     out_dtype=jnp.float32,
 ) -> jax.Array:
-    """a_int8 [M,K] @ w_int8 [K,N] with fused dequant. Returns [M,N]."""
+    """a_int8 [..., K] @ w_int8 [K,N] with fused dequant. Returns [..., N].
+
+    Leading activation dims pass through UNFLATTENED — under GSPMD a
+    [B, S, K] → [B·S, K] reshape merging an unsharded batch dim with the
+    token-sharded S dim cannot keep its sharding (minor-dim tiling) and
+    forces a full-seq all-gather per GEMM (measured 334 GB/step on the 14B
+    FFN intermediate alone, tools/comm_model.py)."""
     acc = jax.lax.dot_general(
         a_int8,
         w_int8,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((a_int8.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     return _epilogue(acc, s_a.astype(jnp.float32), s_w.astype(jnp.float32),
@@ -361,11 +369,12 @@ def w4a8_linear(
     """Dispatch for packed-int4-weight GEMM (mirrors w8a8_linear)."""
     import os
 
-    k = a_int8.shape[1]
+    k = a_int8.shape[-1]
     n = w_packed.shape[1]
     if (
         os.environ.get("WANQ_PALLAS_QGEMM") == "1"
         and jax.default_backend() == "tpu"
+        and a_int8.ndim == 2
         and k % 256 == 0
         and n % 128 == 0
     ):
@@ -578,11 +587,12 @@ def w8a8_linear(
     kernel (kept for tuning headroom)."""
     import os
 
-    m, k = a_int8.shape
+    k = a_int8.shape[-1]
     n = w_int8.shape[1]
     if (
         os.environ.get("WANQ_PALLAS_QGEMM") == "1"
         and jax.default_backend() == "tpu"
+        and a_int8.ndim == 2
         and k % 128 == 0
         and n % 128 == 0
     ):

@@ -72,6 +72,16 @@ class ShardingPlan:
         """[B, S, C] activations: batch over dp, tokens over sp×ring."""
         return self._c(x, "dp", ("sp", "ring"), None)
 
+    def tokens2d(self, x):
+        """[B, S] per-token scalars (act scales / int8 row sums)."""
+        return self._c(x, "dp", ("sp", "ring"))
+
+    def prequant(self, pq):
+        """Pin a fused-producer (q8 [B,S,C], scale [B,S], sum [B,S]) tuple
+        token-sharded, so the int8 GEMMs it feeds stay token-parallel."""
+        q8, s, sm = pq
+        return self.tokens(q8), self.tokens2d(s), self.tokens2d(sm)
+
     def heads(self, x):
         """[B, S, H, D] attention operands: heads over sp, seq over ring
         (the Ulysses all-to-all happens at this reshard; with ring=1 the
@@ -96,6 +106,23 @@ class ShardingPlan:
 
     def replicate(self, x):
         return self._c(x, *([None] * x.ndim))
+
+    def gather_weights(self, tree):
+        """ZeRO-3 use-time gather: replicate ONE block's weight/quant-state
+        slice inside the scan body. Storage stays sharded across the mesh
+        (param_shardings / scan_state_sharding_for); the all-gather runs
+        once per block iteration (~weight_bytes·(n-1)/n per step — at 14B
+        int8 that is ~12 GB/step) and every dot in the block then runs
+        fully local on token-sharded activations. Without this the
+        partitioner keeps weights sharded, emits channel-sharded dot
+        outputs, and pays seq-sized activation regathers at the reshapes
+        (14B 720p×81f fsdp2×sp2×ring2: 615 GB/step unpinned, 2134 GB/step
+        with activation pins alone; pins + this gather + unflattened GEMMs
+        measure 394 GB/step → predicted v5e-8 step 6.98→4.60 s,
+        tools/comm_model.py)."""
+        return jax.tree_util.tree_map(
+            lambda l: self._c(l, *([None] * l.ndim)), tree
+        )
 
 
 def _linear_spec(path_leaf: str) -> P:

@@ -178,19 +178,24 @@ def qlinear(
     policy = ctx.policy(name)
 
     if ctx.mode == "calib":
-        c = x.shape[-1]
-        xf2 = x.astype(jnp.float32).reshape(-1, c)
-        ctx.collect[name] = jnp.max(jnp.abs(xf2), axis=0)
+        # stats reduce over every leading (token) dim directly — no
+        # [B·N, C] flatten, so sharded calibration keeps its token sharding
+        # and GSPMD lowers these to local reductions + tiny all-reduces
+        xf3 = x.astype(jnp.float32)
+        lead = tuple(range(xf3.ndim - 1))
+        ctx.collect[name] = jnp.max(jnp.abs(xf3), axis=lead)
         if ctx.collect_minmax:
             # per-channel running min/max for static activation quant
             # (ref StaticQuantizer accumulation, base_quantizer.py:74-87)
-            ctx.collect[f"{name}.act_max"] = jnp.max(xf2, axis=0)
-            ctx.collect[f"{name}.act_min"] = jnp.min(xf2, axis=0)
+            ctx.collect[f"{name}.act_max"] = jnp.max(xf3, axis=lead)
+            ctx.collect[f"{name}.act_min"] = jnp.min(xf3, axis=lead)
         if ctx.hessian_regex and re.search(ctx.hessian_regex, name):
             # input Hessian for GPTQ rounding (quant/gptq.py); summed over
             # the calibration sweep by the pipeline (per-step terms here)
-            ctx.collect[f"{name}.hess"] = jnp.dot(
-                xf2.T, xf2, preferred_element_type=jnp.float32
+            ctx.collect[f"{name}.hess"] = jax.lax.dot_general(
+                xf3, xf3,
+                dimension_numbers=((lead, lead), ((), ())),
+                preferred_element_type=jnp.float32,
             )
         return fp_linear(params, x, compute_dtype)
 
@@ -310,23 +315,25 @@ def qlinear(
                 y = y + bias.astype(jnp.float32)
             return _maybe_lora(st, x_raw, y)
 
+        # NO [B·N, C] flatten here: the GEMM wrappers take [..., C]
+        # natively — under GSPMD a reshape merging batch with the
+        # token-sharded seq dim would full-gather the sequence per layer
+        # (see w8a8_linear_xla docstring)
         if not policy.act.dynamic:
             # static-scale quant: no absmax pass (the analog of the
             # reference's quant_sum_static kernel, fused.cu:586)
             scale = st["delta_a"].reshape(())
-            q = jnp.clip(
-                jnp.round(xf.reshape(b * n, c) / scale), -128, 127
-            ).astype(jnp.int8)
-            s_a = jnp.full((b * n,), scale, jnp.float32)
-            sum_a = s_a * jnp.sum(q.astype(jnp.float32), axis=1)
+            q = jnp.clip(jnp.round(xf / scale), -128, 127).astype(jnp.int8)
+            s_a = jnp.full((b, n), scale, jnp.float32)
+            sum_a = s_a * jnp.sum(q.astype(jnp.float32), axis=-1)
         else:
-            q, s_a, sum_a = act_dynamic_int_quant(xf.reshape(b * n, c), sym=True)
+            q, s_a, sum_a = act_dynamic_int_quant(xf, sym=True)
         y = _int_linear(
             st, q, s_a, sum_a,
             bias.astype(jnp.float32) if bias is not None else None,
             jnp.float32,
         )
-        return _maybe_lora(st, x_raw, y.reshape(b, n, -1))
+        return _maybe_lora(st, x_raw, y)
 
     raise ValueError(f"unknown quant mode {ctx.mode}")
 
@@ -423,16 +430,12 @@ def w8a8_from_prequant(
 ) -> jax.Array:
     """int8 GEMM from an already-quantized activation (produced by a fused
     LN/GELU+quant op — the reference's QuantParams scratch-buffer pattern,
-    nn/base.py:3-26). q8: [B, N, C] int8; s_a/ssum: [B, N]."""
+    nn/base.py:3-26). q8: [B, N, C] int8; s_a/ssum: [B, N]. Fed to the
+    GEMM unflattened so the token sharding survives under GSPMD."""
     st = ctx.state[name]
-    b, n, c = q8.shape
     bias = params.get("b")
-    y = _int_linear(
-        st,
-        q8.reshape(b * n, c),
-        s_a.reshape(-1),
-        ssum.reshape(-1),
+    return _int_linear(
+        st, q8, s_a, ssum,
         bias.astype(jnp.float32) if bias is not None else None,
         out_dtype,
     )
-    return y.reshape(b, n, -1)

@@ -330,14 +330,15 @@ def act_dynamic_int_quant(
     asymmetric-weight zero-point correction term
     (kernels/bench/bench_gemm.py:26-29):
         out = (A_int @ W_int.T)·s_a·s_w + sum_input·zp_w·s_w + bias
-    x: [G, C]. sym=True matches the Wan act config (quant_configs/config.yaml).
+    x: [..., C] (leading dims pass through). sym=True matches the Wan act
+    config (quant_configs/config.yaml).
     """
     xf = x.astype(jnp.float32)
     if sym:
-        absmax = jnp.max(jnp.abs(xf), axis=1)
+        absmax = jnp.max(jnp.abs(xf), axis=-1)
         scale = jnp.maximum(absmax / 127.0, _EPS_SYM)
     else:
         raise NotImplementedError("asymmetric activation int quant not used by Wan")
-    q = jnp.clip(jnp.round(xf / scale[:, None]), -128, 127).astype(jnp.int8)
-    s = scale * jnp.sum(q.astype(jnp.float32), axis=1)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -128, 127).astype(jnp.int8)
+    s = scale * jnp.sum(q.astype(jnp.float32), axis=-1)
     return q, scale, s
