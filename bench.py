@@ -293,6 +293,21 @@ def quant_weight_residency(r):
 
 
 def main():
+    # soft wall-clock budget: the optional metric sections (step-cache, 14B
+    # ratios) are skipped once the budget is spent so the driver ALWAYS gets
+    # the final JSON line even under cold-compile conditions (round-2's fp16
+    # compile alone took 462 s cold)
+    t_start = time.time()
+    budget_s = float(os.environ.get("WANQ_BENCH_BUDGET_S", "1100"))
+
+    def over_budget(section: str) -> bool:
+        el = time.time() - t_start
+        if el > budget_s:
+            log(f"skipping {section}: {el:.0f}s elapsed > {budget_s:.0f}s "
+                "budget (WANQ_BENCH_BUDGET_S)")
+            return True
+        return False
+
     last_err = None
     for frame_num in (81, 41, 21, 9):
         try:
@@ -326,6 +341,8 @@ def main():
     # measured step-cache (beyond-reference step-level redundancy; fidelity
     # gate = final-latent PSNR vs the uncached trajectory)
     try:
+        if over_budget("step-cache metric"):
+            raise TimeoutError("bench budget")
         speedup, psnr = measure_stepcache(r)
         metrics.append({"name": "stepcache_reuse2_speedup",
                         "value": round(speedup, 3),
@@ -341,16 +358,18 @@ def main():
     # measured 14B block ratios (the scale the reference targets; fold of
     # tools/ratio_14b_probe.py, round-3 VERDICT #1). Frees the 1.3B state
     # first — 14B blocks + 1.3B stacks don't co-reside comfortably.
-    if os.environ.get("WANQ_BENCH_14B", "1") != "0":
+    if os.environ.get("WANQ_BENCH_14B", "1") != "0" and not over_budget(
+            "14B ratio metrics"):
         del r
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(
                 os.path.abspath(__file__)), "tools"))
-            from ratio_14b_probe import measure as measure_14b
+            from ratio_14b_probe import measure_multi as measure_14b
 
-            for res in (480, 720):
-                tb, ti = measure_14b(res=res, frame_num=81, K=3, R=2,
-                                     variant="full")
+            # one block-gen + one int8-state build serves both resolutions
+            for res, (tb, ti) in measure_14b(
+                    res_list=(480, 720), frame_num=81, K=3, R=2,
+                    variant="full").items():
                 metrics.append({
                     "name": f"w8a8_vs_bf16_14b_block_ratio_{res}p",
                     "value": round(tb / ti, 3),

@@ -85,3 +85,36 @@ def test_full_wan_vae_shape_roundtrip(rng):
     y = vae.decode(z)
     assert y.shape == (1, 3, 9, 32, 32)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_bf16_compute_dtype_decode_close_to_f32(tiny, rng):
+    """WanVAE(compute_dtype=bf16) is the reference's WanVAE(dtype=...) amp
+    knob (ref vae.py:619-661): convs run bf16 with f32 accumulation, norm
+    stats and gammas stay f32, output contract stays f32. The bf16 path
+    must track the f32 path closely (it shares every op, only at-rest
+    precision differs)."""
+    cfg, params, _ = tiny
+    vae32 = jvae.WanVAE(cfg, params=params)
+    vae16 = jvae.WanVAE(cfg, params=params, compute_dtype=jnp.bfloat16)
+    # gammas kept f32, everything else cast once
+    assert all(v.dtype == jnp.float32 for k, v in vae16.params.items()
+               if k.endswith(".gamma"))
+    assert all(v.dtype == jnp.bfloat16 for k, v in vae16.params.items()
+               if k.endswith(".weight"))
+
+    z = rng.normal(size=(1, cfg.z_dim, 3, 8, 8)).astype(np.float32)
+    y32 = np.asarray(vae32.decode(jnp.asarray(z)))
+    y16 = np.asarray(vae16.decode(jnp.asarray(z)))
+    assert y16.dtype == np.float32  # public contract independent of compute
+    err = np.abs(y32 - y16).max()
+    rng_span = y32.max() - y32.min() + 1e-9
+    psnr = 20 * np.log10(rng_span / max(np.sqrt(np.mean((y32 - y16) ** 2)), 1e-12))
+    assert psnr > 35.0, f"bf16 decode diverged: PSNR {psnr:.1f} dB, max {err:.4f}"
+
+    x = rng.normal(size=(1, 3, 5, 16, 16)).astype(np.float32)
+    z32 = np.asarray(vae32.encode(jnp.asarray(x)))
+    z16 = np.asarray(vae16.encode(jnp.asarray(x)))
+    zpsnr = 20 * np.log10(
+        (z32.max() - z32.min() + 1e-9)
+        / max(np.sqrt(np.mean((z32 - z16) ** 2)), 1e-12))
+    assert zpsnr > 35.0, f"bf16 encode diverged: PSNR {zpsnr:.1f} dB"

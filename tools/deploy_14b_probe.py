@@ -12,9 +12,15 @@ of FP workspace + one block of state. (The earlier stack-then-free
 build held 2x the full weight state transiently, which capped mixed
 W4/W8 plans at ~6.6 GiB; the incremental fill removes that cap.)
 
-Usage: python -u tools/deploy_14b_probe.py [frame_num] [batch] [res] [variant]
+Usage: python -u tools/deploy_14b_probe.py [frame_num] [batch] [res] [variant] [cfg]
 Defaults 41 frames, B=1 (single-stream; CFG pairs double activation
 memory), res 480 (pass 720 for the north-star 1280x720 shape).
+Pass ``cfg`` as the 5th arg to time a REAL classifier-free-guidance
+step: cond + uncond forwards SEQUENTIALLY through the same jitted fn
+(the reference's batched-CFG doubles activation memory, which at 720p
+seq 75776 does not fit next to the 14B weight state on 16 GB — the
+sequential pair is the production schedule at this shape) and the
+guide-scale combine, timed as one denoise step.
 variant ``static`` adds static-A8 on ffn.2 (the fused GELU+quant GEMM
 epilogue): the dynamic producer materializes the ffn.0 output in bf16
 (seq x ffn_dim = 2.1 GB/block at 720p) for the row-absmax re-read; the
@@ -59,6 +65,7 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     res = int(sys.argv[3]) if len(sys.argv) > 3 else 480
     variant = sys.argv[4] if len(sys.argv) > 4 else "dyn"
+    cfg_pair = len(sys.argv) > 5 and sys.argv[5] == "cfg"
 
     cfg = WAN_CONFIGS["t2v-14B"]
     qdict = dict(W4A8)
@@ -125,6 +132,26 @@ def main():
     print(f"steady step: {dt*1000:.0f} ms  out norm {n:.3f} finite={finite}",
           flush=True)
     assert finite
+
+    if cfg_pair:
+        # real CFG denoise step at this shape: cond + uncond sequential
+        # (same compiled fn; context is an argument, not a constant) +
+        # guide-scale combine (ref text2video.py:249-254 semantics)
+        c_null = jax.random.normal(jax.random.PRNGKey(7),
+                                   (batch, cfg.text_len, cfg.text_dim),
+                                   jnp.float32)
+        guide = 5.0
+        combine = jax.jit(lambda u, cnd: u + guide * (cnd - u))
+        fence(combine(out, out))  # compile the combine outside the timing
+        t0 = time.time()
+        n_cond = fwd(params, ctx, 1.002 * x, t, c)
+        n_unc = fwd(params, ctx, 1.002 * x, t, c_null)
+        noise = combine(n_unc, n_cond)
+        fence(noise)
+        dt_cfg = time.time() - t0
+        print(f"REAL CFG pair step (sequential cond+uncond+combine): "
+              f"{dt_cfg:.1f} s/step at {res}p x {frame_num}f B={batch}",
+              flush=True)
     print("14B W4A8 SINGLE-CHIP OK", flush=True)
 
 

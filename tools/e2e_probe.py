@@ -197,12 +197,14 @@ def phase_denoise(cfg, context, context_null, steps, cached):
     return latents, timings
 
 
-def phase_vae(latents):
+def phase_vae(latents, vae_dtype="float32"):
     from wanq_tpu.models.vae import WanVAE
 
     timings = {}
     t0 = time.time()
-    vae = WanVAE()  # random init at the production architecture
+    # random init at the production architecture; bfloat16 is the
+    # reference's WanVAE(dtype=...) amp knob (ref vae.py:619-661)
+    vae = WanVAE(compute_dtype=jnp.dtype(vae_dtype).type)
     video = vae.decode(jnp.asarray(latents))
     float(jnp.sum(video))  # scalar fence (device stream is in-order)
     timings["vae_cold_s"] = time.time() - t0
@@ -223,6 +225,9 @@ def main():
     ap.add_argument("--no_t5_cpu", action="store_true")
     ap.add_argument("--cached", action="store_true",
                     help="denoise under the production StepCachePolicy")
+    ap.add_argument("--vae_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="VAE compute dtype (cli/common.py --vae_dtype)")
     args = ap.parse_args()
     cfg = WAN_CONFIGS["t2v-1.3B"]
     print(f"e2e_probe: t2v-1.3B 832*480 f81, {args.steps} steps, "
@@ -233,7 +238,7 @@ def main():
     latents, t_b = phase_denoise(cfg, context, context_null, args.steps,
                                  args.cached)
     drain_device("after denoise")
-    t_c = phase_vae(latents)
+    t_c = phase_vae(latents, args.vae_dtype)
 
     encode = t_a["t5_encode_2x_warm_s"]
     total = encode + t_b["denoise_s"] + t_c["vae_decode_s"]

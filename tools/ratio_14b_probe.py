@@ -133,26 +133,40 @@ def time_blocks(cfg, blocks_stacked, ctx, x, e0, c, cos, sin, valid_len,
     return dt / (rounds * k)
 
 
-def measure(res: int = 720, frame_num: int = 81, K: int = 3, R: int = 4,
-            variant: str = "speed"):
-    """Measure the 14B per-block bf16 and W8A8 times at ``res``p.
-    Returns (t_bf16_seconds, t_int8_seconds) per block. Callable from
-    bench.py so the driver-recorded JSON carries the measured 14B ratios
-    (round-3 VERDICT #1)."""
+def _res_inputs(cfg, res: int, frame_num: int, B: int):
     size = (1280, 720) if res == 720 else (832, 480)
-    B = 1
-
-    cfg = WAN_CONFIGS["t2v-14B"]
-    qcfg = QuantConfig.from_dict(
-        {"full": W8A8_FULL, "w4a8": W4A8_DEPLOY}.get(variant, W8A8_SPEED))
     target_shape = compute_target_shape(cfg, size, frame_num)
     seq_len = compute_seq_len(cfg, target_shape)
     _, f, h, w = target_shape
     grid = (f // cfg.patch_size[0], h // cfg.patch_size[1],
             w // cfg.patch_size[2])
     valid_len = int(np.prod(grid))
-    print(f"14B block ratio probe [{variant}]: {res}p x {frame_num}f "
-          f"seq {seq_len} (valid {valid_len}) K={K} R={R} B={B}", flush=True)
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (B, seq_len, cfg.dim), jnp.bfloat16)
+    e0 = jax.random.normal(jax.random.PRNGKey(2), (B, 6, cfg.dim), jnp.float32)
+    c = jax.random.normal(jax.random.PRNGKey(3), (B, cfg.text_len, cfg.dim),
+                          jnp.bfloat16)
+    cos, sin = (jnp.asarray(a) for a in
+                rope_tables_interleaved(grid, cfg.head_dim))
+    return x, e0, c, cos, sin, valid_len, seq_len
+
+
+def measure_multi(res_list=(480, 720), frame_num: int = 81, K: int = 3,
+                  R: int = 4, variant: str = "speed"):
+    """Measure the 14B per-block bf16 and W8A8 times at every resolution in
+    ``res_list`` with ONE block generation and ONE int8-state build (the
+    quantized state depends only on the weights, not the sequence length —
+    sharing it saves ~40 s when bench.py folds both ratios into the driver
+    JSON, round-3 VERDICT #1). Returns {res: (t_bf16, t_int8)} seconds."""
+    B = 1
+    cfg = WAN_CONFIGS["t2v-14B"]
+    qcfg = QuantConfig.from_dict(
+        {"full": W8A8_FULL, "w4a8": W4A8_DEPLOY}.get(variant, W8A8_SPEED))
+    inputs = {res: _res_inputs(cfg, res, frame_num, B) for res in res_list}
+    for res in res_list:
+        print(f"14B block ratio probe [{variant}]: {res}p x {frame_num}f "
+              f"seq {inputs[res][6]} (valid {inputs[res][5]}) "
+              f"K={K} R={R} B={B}", flush=True)
 
     t0 = time.time()
     gen = make_block_generator(cfg)
@@ -162,18 +176,13 @@ def measure(res: int = 720, frame_num: int = 81, K: int = 3, R: int = 4,
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *blocks)
 
-    # inputs
-    key = jax.random.PRNGKey(1)
-    x = jax.random.normal(key, (B, seq_len, cfg.dim), jnp.bfloat16)
-    e0 = jax.random.normal(jax.random.PRNGKey(2), (B, 6, cfg.dim), jnp.float32)
-    c = jax.random.normal(jax.random.PRNGKey(3), (B, cfg.text_len, cfg.dim),
-                          jnp.bfloat16)
-    cos, sin = (jnp.asarray(a) for a in
-                rope_tables_interleaved(grid, cfg.head_dim))
-
-    t_bf16 = time_blocks(cfg, stacked, None, x, e0, c, cos, sin, valid_len, R)
-    print(f"bf16:  {t_bf16*1000:8.1f} ms/block "
-          f"(x40 blocks = {40*t_bf16:.2f} s/fwd)", flush=True)
+    t_bf16 = {}
+    for res in res_list:
+        x, e0, c, cos, sin, valid_len, _ = inputs[res]
+        t_bf16[res] = time_blocks(cfg, stacked, None, x, e0, c, cos, sin,
+                                  valid_len, R)
+        print(f"bf16 @ {res}p:  {t_bf16[res]*1000:8.1f} ms/block "
+              f"(x40 blocks = {40*t_bf16[res]:.2f} s/fwd)", flush=True)
 
     # quantize the SAME blocks, strip FP copies
     t0 = time.time()
@@ -205,12 +214,23 @@ def measure(res: int = 720, frame_num: int = 81, K: int = 3, R: int = 4,
     del blocks, stacked
     print(f"int8 state ready in {time.time()-t0:.0f}s", flush=True)
 
-    t_int8 = time_blocks(cfg, sstacked, qctx, x, e0, c, cos, sin, valid_len, R)
-    print(f"w8a8:  {t_int8*1000:8.1f} ms/block "
-          f"(x40 blocks = {40*t_int8:.2f} s/fwd)", flush=True)
-    print(f"MEASURED 14B block ratio @ {res}p: "
-          f"{t_bf16/t_int8:.3f}x (bf16/int8)", flush=True)
-    return t_bf16, t_int8
+    out = {}
+    for res in res_list:
+        x, e0, c, cos, sin, valid_len, _ = inputs[res]
+        t_int8 = time_blocks(cfg, sstacked, qctx, x, e0, c, cos, sin,
+                             valid_len, R)
+        print(f"w8a8 @ {res}p:  {t_int8*1000:8.1f} ms/block "
+              f"(x40 blocks = {40*t_int8:.2f} s/fwd)", flush=True)
+        print(f"MEASURED 14B block ratio @ {res}p: "
+              f"{t_bf16[res]/t_int8:.3f}x (bf16/int8)", flush=True)
+        out[res] = (t_bf16[res], t_int8)
+    return out
+
+
+def measure(res: int = 720, frame_num: int = 81, K: int = 3, R: int = 4,
+            variant: str = "speed"):
+    """Single-resolution wrapper (CLI compat): (t_bf16, t_int8) per block."""
+    return measure_multi((res,), frame_num, K, R, variant)[res]
 
 
 def main():

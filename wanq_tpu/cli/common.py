@@ -71,6 +71,15 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
     p.add_argument("--t5_cpu", action="store_true",
                    help="run the T5 encoder on host CPU (frees HBM for the "
                         "DiT, ref fp_generate.py --t5_cpu)")
+    p.add_argument("--vae_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="VAE compute dtype (ref WanVAE(dtype=...), "
+                        "vae.py:619-626). On TPU this is a MEMORY knob, not "
+                        "a speed knob: XLA already runs f32 convs as "
+                        "single-pass bf16 MXU ops; bfloat16 halves at-rest "
+                        "activation/weight bytes at ~equal speed and is "
+                        "REQUIRED for 720p x 81f decode on a 16 GB chip "
+                        "(f32 OOMs; BENCH_NOTES 'bf16 VAE decode')")
     # prompt extension (ref fp_generate.py:119-138 + prompt_extend usage)
     p.add_argument("--use_prompt_extend", action="store_true")
     p.add_argument("--prompt_extend_method", type=str, default="local_qwen",

@@ -126,7 +126,8 @@ def generate(args):
             from wanq_tpu.models.clip import CLIPModel
             from wanq_tpu.models.vae import WanVAE
 
-            vae = WanVAE(vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint))
+            vae = WanVAE(vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint),
+                         compute_dtype=jnp.dtype(args.vae_dtype).type)
             clip = CLIPModel(
                 checkpoint_path=os.path.join(args.ckpt_dir, cfg.clip_checkpoint)
             )
@@ -168,7 +169,9 @@ def generate(args):
             from wanq_tpu.utils.video import cache_video
 
             if vae is None:  # t2v branch; i2v already loaded it
-                vae = WanVAE(vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint))
+                vae = WanVAE(
+                    vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint),
+                    compute_dtype=jnp.dtype(args.vae_dtype).type)
             video = vae.decode(latents)
             out["video"] = np.asarray(video)
             mp4 = save_file.replace(".npz", ".mp4")

@@ -72,7 +72,8 @@ def build_demo(args):
             checkpoint_path=os.path.join(args.ckpt_dir, cfg.t5_checkpoint),
             tokenizer_path=cfg.t5_tokenizer,
         )
-        vae = WanVAE(vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint))
+        vae = WanVAE(vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint),
+                     compute_dtype=jnp.dtype(args.vae_dtype).type)
         if is_i2v:
             from wanq_tpu.models.clip import CLIPModel
 

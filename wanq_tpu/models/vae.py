@@ -79,30 +79,39 @@ Cache = List[Optional[jax.Array]]
 
 
 def conv3d(p: Params, key: str, x: jax.Array, stride=(1, 1, 1), padding=None):
-    """torch-layout Conv3d. x: [B,C,T,H,W]; weight: [O,I,kt,kh,kw]."""
-    w = p[f"{key}.weight"].astype(jnp.float32)
+    """torch-layout Conv3d. x: [B,C,T,H,W]; weight: [O,I,kt,kh,kw].
+
+    Compute dtype follows the STORED weight dtype (the analog of the
+    reference's ``amp.autocast(dtype=self.dtype)`` around encode/decode,
+    vae.py:651-661): f32 weights reproduce the reference default exactly;
+    bf16 weights run the conv on the MXU's fast path with f32 accumulation
+    (preferred_element_type) and bf16 at rest between layers."""
+    w = p[f"{key}.weight"]
     pad = padding if padding is not None else [(0, 0)] * 3
     y = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32), w, window_strides=stride, padding=pad,
+        x.astype(w.dtype), w, window_strides=stride, padding=pad,
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.float32,
     )
     b = p.get(f"{key}.bias")
     if b is not None:
         y = y + b.astype(jnp.float32)[None, :, None, None, None]
-    return y
+    return y.astype(w.dtype)
 
 
 def conv2d(p: Params, key: str, x: jax.Array, stride=(1, 1), padding=((0, 0), (0, 0))):
-    """torch-layout Conv2d on [B,C,H,W]."""
-    w = p[f"{key}.weight"].astype(jnp.float32)
+    """torch-layout Conv2d on [B,C,H,W]. Compute dtype follows the weight
+    (see conv3d)."""
+    w = p[f"{key}.weight"]
     y = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32), w, window_strides=stride, padding=list(padding),
+        x.astype(w.dtype), w, window_strides=stride, padding=list(padding),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
     )
     b = p.get(f"{key}.bias")
     if b is not None:
         y = y + b.astype(jnp.float32)[None, :, None, None]
-    return y
+    return y.astype(w.dtype)
 
 
 class CacheCtx:
@@ -158,7 +167,9 @@ def rms_norm_image(p: Params, key: str, x: jax.Array, images: bool):
     xf = x.astype(jnp.float32)
     n = xf * jax.lax.rsqrt(jnp.maximum(jnp.sum(jnp.square(xf), axis=1, keepdims=True), 1e-24))
     shape = (1, c) + (1,) * (x.ndim - 2)
-    return n * (c**0.5) * g.reshape(shape)
+    # stats in f32 always; at-rest dtype follows the stream (bf16 under the
+    # fast decode path, matching torch-amp elementwise semantics)
+    return (n * (c**0.5) * g.reshape(shape)).astype(x.dtype)
 
 
 def residual_block(p: Params, key: str, x: jax.Array, cc: CacheCtx):
@@ -178,8 +189,34 @@ def residual_block(p: Params, key: str, x: jax.Array, cc: CacheCtx):
     return y + h
 
 
+# above this many tokens the full [hw, hw] f32 logits tensor dominates the
+# decode chunk's memory peak (720p latent: 90*160=14400 -> 829 MB), so the
+# softmax runs blockwise over query rows instead. 480p (60*104=6240 ->
+# 156 MB) stays on the one-shot path.
+_ATTN_BLOCKWISE_MIN_HW = 8192
+_ATTN_Q_BLOCK = 1800
+
+
+def _spatial_attention(q, k, v, scale):
+    """softmax(q kT * scale) v for [bt, hw, c] operands, f32 softmax."""
+    logits = jnp.einsum(
+        "bic,bjc->bij", q, k, preferred_element_type=jnp.float32
+    )
+    attn = jax.nn.softmax(logits * scale, axis=-1)
+    return jnp.einsum(
+        "bij,bjc->bic", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
 def attention_block(p: Params, key: str, x: jax.Array):
-    """Single-head per-frame spatial attention (ref vae.py:223-262)."""
+    """Single-head per-frame spatial attention (ref vae.py:223-262).
+
+    For large spatial grids the query axis is processed in blocks under
+    ``lax.map`` so only one [block, hw] logits tile is live at a time —
+    softmax is per-row, so row-blocking is exact (same math, ~7% of the
+    logits memory at 720p). This is what lets the 720p x 81f decode fit
+    on a 16 GB chip (BENCH_NOTES 'bf16 VAE decode')."""
     b, c, t, h, w = x.shape
     ident = x
     xf = x.transpose(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
@@ -188,8 +225,18 @@ def attention_block(p: Params, key: str, x: jax.Array):
     qkv = qkv.reshape(b * t, 3 * c, h * w).transpose(0, 2, 1)  # [bt, hw, 3c]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     scale = 1.0 / np.sqrt(c)
-    attn = jax.nn.softmax(jnp.einsum("bic,bjc->bij", q, k) * scale, axis=-1)
-    y = jnp.einsum("bij,bjc->bic", attn, v)  # [bt, hw, c]
+    hw = h * w
+    if hw < _ATTN_BLOCKWISE_MIN_HW:
+        y = _spatial_attention(q, k, v, scale)
+    else:
+        nb = -(-hw // _ATTN_Q_BLOCK)
+        qp = jnp.pad(q, ((0, 0), (0, nb * _ATTN_Q_BLOCK - hw), (0, 0)))
+        qb = qp.reshape(b * t, nb, _ATTN_Q_BLOCK, c).transpose(1, 0, 2, 3)
+        yb = jax.lax.map(
+            lambda qi: _spatial_attention(qi, k, v, scale), qb
+        )  # [nb, bt, blk, c]
+        y = yb.transpose(1, 0, 2, 3).reshape(b * t, nb * _ATTN_Q_BLOCK, c)
+        y = y[:, :hw]
     y = y.transpose(0, 2, 1).reshape(b * t, c, h, w)
     y = conv2d(p, f"{key}.proj", y)
     y = y.reshape(b, t, c, h, w).transpose(0, 2, 1, 3, 4)
@@ -335,7 +382,19 @@ class WanVAE:
     decode driven from the host; each chunk function is jitted once."""
 
     def __init__(self, cfg: VAEConfig = WAN_VAE_CFG, params: Optional[Params] = None,
-                 vae_pth: Optional[str] = None, seed: int = 0):
+                 vae_pth: Optional[str] = None, seed: int = 0,
+                 compute_dtype=jnp.float32):
+        """compute_dtype is the reference's WanVAE(dtype=...) knob
+        (vae.py:619-626, default torch.float): f32 = exact reference
+        semantics; bf16 casts the conv weights once and keeps the stream
+        bf16 at rest (f32 accumulation via preferred_element_type). On TPU
+        this is a MEMORY knob, not a speed knob: XLA already executes f32
+        convs as single-pass bf16 MXU ops, so bf16-at-rest halves
+        activation/weight HBM bytes at ~equal speed (measured 0.96x at
+        480p x 81f, 53.3 dB agreement vs f32) — and it is what makes the
+        720p x 81f decode FIT on a 16 GB chip at all (f32 RESOURCE_EXHAUSTs;
+        bf16 22.8 s steady; BENCH_NOTES 'bf16 VAE decode'). Norm gammas
+        stay f32 (they only enter the f32 stats path)."""
         self.cfg = cfg
         if params is not None:
             self.params = params
@@ -343,6 +402,11 @@ class WanVAE:
             self.params = load_vae_checkpoint(vae_pth)
         else:
             self.params = init_vae_params(cfg, seed)
+        if compute_dtype != jnp.float32:
+            self.params = {
+                k: (v if k.endswith(".gamma") else v.astype(compute_dtype))
+                for k, v in self.params.items()
+            }
         z = cfg.z_dim
         if z == 16:
             self.mean = jnp.asarray(LATENT_MEAN, jnp.float32)
@@ -353,12 +417,21 @@ class WanVAE:
 
     # -- streaming chunk drivers -------------------------------------------
 
-    def _chunk_runner(self, forward):
+    def _chunk_runner(self, forward, donate: bool):
         """Jit one chunk step with the cache pytree as carry (static chunk0
-        flag: chunk 0 skips the temporal resample convs)."""
+        flag: chunk 0 skips the temporal resample convs). When ``donate``,
+        the cache carry is donated: the host loop overwrites its reference
+        every iteration, and without donation the old and new cache sets
+        (hundreds of MB at 720p) are both live across each chunk boundary.
+        Donation costs ~20% step time at 480p (XLA inserts defensive copies
+        for the aliased read-early/write-late cache buffers), so it is only
+        enabled at shapes that need it to FIT (BENCH_NOTES 'bf16 VAE
+        decode')."""
         import functools
 
-        @functools.partial(jax.jit, static_argnames=("chunk0",))
+        kw = {"donate_argnames": ("caches",)} if donate else {}
+
+        @functools.partial(jax.jit, static_argnames=("chunk0",), **kw)
         def run(params, chunk, caches, chunk0):
             cc = CacheCtx(caches, chunk0)
             y = forward(params, chunk, cc)
@@ -366,16 +439,29 @@ class WanVAE:
 
         return run
 
-    def _run_chunks(self, forward, x: jax.Array, chunk_starts, chunk_lens):
-        """Host loop over temporal chunks with explicit cache carry."""
-        run = self._chunk_runner(forward)
+    def _run_chunks(self, forward, x: jax.Array, chunk_starts, chunk_lens,
+                    post=None, donate: bool = False):
+        """Host loop over temporal chunks with explicit cache carry. ``post``
+        (epilogue on the time-concatenated result) is jitted WITH the concat
+        and the chunk list donated — one fused pass instead of eager
+        concat -> astype -> clip, each of which would hold a full-video copy
+        (3 x 895 MB at 720p x 81f)."""
+        import functools
+
+        run = self._chunk_runner(forward, donate)
         caches: Any = tuple([None] * 64)
         outs = []
         for ci, (s, l) in enumerate(zip(chunk_starts, chunk_lens)):
             chunk = x[:, :, s : s + l]
             y, caches = run(self.params, chunk, caches, chunk0=(ci == 0))
             outs.append(y)
-        return jnp.concatenate(outs, axis=2)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def tail(chunks):
+            out = jnp.concatenate(chunks, axis=2)
+            return post(out) if post is not None else out
+
+        return tail(tuple(outs))
 
     def encode(self, videos: jax.Array) -> jax.Array:
         """[B,3,T,H,W] → normalized latents [B,z,t,h,w] (ref encode,
@@ -387,6 +473,8 @@ class WanVAE:
         out = self._run_chunks(
             lambda p, ch, cc: encoder_forward(p, self.cfg, ch, cc),
             videos, starts, lens,
+            donate=(videos.shape[3] // 8) * (videos.shape[4] // 8)
+            >= _ATTN_BLOCKWISE_MIN_HW,
         )
         mu, _ = jnp.split(conv3d(self.params, "conv1", out), 2, axis=1)
         mu = (mu - self.mean[None, :, None, None, None]) / self.std[
@@ -402,11 +490,13 @@ class WanVAE:
         ]
         x = conv3d(self.params, "conv2", z)
         t = x.shape[2]
-        out = self._run_chunks(
+        # public contract stays f32 regardless of the compute dtype
+        return self._run_chunks(
             lambda p, ch, cc: decoder_forward(p, self.cfg, ch, cc),
             x, list(range(t)), [1] * t,
+            post=lambda o: jnp.clip(o.astype(jnp.float32), -1.0, 1.0),
+            donate=x.shape[3] * x.shape[4] >= _ATTN_BLOCKWISE_MIN_HW,
         )
-        return jnp.clip(out, -1.0, 1.0)
 
 
 # ---------------------------------------------------------------------------
