@@ -71,6 +71,15 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
     p.add_argument("--t5_cpu", action="store_true",
                    help="run the T5 encoder on host CPU (frees HBM for the "
                         "DiT, ref fp_generate.py --t5_cpu)")
+    p.add_argument("--cfg_mode", type=str, default="batched",
+                   choices=["batched", "sequential"],
+                   help="classifier-free-guidance schedule: 'batched' runs "
+                        "cond+uncond as one [2B] forward (best MXU "
+                        "utilization); 'sequential' runs two [B] forwards "
+                        "through the same compiled fn (the reference's own "
+                        "schedule, text2video.py:255-261) — identical math, "
+                        "half the peak activation memory; REQUIRED for "
+                        "14B at 720p x 81f on one 16 GB chip")
     p.add_argument("--vae_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="VAE compute dtype (ref WanVAE(dtype=...), "

@@ -68,6 +68,7 @@ def generate(args):
         guide_scale=args.sample_guide_scale,
         seed=args.base_seed,
         cache_policy=cache_policy_from_args(args),
+        cfg_mode=args.cfg_mode,
     )
     latents.block_until_ready()
     logging.info("denoise done in %.2fs, latents %s", time.time() - t0, latents.shape)

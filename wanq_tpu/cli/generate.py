@@ -114,6 +114,7 @@ def generate(args):
         sampling_steps=args.sample_steps,
         guide_scale=args.sample_guide_scale,
         seed=args.base_seed,
+        cfg_mode=args.cfg_mode,
     )
     vae = None
     if is_i2v:

@@ -82,6 +82,21 @@ class WanI2V(WanT2V):
 
         return jax.jit(step)
 
+    def _build_cond_step_fn(self, seq_len: int):
+        """Single-branch [B] forward with the i2v conditioning inputs —
+        the sequential-CFG building block (see WanT2V.generate cfg_mode;
+        at i2v-14B 720p the batched pair doubles activation memory past
+        what fits next to the weight state on one 16 GB chip)."""
+        cfg = self.config
+
+        def step(params, qctx, latents, t, context, y, clip_fea):
+            return dit_forward(
+                params, cfg, latents, t, context, seq_len, ctx=qctx,
+                clip_fea=clip_fea, y=y, plan=self.shardings,
+            )
+
+        return jax.jit(step)
+
     def generate(
         self,
         img: jax.Array,
@@ -98,6 +113,7 @@ class WanI2V(WanT2V):
         y: Optional[jax.Array] = None,
         ref_latents: Optional[jax.Array] = None,
         ref_latent_strength: float = 0.01,
+        cfg_mode: str = "batched",
     ):
         """img: [3, H, W] in [-1, 1]. Returns latents [1, 16, F_lat, h, w];
         decode via self.vae. ``clip_fea``/``y`` may be precomputed (tests /
@@ -143,17 +159,28 @@ class WanI2V(WanT2V):
             y = y[None]
 
         sch, timesteps = self._make_scheduler(sample_solver, sampling_steps, shift)
+        if cfg_mode not in ("batched", "sequential"):
+            raise ValueError(f"unknown cfg_mode {cfg_mode!r}")
+        sequential = cfg_mode == "sequential"
         mode = self.quant_ctx.mode if self.quant_ctx is not None else "fp"
-        step_fn = self._step_fn(seq_len, mode)
+        step_fn = (self._step_fn(seq_len, "cond") if sequential
+                   else self._step_fn(seq_len, mode))
         arg_ctx = self.quant_ctx if mode in ("sim", "int8") else None
 
         gs = jnp.float32(guide_scale)
         latents = noise
         for t in timesteps:
             tt = jnp.full((1,), float(t), dtype=jnp.float32)
-            noise_pred = step_fn(
-                self.params, arg_ctx, latents, tt, context, context_null, gs,
-                y, clip_fea
-            )
+            if sequential:
+                cond = step_fn(self.params, arg_ctx, latents, tt, context,
+                               y, clip_fea)
+                uncond = step_fn(self.params, arg_ctx, latents, tt,
+                                 context_null, y, clip_fea)
+                noise_pred = uncond + gs * (cond - uncond)
+            else:
+                noise_pred = step_fn(
+                    self.params, arg_ctx, latents, tt, context, context_null,
+                    gs, y, clip_fea
+                )
             latents = sch.step(noise_pred, int(t), latents)
         return latents

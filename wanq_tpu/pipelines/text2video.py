@@ -268,12 +268,23 @@ class WanT2V:
         seed: int = -1,
         collect_calib: bool = False,
         cache_policy: Optional[StepCachePolicy] = None,
+        cfg_mode: str = "batched",
     ):
         """Denoise loop (ref WanT2V.generate, text2video.py:120-318).
 
         context / context_null: [B, text_len, text_dim] encoder states
         (already padded to text_len). Returns latents [B, C, F, h, w], and
         the calibration stats dict when ``collect_calib``.
+
+        cfg_mode: 'batched' runs the CFG pair as one [2B] forward (best MXU
+        utilization when activations fit — the default); 'sequential' runs
+        cond and uncond as two [B] forwards through the SAME compiled
+        function (this is the reference's own schedule,
+        text2video.py:255-261). Same math either way (identical latents);
+        sequential halves peak activation memory, which is what lets the
+        14B model denoise at 720p x 81f (seq 75776) next to its weight
+        state on a single 16 GB chip — the batched pair OOMs there
+        (BENCH_NOTES '14B 720p REAL CFG').
         """
         cfg = self.config
         target_shape = compute_target_shape(cfg, size, frame_num)
@@ -288,10 +299,19 @@ class WanT2V:
 
         sch, timesteps = self._make_scheduler(sample_solver, sampling_steps, shift)
 
+        if cfg_mode not in ("batched", "sequential"):
+            raise ValueError(f"unknown cfg_mode {cfg_mode!r}")
+        sequential = cfg_mode == "sequential"
         mode = "calib" if collect_calib else (
             self.quant_ctx.mode if self.quant_ctx is not None else "fp"
         )
-        step_fn = self._step_fn(seq_len, mode)
+        if sequential and collect_calib:
+            raise ValueError(
+                "calibration sweeps observe the cond/uncond pair in one "
+                "batched forward; run calibration with cfg_mode='batched'"
+            )
+        step_fn = (self._step_fn(seq_len, "cond") if sequential
+                   else self._step_fn(seq_len, mode))
         if collect_calib:
             assert self.quant_ctx is not None and self.quant_ctx.mode == "calib"
         arg_ctx = (
@@ -310,6 +330,7 @@ class WanT2V:
             return self._generate_cached(
                 cache_policy, sch, timesteps, latents, arg_ctx,
                 context, context_null, gs, seq_len, b,
+                sequential=sequential,
             )
 
         all_stats: Dict[str, List[np.ndarray]] = {}
@@ -320,7 +341,14 @@ class WanT2V:
             if self.quant_ctx_schedule and not collect_calib:
                 sched = self._ctx_for_timestep(float(t))
                 step_ctx = sched if (sched is not None and sched.mode in ("sim", "int8")) else None
-            out = step_fn(self.params, step_ctx, latents, tt, context, context_null, gs)
+            if sequential:
+                cond = step_fn(self.params, step_ctx, latents, tt, context)
+                uncond = step_fn(self.params, step_ctx, latents, tt,
+                                 context_null)
+                out = uncond + gs * (cond - uncond)
+            else:
+                out = step_fn(self.params, step_ctx, latents, tt, context,
+                              context_null, gs)
             if collect_calib:
                 noise_pred, stats = out
                 for k, v in stats.items():
@@ -351,12 +379,22 @@ class WanT2V:
     def _generate_cached(
         self, policy, sch, timesteps, latents, arg_ctx,
         context, context_null, gs, seq_len, b,
+        sequential: bool = False,
     ):
         """Denoise loop under a StepCachePolicy. Per-step forward cost:
         'full' = 2B tokens, 'cond' = B tokens, 'reuse' = 0. The schedule
-        is static; each action's step function compiles once."""
-        split_fn = self._step_fn(seq_len, "split")
+        is static; each action's step function compiles once. Under
+        ``sequential`` (see generate cfg_mode) the 'full' action runs the
+        pair as two B-sized forwards through the cond fn — same math,
+        half the peak activation memory, and only ONE compiled variant
+        serves every action."""
         cond_fn = self._step_fn(seq_len, "cond")
+        if sequential:
+            def split_fn(params, qctx, latents, tt, context, context_null):
+                return (cond_fn(params, qctx, latents, tt, context),
+                        cond_fn(params, qctx, latents, tt, context_null))
+        else:
+            split_fn = self._step_fn(seq_len, "split")
         actions = policy.plan(len(timesteps))
         stats = {"full": 0, "cond": 0, "reuse": 0}
         last_uncond = None
