@@ -269,6 +269,7 @@ class WanT2V:
         collect_calib: bool = False,
         cache_policy: Optional[StepCachePolicy] = None,
         cfg_mode: str = "batched",
+        on_step: Optional[Callable[[int, float, jax.Array], None]] = None,
     ):
         """Denoise loop (ref WanT2V.generate, text2video.py:120-318).
 
@@ -285,6 +286,12 @@ class WanT2V:
         14B model denoise at 720p x 81f (seq 75776) next to its weight
         state on a single 16 GB chip — the batched pair OOMs there
         (BENCH_NOTES '14B 720p REAL CFG').
+
+        on_step: optional callback ``(i, t, latents)`` after each solver
+        step — progress reporting / per-step timing (the analog of the
+        reference's tqdm loop, text2video.py:245). The denoise loop
+        dispatches asynchronously; a callback that reads ``latents``
+        (e.g. ``jnp.sum``) synchronizes each step.
         """
         cfg = self.config
         target_shape = compute_target_shape(cfg, size, frame_num)
@@ -330,12 +337,12 @@ class WanT2V:
             return self._generate_cached(
                 cache_policy, sch, timesteps, latents, arg_ctx,
                 context, context_null, gs, seq_len, b,
-                sequential=sequential,
+                sequential=sequential, on_step=on_step,
             )
 
         all_stats: Dict[str, List[np.ndarray]] = {}
         hess_acc: Dict[str, jax.Array] = {}  # device-resident running sums
-        for t in timesteps:
+        for i, t in enumerate(timesteps):
             tt = jnp.full((b,), float(t), dtype=jnp.float32)
             step_ctx = arg_ctx
             if self.quant_ctx_schedule and not collect_calib:
@@ -365,6 +372,8 @@ class WanT2V:
             else:
                 noise_pred = out
             latents = sch.step(noise_pred, int(t), latents)
+            if on_step is not None:
+                on_step(i, float(t), latents)
 
         if collect_calib:
             stacked = {k: np.stack(v, axis=0) for k, v in all_stats.items()}
@@ -380,6 +389,7 @@ class WanT2V:
         self, policy, sch, timesteps, latents, arg_ctx,
         context, context_null, gs, seq_len, b,
         sequential: bool = False,
+        on_step: Optional[Callable[[int, float, jax.Array], None]] = None,
     ):
         """Denoise loop under a StepCachePolicy. Per-step forward cost:
         'full' = 2B tokens, 'cond' = B tokens, 'reuse' = 0. The schedule
@@ -399,7 +409,7 @@ class WanT2V:
         stats = {"full": 0, "cond": 0, "reuse": 0}
         last_uncond = None
         last_pred = None
-        for t, act in zip(timesteps, actions):
+        for i, (t, act) in enumerate(zip(timesteps, actions)):
             tt = jnp.full((b,), float(t), dtype=jnp.float32)
             step_ctx = arg_ctx
             if self.quant_ctx_schedule:
@@ -422,6 +432,8 @@ class WanT2V:
             stats[act] += 1
             last_pred = noise_pred
             latents = sch.step(noise_pred, int(t), latents)
+            if on_step is not None:
+                on_step(i, float(t), latents)
         self.last_cache_stats = stats
         return latents
 
