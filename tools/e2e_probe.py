@@ -180,10 +180,16 @@ def phase_denoise(cfg, context, context_null, steps, cached):
            if cached else None)
     c_j = jnp.asarray(context)
     cn_j = jnp.asarray(context_null)
-    # compile pass (2/4 steps touches every step-fn variant)
+    # compile pass (2/4 steps touches every step-fn variant). FENCED:
+    # the loop dispatches asynchronously, and without the scalar fetch
+    # its device work bleeds into the timed run below (measured up to
+    # 4.5x inflation on the 14B probe before the fence was added)
     t0 = time.time()
-    pipe.generate(c_j, cn_j, size=(832, 480), frame_num=frame_num,
-                  sampling_steps=4 if cached else 2, seed=0, cache_policy=pol)
+    lat_c = pipe.generate(c_j, cn_j, size=(832, 480), frame_num=frame_num,
+                          sampling_steps=4 if cached else 2, seed=0,
+                          cache_policy=pol)
+    float(jnp.sum(lat_c))
+    del lat_c
     timings["denoise_compile_s"] = time.time() - t0
     t0 = time.time()
     latents = pipe.generate(c_j, cn_j, size=(832, 480), frame_num=frame_num,
