@@ -58,6 +58,13 @@ def main():
     ap.add_argument("--steps", type=int, default=5,
                     help="real denoise steps to execute (extrapolated to 50)")
     ap.add_argument("--res", type=int, default=720, choices=[480, 720])
+    ap.add_argument("--cached", action="store_true",
+                    help="denoise under StepCachePolicy(cfg2+reuse2) — the "
+                         "production schedule whose fidelity gate is "
+                         "measured at 1.3B (tools/cache_probe.py 47.5 dB); "
+                         "per-step action mix is reported so the 50-step "
+                         "extrapolation uses the policy's real full/cond/"
+                         "reuse plan, not the measured prefix's")
     args = ap.parse_args()
     cfg = WAN_CONFIGS["t2v-14B"]
     size = (1280, 720) if args.res == 720 else (832, 480)
@@ -81,17 +88,24 @@ def main():
           f"{total_qbytes/2**30:.2f} GiB int-at-rest "
           f"(bf16 would be ~27 GiB)", flush=True)
 
+    from wanq_tpu.pipelines.text2video import StepCachePolicy
+
+    pol = (StepCachePolicy(cfg_interval=2, reuse_interval=2,
+                           warmup=2, tail=2)
+           if args.cached else None)
     pipe = WanT2V(cfg, params, quant_ctx=qctx)
     c_j = jnp.asarray(context)
     cn_j = jnp.asarray(context_null)
-    gen_kw = dict(size=size, frame_num=frame_num, cfg_mode="sequential")
+    gen_kw = dict(size=size, frame_num=frame_num, cfg_mode="sequential",
+                  cache_policy=pol)
     t0 = time.time()
+    # 2 steps compile everything even under the cache policy: in
+    # sequential mode the single compiled cond fn serves every action
     lat_c = pipe.generate(c_j, cn_j, sampling_steps=2, seed=0, **gen_kw)
     float(jnp.sum(lat_c))  # fence: don't let queued work bleed into timing
     t_compile = time.time() - t0
     del lat_c
-    print(f"   denoise compile pass (2 steps, fenced): {t_compile:.1f}s",
-          flush=True)
+    print(f"   denoise compile pass (fenced): {t_compile:.1f}s", flush=True)
 
     # per-step wall-clock via the on_step hook (each callback fences, so
     # steps are timed individually — the tunneled chip shows real
@@ -111,11 +125,34 @@ def main():
                             on_step=on_step, **gen_kw)
     latents = np.asarray(latents, np.float32)
     t_denoise = time.time() - t0
-    s_per_step = float(np.median(step_times))
-    print(f"   {args.steps}-step sequential-CFG denoise: {t_denoise:.1f}s "
-          f"(per-step min {min(step_times):.1f} / median {s_per_step:.1f} / "
-          f"max {max(step_times):.1f}) -> latents {latents.shape}",
-          flush=True)
+    if pol is not None:
+        # cost model per action from the measured per-step times, then
+        # price the REAL 50-step plan (the measured prefix is full-heavy
+        # because of the warmup window)
+        acts = pol.plan(args.steps)
+        by_act = {}
+        for a, dt in zip(acts, step_times):
+            by_act.setdefault(a, []).append(dt)
+        cost = {a: float(np.median(v)) for a, v in by_act.items()}
+        print("   measured per-action cost: " + ", ".join(
+            f"{a}={cost[a]:.1f}s x{len(by_act[a])}" for a in cost),
+            flush=True)
+        plan50 = pol.plan(50)
+        # actions unseen in the short run: cond ~ half a full pair,
+        # reuse ~ solver-only (use the smallest observed time floor)
+        full = cost.get("full", max(step_times))
+        cost.setdefault("cond", full / 2)
+        cost.setdefault("reuse", min(step_times + [0.5]) * 0.01)
+        denoise50 = sum(cost[a] for a in plan50)
+        s_per_step = denoise50 / 50
+    else:
+        s_per_step = float(np.median(step_times))
+        denoise50 = 50 * s_per_step
+    print(f"   {args.steps}-step sequential-CFG denoise"
+          f"{' (cached cfg2+reuse2)' if pol else ''}: {t_denoise:.1f}s "
+          f"(per-step min {min(step_times):.1f} / median "
+          f"{float(np.median(step_times)):.1f} / max {max(step_times):.1f}) "
+          f"-> latents {latents.shape}", flush=True)
     assert np.isfinite(latents).all()
     del pipe, params, qctx, c_j, cn_j
     drain_device("after denoise")
@@ -138,13 +175,15 @@ def main():
 
     encode = t_a["t5_encode_2x_warm_s"]
     measured = encode + t_denoise + t_vae
-    full50 = encode + 50 * s_per_step + t_vae
+    full50 = encode + denoise50 + t_vae
     print(f"\n14B {args.res}p x {frame_num}f ON ONE CHIP "
-          f"(warm, {args.steps} steps measured): {measured:.1f}s "
+          f"(warm, {args.steps} steps measured"
+          f"{', cached cfg2+reuse2' if pol else ''}): {measured:.1f}s "
           f"= encode {encode:.1f} + denoise {t_denoise:.1f} "
           f"+ vae {t_vae:.1f}")
     print(f"50-step 5s video extrapolation: {full50/60:.1f} min "
-          f"({encode:.1f} + 50*{s_per_step:.1f} + {t_vae:.1f} s)")
+          f"({encode:.1f} + {denoise50:.0f} [{s_per_step:.1f}/step-eq] "
+          f"+ {t_vae:.1f} s)")
     print("one-time: " + ", ".join(
         f"{k}={v:.1f}s" for k, v in {
             "t5_init": t_a["t5_init_s"], "dit_build": t_build,
