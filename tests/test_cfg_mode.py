@@ -111,3 +111,26 @@ def test_i2v_sequential_matches_batched(rng):
     lat_b = np.asarray(pipe.generate(img, c, cn, **kw))
     lat_s = np.asarray(pipe.generate(img, c, cn, cfg_mode="sequential", **kw))
     np.testing.assert_allclose(lat_s, lat_b, atol=3e-3)
+
+
+def test_on_step_callback_fires_each_step(tiny, contexts):
+    """on_step (the tqdm-analog progress/timing hook) fires once per
+    solver step with the step index, host timestep, and current latents,
+    in both the plain and cached loops."""
+    cfg, params = tiny
+    c, cn = contexts
+    pipe = WanT2V(cfg, params)
+    seen = []
+    pipe.generate(c, cn, on_step=lambda i, t, lat: seen.append((i, t, lat.shape)),
+                  **GEN_KW)
+    n = GEN_KW["sampling_steps"]
+    assert [s[0] for s in seen] == list(range(n))
+    ts = [s[1] for s in seen]
+    assert ts == sorted(ts, reverse=True)  # denoise runs t high -> low
+    assert all(s[2] == seen[0][2] for s in seen)
+
+    seen.clear()
+    pol = StepCachePolicy(cfg_interval=2, reuse_interval=2, warmup=1, tail=1)
+    pipe.generate(c, cn, cache_policy=pol,
+                  on_step=lambda i, t, lat: seen.append(i), **GEN_KW)
+    assert seen == list(range(n))  # fires on reuse steps too
