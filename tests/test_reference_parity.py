@@ -154,6 +154,9 @@ def test_quantized_linear_forward_parity(ref_quant, rng):
     from wanq_tpu.quant.ptq import prepare_layer_state
 
     c_in, c_out = 48, 32
+    # pin torch's GLOBAL rng: other test files consume it, and an
+    # order-dependent weight draw can cross the tight rtol here
+    torch.manual_seed(42)
     lin = torch.nn.Linear(c_in, c_out)
     x = rng.normal(size=(2, 10, c_in)).astype(np.float32)
 
@@ -185,6 +188,7 @@ def test_smooth_quant_channel_mask_and_forward_parity(ref_quant, rng):
     from wanq_tpu.quant.ptq import prepare_layer_state
 
     c_in, c_out = 48, 32
+    torch.manual_seed(42)  # see test_quantized_linear_forward_parity
     lin = torch.nn.Linear(c_in, c_out)
     x = rng.normal(size=(1, 12, c_in)).astype(np.float32)
     act_mask = (np.abs(rng.normal(size=(c_in,))) + 0.1).astype(np.float32)

@@ -13,7 +13,11 @@ import pytest
 
 from wanq_tpu.configs import tiny_config
 from wanq_tpu.models.dit import init_params
-from wanq_tpu.pipelines.text2video import StepCachePolicy, WanT2V
+from wanq_tpu.pipelines.text2video import (
+    AdaptiveCachePolicy,
+    StepCachePolicy,
+    WanT2V,
+)
 from wanq_tpu.utils.metrics import latent_psnr
 
 
@@ -110,6 +114,164 @@ def test_reuse_counts_and_fidelity(tiny, contexts):
     assert pipe.last_cache_stats == {"full": 6, "cond": 0, "reuse": 2}
     assert np.isfinite(out).all()
     assert latent_psnr(base, out) > 10.0
+
+
+def test_adaptive_zero_threshold_matches_all_full(tiny, contexts):
+    """threshold→0 means the drift accumulator can never stay below it,
+    so every step evaluates: the trajectory must match the static
+    all-'full' cached path bit-for-bit (same split-fn route)."""
+    cfg, params = tiny
+    c, cn = contexts
+    pipe = WanT2V(cfg, params)
+    all_full = np.asarray(pipe.generate(
+        c, cn, cache_policy=StepCachePolicy(cfg_interval=2, warmup=100,
+                                            tail=0), **GEN_KW))
+    # threshold=0 alone is inactive; cfg_interval=2 + warmup=100 keeps the
+    # policy active while forcing every step full
+    pol = AdaptiveCachePolicy(threshold=0.0, cfg_interval=2, warmup=100,
+                              tail=0)
+    out = np.asarray(pipe.generate(c, cn, cache_policy=pol, **GEN_KW))
+    assert pipe.last_cache_stats == {"full": 8, "cond": 0, "reuse": 0}
+    np.testing.assert_array_equal(all_full, out)
+
+    # tiny positive threshold, no cfg cycle: real trajectories drift more
+    # than 1e-9 per step, so still all-full and identical to baseline
+    pol2 = AdaptiveCachePolicy(threshold=1e-9, warmup=1, tail=1)
+    out2 = np.asarray(pipe.generate(c, cn, cache_policy=pol2, **GEN_KW))
+    assert pipe.last_cache_stats == {"full": 8, "cond": 0, "reuse": 0}
+    trace = pipe.last_adaptive_trace
+    assert trace and all(e["d"] > 1e-9 for e in trace)
+    np.testing.assert_array_equal(all_full, out2)
+
+
+def test_adaptive_huge_threshold_reuses_everything_unprotected(tiny, contexts):
+    cfg, params = tiny
+    c, cn = contexts
+    pipe = WanT2V(cfg, params)
+    pol = AdaptiveCachePolicy(threshold=1e9, warmup=2, tail=2)
+    out = np.asarray(pipe.generate(c, cn, cache_policy=pol, **GEN_KW))
+    # 8 steps: 2 warmup + 2 tail full, 4 mid steps all reused
+    assert pipe.last_cache_stats == {"full": 4, "cond": 0, "reuse": 4}
+    assert np.isfinite(out).all()
+    # the trace records one decision per unprotected step, monotone acc
+    trace = pipe.last_adaptive_trace
+    assert [e["act"] for e in trace] == ["reuse"] * 4
+    accs = [e["acc"] for e in trace]
+    assert accs == sorted(accs)
+
+
+def test_adaptive_reuse_count_monotone_in_threshold(tiny, contexts):
+    cfg, params = tiny
+    c, cn = contexts
+    pipe = WanT2V(cfg, params)
+    base = np.asarray(pipe.generate(c, cn, **GEN_KW))
+    reuses, psnrs = [], []
+    for thresh in (0.01, 0.2, 1e9):
+        pol = AdaptiveCachePolicy(threshold=thresh, warmup=2, tail=2)
+        out = np.asarray(pipe.generate(c, cn, cache_policy=pol, **GEN_KW))
+        reuses.append(pipe.last_cache_stats["reuse"])
+        psnrs.append(latent_psnr(base, out))
+        assert np.isfinite(out).all()
+    assert reuses == sorted(reuses), f"reuse not monotone: {reuses}"
+    assert reuses[-1] == 4  # everything unprotected
+    # more reuse must not IMPROVE fidelity (ties allowed at 0 reuse)
+    assert psnrs[0] >= psnrs[-1]
+
+
+def test_adaptive_cfg_composition_and_reset(tiny, contexts):
+    """On eval steps the cfg cycle applies; after every eval the drift
+    accumulator resets (x_ref moves to the evaluated input)."""
+    cfg, params = tiny
+    c, cn = contexts
+    pipe = WanT2V(cfg, params)
+    pol = AdaptiveCachePolicy(threshold=1e-9, cfg_interval=2, warmup=2,
+                              tail=2)
+    out = np.asarray(pipe.generate(c, cn, cache_policy=pol, **GEN_KW))
+    # every step evaluates (threshold ~0); evals alternate full/cond with
+    # the warmup/tail forced full: evals 0,1 warmup; mid evals 2..5 ->
+    # full,cond,full,cond; tail full
+    assert pipe.last_cache_stats == {"full": 6, "cond": 2, "reuse": 0}
+    assert np.isfinite(out).all()
+    # accumulator resets after each eval: acc == polyval(d) each decision
+    for e in pipe.last_adaptive_trace:
+        np.testing.assert_allclose(e["acc"], e["d"], rtol=1e-6)
+
+
+def test_adaptive_policy_active_flag_and_cli_route():
+    assert not AdaptiveCachePolicy(threshold=0.0).active
+    assert AdaptiveCachePolicy(threshold=0.05).active
+    assert AdaptiveCachePolicy(threshold=0.0, cfg_interval=2).active
+
+    import argparse
+
+    from wanq_tpu.cli.common import cache_policy_from_args
+
+    ns = argparse.Namespace(cache_threshold=0.1, cfg_cache_interval=2,
+                            reuse_interval=1, cache_warmup=3, cache_tail=5)
+    pol = cache_policy_from_args(ns)
+    assert isinstance(pol, AdaptiveCachePolicy)
+    assert (pol.threshold, pol.cfg_interval, pol.warmup, pol.tail) == \
+        (0.1, 2, 3, 5)
+    ns2 = argparse.Namespace(cache_threshold=0.0, cfg_cache_interval=1,
+                             reuse_interval=2, cache_warmup=4, cache_tail=4)
+    pol2 = cache_policy_from_args(ns2)
+    assert isinstance(pol2, StepCachePolicy) and pol2.reuse_interval == 2
+
+
+@pytest.fixture(scope="module")
+def i2v_setup():
+    from tests.conftest import randomize_head
+    from wanq_tpu.pipelines.image2video import WanI2V, i2v_latent_size
+
+    rng = np.random.default_rng(7)
+    cfg = tiny_config(model_type="i2v", in_dim=36, clip_dim=32)
+    params = randomize_head(init_params(cfg, jax.random.PRNGKey(0)))
+    img = jnp.asarray(rng.uniform(-1, 1, size=(3, 32, 32)).astype(np.float32))
+    c = jnp.asarray(rng.normal(
+        size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+    cn = jnp.asarray(rng.normal(
+        size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+    lat_h, lat_w = i2v_latent_size(cfg, (32, 32), 32 * 32)
+    lat_f = (5 - 1) // 4 + 1
+    clip_fea = jnp.asarray(rng.normal(
+        size=(1, 257, cfg.clip_dim)).astype(np.float32))
+    y = jnp.asarray(rng.normal(
+        size=(20, lat_f, lat_h, lat_w)).astype(np.float32))
+    pipe = WanI2V(cfg, params)
+    kw = dict(max_area=32 * 32, frame_num=5, sampling_steps=8, seed=3,
+              clip_fea=clip_fea, y=y)
+    return pipe, img, c, cn, kw
+
+
+def test_i2v_all_full_cache_matches_baseline(i2v_setup):
+    """The i2v cached loop (bound-conditioning step fns through
+    WanT2V._generate_cached) must reproduce the plain loop bit-for-bit
+    when every step is 'full'."""
+    pipe, img, c, cn, kw = i2v_setup
+    base = np.asarray(pipe.generate(img, c, cn, **kw))
+    pol = StepCachePolicy(cfg_interval=2, warmup=100, tail=0)
+    out = np.asarray(pipe.generate(img, c, cn, cache_policy=pol, **kw))
+    assert pipe.last_cache_stats == {"full": 8, "cond": 0, "reuse": 0}
+    assert latent_psnr(base, out) > 60.0
+    # sequential route through the same cached loop
+    out_s = np.asarray(pipe.generate(img, c, cn, cache_policy=pol,
+                                     cfg_mode="sequential", **kw))
+    np.testing.assert_allclose(out_s, out, atol=3e-3)
+
+
+def test_i2v_adaptive_and_static_cache_fidelity(i2v_setup):
+    pipe, img, c, cn, kw = i2v_setup
+    base = np.asarray(pipe.generate(img, c, cn, **kw))
+    pol = StepCachePolicy(cfg_interval=2, reuse_interval=2, warmup=2, tail=2)
+    out = np.asarray(pipe.generate(img, c, cn, cache_policy=pol, **kw))
+    assert pipe.last_cache_stats["reuse"] > 0
+    assert pipe.last_cache_stats["cond"] > 0
+    assert np.isfinite(out).all() and latent_psnr(base, out) > 10.0
+
+    apol = AdaptiveCachePolicy(threshold=1e9, warmup=2, tail=2)
+    out_a = np.asarray(pipe.generate(img, c, cn, cache_policy=apol, **kw))
+    assert pipe.last_cache_stats == {"full": 4, "cond": 0, "reuse": 4}
+    assert np.isfinite(out_a).all()
 
 
 def test_calibration_rejects_cache_policy(tiny, contexts):

@@ -33,7 +33,11 @@ from wanq_tpu.models.dit import (
     make_scan_ctx,
     stack_block_params,
 )
-from wanq_tpu.pipelines.text2video import StepCachePolicy, WanT2V
+from wanq_tpu.pipelines.text2video import (
+    AdaptiveCachePolicy,
+    StepCachePolicy,
+    WanT2V,
+)
 from wanq_tpu.quant import QuantConfig
 from wanq_tpu.quant.ptq import prepare_quant_state
 from wanq_tpu.quant.qlinear import QuantCtx
@@ -115,6 +119,12 @@ def main():
         ("cfg3", StepCachePolicy(cfg_interval=3)),
         ("reuse2", StepCachePolicy(reuse_interval=2)),
         ("cfg2+reuse2", StepCachePolicy(cfg_interval=2, reuse_interval=2)),
+        # input-adaptive (TeaCache-style): same fidelity gate, skip
+        # pattern chosen by the measured latent drift
+        ("ada.05", AdaptiveCachePolicy(threshold=0.05)),
+        ("ada.10", AdaptiveCachePolicy(threshold=0.10)),
+        ("ada.20", AdaptiveCachePolicy(threshold=0.20)),
+        ("ada.10+cfg2", AdaptiveCachePolicy(threshold=0.10, cfg_interval=2)),
     ]
     base = None
     base_dt = None
@@ -134,6 +144,13 @@ def main():
             print(f"{name:>12} {dt:8.1f} {dt/steps:9.3f} {base_dt/dt:8.3f} "
                   f"{latent_psnr(base, lat):8.2f} "
                   f"{cosine_similarity(base, lat):8.5f}  {stats}", flush=True)
+            if getattr(pipe, "last_adaptive_trace", None):
+                acts = "".join(
+                    {"reuse": "R", "cond": "c"}.get(e["act"], "F")
+                    for e in pipe.last_adaptive_trace)
+                ds = " ".join(f"{e['d']:.3f}"
+                              for e in pipe.last_adaptive_trace)
+                print(f"{'':>12} decisions={acts}  d={ds}", flush=True)
 
 
 if __name__ == "__main__":

@@ -109,13 +109,33 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
                    help="always-full steps at the start of the trajectory")
     p.add_argument("--cache_tail", type=int, default=4,
                    help="always-full steps at the end of the trajectory")
+    p.add_argument("--cache_threshold", type=float, default=0.0,
+                   help="input-adaptive step reuse (TeaCache-style, "
+                        "AdaptiveCachePolicy): skip the model while the "
+                        "accumulated relative-L1 input drift since the "
+                        "last executed forward stays below this. "
+                        "Overrides --reuse_interval; composes with "
+                        "--cfg_cache_interval. 0 = off")
     return p
 
 
 def cache_policy_from_args(args):
-    """StepCachePolicy from the CLI cache flags; None when inactive."""
-    from wanq_tpu.pipelines.text2video import StepCachePolicy
+    """Step-cache policy from the CLI cache flags; None when inactive.
+    --cache_threshold selects the adaptive policy, otherwise the static
+    StepCachePolicy schedule."""
+    from wanq_tpu.pipelines.text2video import (
+        AdaptiveCachePolicy,
+        StepCachePolicy,
+    )
 
+    thresh = getattr(args, "cache_threshold", 0.0)
+    if thresh and thresh > 0.0:
+        return AdaptiveCachePolicy(
+            threshold=thresh,
+            cfg_interval=getattr(args, "cfg_cache_interval", 1),
+            warmup=getattr(args, "cache_warmup", 4),
+            tail=getattr(args, "cache_tail", 4),
+        )
     pol = StepCachePolicy(
         cfg_interval=getattr(args, "cfg_cache_interval", 1),
         reuse_interval=getattr(args, "reuse_interval", 1),

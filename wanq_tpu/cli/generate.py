@@ -149,7 +149,8 @@ def generate(args):
                 size=(cfg.in_dim - cfg.z_dim, lat_f, lat_h, lat_w)).astype(np.float32))
         latents = pipe.generate(
             img, jnp.asarray(context), jnp.asarray(context_null),
-            max_area=MAX_AREA_CONFIGS[args.size], **common, **kw,
+            max_area=MAX_AREA_CONFIGS[args.size],
+            cache_policy=cache_policy_from_args(args), **common, **kw,
         )
     else:
         pipe = WanT2V(cfg, params, quant_ctx=qctx, sp_size=seq_parallel_size(args),

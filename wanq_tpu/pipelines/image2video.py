@@ -82,6 +82,28 @@ class WanI2V(WanT2V):
 
         return jax.jit(step)
 
+    def _build_split_step_fn(self, seq_len: int):
+        """Batched CFG pair returning (cond, uncond) separately with the
+        i2v conditioning — the caching loop holds the raw uncond across
+        steps (see WanT2V._generate_cached)."""
+        cfg = self.config
+
+        def step(params, qctx, latents, t, context, context_null, y,
+                 clip_fea):
+            b = latents.shape[0]
+            x2 = jnp.concatenate([latents, latents], axis=0)
+            c2 = jnp.concatenate([context, context_null], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            y2 = jnp.concatenate([y, y], axis=0)
+            cf2 = jnp.concatenate([clip_fea, clip_fea], axis=0)
+            out = dit_forward(
+                params, cfg, x2, t2, c2, seq_len, ctx=qctx,
+                clip_fea=cf2, y=y2, plan=self.shardings,
+            )
+            return out[:b], out[b:]
+
+        return jax.jit(step)
+
     def _build_cond_step_fn(self, seq_len: int):
         """Single-branch [B] forward with the i2v conditioning inputs —
         the sequential-CFG building block (see WanT2V.generate cfg_mode;
@@ -114,6 +136,8 @@ class WanI2V(WanT2V):
         ref_latents: Optional[jax.Array] = None,
         ref_latent_strength: float = 0.01,
         cfg_mode: str = "batched",
+        cache_policy: Optional[Any] = None,
+        on_step: Optional[Any] = None,
     ):
         """img: [3, H, W] in [-1, 1]. Returns latents [1, 16, F_lat, h, w];
         decode via self.vae. ``clip_fea``/``y`` may be precomputed (tests /
@@ -169,7 +193,32 @@ class WanI2V(WanT2V):
 
         gs = jnp.float32(guide_scale)
         latents = noise
-        for t in timesteps:
+
+        if cache_policy is not None and cache_policy.active:
+            # ride WanT2V's cached loop with the i2v conditioning bound
+            # into the step fns (StepCachePolicy / AdaptiveCachePolicy)
+            raw_cond = self._step_fn(seq_len, "cond")
+
+            def cond_fn(params, qctx, lat, tt, ctx_):
+                return raw_cond(params, qctx, lat, tt, ctx_, y, clip_fea)
+
+            if sequential:
+                split_fn = None  # cached loop builds it from cond_fn
+            else:
+                raw_split = self._step_fn(seq_len, "split")
+
+                def split_fn(params, qctx, lat, tt, ctx_, ctx_null):
+                    return raw_split(params, qctx, lat, tt, ctx_, ctx_null,
+                                     y, clip_fea)
+
+            return self._generate_cached(
+                cache_policy, sch, timesteps, latents, arg_ctx,
+                context, context_null, gs, seq_len, 1,
+                sequential=sequential, on_step=on_step,
+                cond_fn=cond_fn, split_fn=split_fn,
+            )
+
+        for i, t in enumerate(timesteps):
             tt = jnp.full((1,), float(t), dtype=jnp.float32)
             if sequential:
                 cond = step_fn(self.params, arg_ctx, latents, tt, context,
@@ -183,4 +232,6 @@ class WanI2V(WanT2V):
                     gs, y, clip_fea
                 )
             latents = sch.step(noise_pred, int(t), latents)
+            if on_step is not None:
+                on_step(i, float(t), latents)
         return latents

@@ -126,6 +126,46 @@ class StepCachePolicy:
         return self.cfg_interval > 1 or self.reuse_interval > 1
 
 
+@dataclasses.dataclass(frozen=True)
+class AdaptiveCachePolicy:
+    """Input-adaptive step reuse (TeaCache-style; beyond-reference).
+
+    Where :class:`StepCachePolicy` skips on a STATIC schedule, this policy
+    decides per step from the trajectory itself: the relative L1 drift of
+    the model input since the last executed forward,
+
+        d_i = mean|x_i − x_ref| / mean|x_ref|,
+
+    optionally rescaled by a fitted polynomial (``poly``, ``np.polyval``
+    coefficients — TeaCache fits one per model family to map input drift
+    to output change; identity by default), accumulates across candidate
+    steps; while the accumulator stays below ``threshold`` the previous
+    noise prediction is reused verbatim, and when it crosses, the model
+    runs and the accumulator resets. Unlike a static ``reuse_interval``
+    the skip pattern concentrates where the trajectory actually idles
+    (measured: mid-trajectory on Wan's unipc schedule) instead of
+    uniformly, buying a better fidelity/speed frontier at the same eval
+    count (tools/cache_probe.py --adaptive table in BENCH_NOTES).
+
+    ``cfg_interval`` composes exactly as in StepCachePolicy: on steps the
+    model DOES run, every K-th eval refreshes the uncond branch and the
+    ones between run cond-only. ``warmup``/``tail`` force full CFG steps
+    at the trajectory ends — same failure-mode guard as the static
+    policy. The decision costs two jitted reductions + one scalar fetch
+    per step (~ms on a relayed link, against multi-second steps).
+    """
+
+    threshold: float = 0.08
+    warmup: int = 4
+    tail: int = 4
+    cfg_interval: int = 1
+    poly: Tuple[float, ...] = (1.0, 0.0)
+
+    @property
+    def active(self) -> bool:
+        return self.threshold > 0.0 or self.cfg_interval > 1
+
+
 @dataclasses.dataclass
 class WanT2V:
     """Latent-space pipeline; text encoding / VAE decode are pluggable
@@ -146,6 +186,7 @@ class WanT2V:
     def __post_init__(self):
         self._step_fn_cache: Dict[Tuple, Callable] = {}
         self.last_cache_stats: Optional[Dict[str, int]] = None
+        self.last_adaptive_trace: Optional[List[Dict[str, float]]] = None
         if self.quant_ctx_schedule:
             threshs = [t for t, _ in self.quant_ctx_schedule]
             if threshs != sorted(threshs, reverse=True):
@@ -390,26 +431,71 @@ class WanT2V:
         context, context_null, gs, seq_len, b,
         sequential: bool = False,
         on_step: Optional[Callable[[int, float, jax.Array], None]] = None,
+        cond_fn: Optional[Callable] = None,
+        split_fn: Optional[Callable] = None,
     ):
-        """Denoise loop under a StepCachePolicy. Per-step forward cost:
-        'full' = 2B tokens, 'cond' = B tokens, 'reuse' = 0. The schedule
-        is static; each action's step function compiles once. Under
-        ``sequential`` (see generate cfg_mode) the 'full' action runs the
-        pair as two B-sized forwards through the cond fn — same math,
-        half the peak activation memory, and only ONE compiled variant
-        serves every action."""
-        cond_fn = self._step_fn(seq_len, "cond")
-        if sequential:
-            def split_fn(params, qctx, latents, tt, context, context_null):
-                return (cond_fn(params, qctx, latents, tt, context),
-                        cond_fn(params, qctx, latents, tt, context_null))
+        """Denoise loop under a StepCachePolicy or AdaptiveCachePolicy.
+        Per-step forward cost: 'full' = 2B tokens, 'cond' = B tokens,
+        'reuse' = 0. Static schedules are planned up front; the adaptive
+        policy decides each step from the measured input drift (see
+        AdaptiveCachePolicy). Each action's step function compiles once.
+        Under ``sequential`` (see generate cfg_mode) the 'full' action
+        runs the pair as two B-sized forwards through the cond fn — same
+        math, half the peak activation memory, and only ONE compiled
+        variant serves every action. ``cond_fn``/``split_fn`` may be
+        passed pre-bound (WanI2V binds its y/clip_fea conditioning) —
+        both take (params, qctx, latents, tt, context[, context_null])."""
+        if cond_fn is None:
+            cond_fn = self._step_fn(seq_len, "cond")
+        if split_fn is None:
+            if sequential:
+                def split_fn(params, qctx, latents, tt, context,
+                             context_null):
+                    return (cond_fn(params, qctx, latents, tt, context),
+                            cond_fn(params, qctx, latents, tt, context_null))
+            else:
+                split_fn = self._step_fn(seq_len, "split")
+        n_steps = len(timesteps)
+        adaptive = isinstance(policy, AdaptiveCachePolicy)
+        if adaptive:
+            # rel-L1 drift of the model input since the last executed
+            # forward; one jitted program, one scalar fetch per step
+            dist_fn = jax.jit(
+                lambda a, r: jnp.mean(jnp.abs(a - r))
+                / (jnp.mean(jnp.abs(r)) + 1e-8)
+            )
+            acc = 0.0
+            x_ref = None
+            n_eval = 0
+            trace: List[Dict[str, float]] = []
         else:
-            split_fn = self._step_fn(seq_len, "split")
-        actions = policy.plan(len(timesteps))
+            actions = policy.plan(n_steps)
         stats = {"full": 0, "cond": 0, "reuse": 0}
         last_uncond = None
         last_pred = None
-        for i, (t, act) in enumerate(zip(timesteps, actions)):
+        for i, t in enumerate(timesteps):
+            if adaptive:
+                protected = i < policy.warmup or i >= n_steps - policy.tail
+                if protected or last_pred is None or x_ref is None:
+                    act = "full" if (protected or last_uncond is None) else (
+                        "cond" if policy.cfg_interval > 1
+                        and n_eval % policy.cfg_interval else "full")
+                    d = None
+                else:
+                    d = float(dist_fn(latents, x_ref))
+                    acc += float(np.polyval(policy.poly, d))
+                    if acc < policy.threshold:
+                        act = "reuse"
+                    elif (policy.cfg_interval > 1
+                          and n_eval % policy.cfg_interval):
+                        act = "cond"
+                    else:
+                        act = "full"
+                if d is not None:
+                    trace.append({"step": i, "d": d, "acc": acc,
+                                  "act": act})
+            else:
+                act = actions[i]
             tt = jnp.full((b,), float(t), dtype=jnp.float32)
             step_ctx = arg_ctx
             if self.quant_ctx_schedule:
@@ -429,12 +515,17 @@ class WanT2V:
                 )
                 last_uncond = uncond
                 noise_pred = uncond + gs * (cond - uncond)
+            if adaptive and act != "reuse":
+                x_ref = latents
+                acc = 0.0
+                n_eval += 1
             stats[act] += 1
             last_pred = noise_pred
             latents = sch.step(noise_pred, int(t), latents)
             if on_step is not None:
                 on_step(i, float(t), latents)
         self.last_cache_stats = stats
+        self.last_adaptive_trace = trace if adaptive else None
         return latents
 
     # -- calibration sweep (ref get_calib_data_wanx.py:278-473) -------------
