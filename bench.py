@@ -248,33 +248,44 @@ V5E_BF16_PEAK = 197e12
 
 
 def measure_stepcache(r, steps: int = 12):
-    """Measured step-cache speedup + fidelity gate at the bench config
-    (StepCachePolicy reuse2 — the strongest measured schedule,
-    tools/cache_probe.py)."""
-    from wanq_tpu.pipelines.text2video import StepCachePolicy, WanT2V
+    """Measured step-cache speedup + fidelity gate at the bench config:
+    static reuse2 and the input-adaptive ada.10 policy (the measured
+    frontier winner at 30 steps, tools/cache_probe.py). Returns
+    {name: (speedup, psnr)}."""
+    from wanq_tpu.pipelines.text2video import (
+        AdaptiveCachePolicy,
+        StepCachePolicy,
+        WanT2V,
+    )
     from wanq_tpu.utils.metrics import latent_psnr
 
     pipe = WanT2V(r["cfg"], r["params"], quant_ctx=r["ctx"])
     kw = dict(size=(832, 480), frame_num=r["frame_num"],
               sampling_steps=steps, seed=42)
-    pol = StepCachePolicy(reuse_interval=2, warmup=2, tail=2)
-    # compile pass for both paths
+    pols = {"reuse2": StepCachePolicy(reuse_interval=2, warmup=2, tail=2),
+            "adaptive.10": AdaptiveCachePolicy(threshold=0.10, warmup=2,
+                                               tail=2)}
+    # compile pass for all paths (the policies share the cond/split fns)
     pipe.generate(r["context"], r["context_null"],
                   **{**kw, "sampling_steps": 2})
-    pipe.generate(r["context"], r["context_null"], cache_policy=pol,
+    pipe.generate(r["context"], r["context_null"],
+                  cache_policy=pols["reuse2"],
                   **{**kw, "sampling_steps": 5})
     t0 = time.perf_counter()
     base = np.asarray(pipe.generate(r["context"], r["context_null"], **kw))
     t_base = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    cached = np.asarray(pipe.generate(r["context"], r["context_null"],
-                                      cache_policy=pol, **kw))
-    t_cached = time.perf_counter() - t0
-    psnr = latent_psnr(base, cached)
-    log(f"step-cache reuse2 over {steps} steps: {t_base:.1f}s -> "
-        f"{t_cached:.1f}s ({t_base/t_cached:.3f}x), final-latent PSNR "
-        f"{psnr:.1f} dB vs uncached")
-    return t_base / t_cached, psnr
+    out = {}
+    for name, pol in pols.items():
+        t0 = time.perf_counter()
+        cached = np.asarray(pipe.generate(r["context"], r["context_null"],
+                                          cache_policy=pol, **kw))
+        t_cached = time.perf_counter() - t0
+        psnr = latent_psnr(base, cached)
+        log(f"step-cache {name} over {steps} steps: {t_base:.1f}s -> "
+            f"{t_cached:.1f}s ({t_base/t_cached:.3f}x), final-latent PSNR "
+            f"{psnr:.1f} dB vs uncached {pipe.last_cache_stats}")
+        out[name] = (t_base / t_cached, psnr)
+    return out
 
 
 def quant_weight_residency(r):
@@ -343,15 +354,19 @@ def main():
     try:
         if over_budget("step-cache metric"):
             raise TimeoutError("bench budget")
-        speedup, psnr = measure_stepcache(r)
-        metrics.append({"name": "stepcache_reuse2_speedup",
-                        "value": round(speedup, 3),
-                        "unit": f"x vs uncached W8A8 loop @ {psnr:.1f} dB "
-                                "final-latent PSNR (tools/cache_probe.py)"})
-        effective = (fp_time / q_time) * speedup
+        cache_res = measure_stepcache(r)
+        for name, (speedup, psnr) in cache_res.items():
+            metrics.append({"name": f"stepcache_{name}_speedup",
+                            "value": round(speedup, 3),
+                            "unit": f"x vs uncached W8A8 loop @ {psnr:.1f} "
+                                    "dB final-latent PSNR "
+                                    "(tools/cache_probe.py)"})
+        best = max(s for s, _ in cache_res.values())
+        effective = (fp_time / q_time) * best
         metrics.append({"name": "w8a8_stepcache_vs_bf16_effective",
                         "value": round(effective, 3),
-                        "unit": "x vs bf16 uncached (ratio x stepcache)"})
+                        "unit": "x vs bf16 uncached (ratio x best "
+                                "stepcache)"})
     except Exception as e:  # noqa: BLE001 — keep the headline alive
         log(f"step-cache metric failed: {type(e).__name__}: {e}")
 
