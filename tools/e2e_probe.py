@@ -49,6 +49,7 @@ from wanq_tpu.models.t5 import (
     init_t5_params_on_device,
 )
 from wanq_tpu.pipelines.text2video import (
+    AdaptiveCachePolicy,
     StepCachePolicy,
     WanT2V,
     compute_seq_len,
@@ -176,8 +177,12 @@ def phase_denoise(cfg, context, context_null, steps, cached):
           flush=True)
 
     pipe = WanT2V(cfg, params, quant_ctx=ctx)
-    pol = (StepCachePolicy(cfg_interval=2, reuse_interval=2)
-           if cached else None)
+    if cached == "ada":
+        pol = AdaptiveCachePolicy(threshold=0.10, warmup=2, tail=2)
+    elif cached:
+        pol = StepCachePolicy(cfg_interval=2, reuse_interval=2)
+    else:
+        pol = None
     c_j = jnp.asarray(context)
     cn_j = jnp.asarray(context_null)
     # compile pass (2/4 steps touches every step-fn variant). FENCED:
@@ -196,7 +201,9 @@ def phase_denoise(cfg, context, context_null, steps, cached):
                             sampling_steps=steps, seed=42, cache_policy=pol)
     latents = np.asarray(latents)
     timings["denoise_s"] = time.time() - t0
-    print(f"   {steps}-step denoise{' (cached cfg2+reuse2)' if cached else ''}: "
+    tag = {"static": " (cached cfg2+reuse2)", "ada": " (cached ada.10)"}.get(
+        cached, "")
+    print(f"   {steps}-step denoise{tag}: "
           f"{timings['denoise_s']:.1f}s "
           f"({timings['denoise_s']/steps:.2f} s/step-equivalent; "
           f"compile pass {timings['denoise_compile_s']:.1f}s)", flush=True)
@@ -229,8 +236,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--no_t5_cpu", action="store_true")
-    ap.add_argument("--cached", action="store_true",
-                    help="denoise under the production StepCachePolicy")
+    ap.add_argument("--cached", nargs="?", const="static", default="",
+                    choices=["", "static", "ada"],
+                    help="denoise under a cache policy: 'static' = "
+                         "StepCachePolicy cfg2+reuse2, 'ada' = "
+                         "AdaptiveCachePolicy(0.10)")
     ap.add_argument("--vae_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"],
                     help="VAE compute dtype (cli/common.py --vae_dtype)")
