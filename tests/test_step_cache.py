@@ -197,6 +197,56 @@ def test_adaptive_cfg_composition_and_reset(tiny, contexts):
         np.testing.assert_allclose(e["acc"], e["d"], rtol=1e-6)
 
 
+def test_fit_drift_poly_and_output_space_threshold(tiny, contexts):
+    """fit_drift_poly records (input drift d, realized output change o)
+    pairs on an all-evaluate pass and least-squares fits o≈polyval(p,d);
+    the fitted poly must beat the identity rescaling on its own data and
+    make threshold an output-space tolerance."""
+    from wanq_tpu.pipelines.text2video import fit_drift_poly
+
+    cfg, params = tiny
+    c, cn = contexts
+    pipe = WanT2V(cfg, params)
+    poly = fit_drift_poly(pipe, c, cn, degree=2, **GEN_KW)
+    assert len(poly) == 3 and all(np.isfinite(poly))
+    # calibration pass evaluated every step and recorded o for each
+    # consecutive executed pair (step 0 is the protected reference)
+    assert pipe.last_cache_stats["reuse"] == 0
+    trace = pipe.last_adaptive_trace
+    pts = [(e["d"], e["o"]) for e in trace if "o" in e]
+    assert len(pts) == 7  # 8 steps, warmup=1, o from the 2nd exec on
+    d = np.array([p[0] for p in pts])
+    o = np.array([p[1] for p in pts])
+    fit_mse = float(np.mean((np.polyval(poly, d) - o) ** 2))
+    id_mse = float(np.mean((d - o) ** 2))
+    assert fit_mse <= id_mse + 1e-12
+    # installed: estimated-output-change accumulator drives the skips;
+    # a generous output tolerance must reuse more than a tight one
+    reuses = []
+    for tol in (1e-4, 0.5):
+        pol = AdaptiveCachePolicy(threshold=tol, warmup=2, tail=2,
+                                  poly=poly)
+        out = np.asarray(pipe.generate(c, cn, cache_policy=pol, **GEN_KW))
+        assert np.isfinite(out).all()
+        reuses.append(pipe.last_cache_stats["reuse"])
+    assert reuses[0] <= reuses[1] and reuses[1] == 4
+
+
+def test_cache_poly_cli_parsing():
+    import argparse
+
+    from wanq_tpu.cli.common import cache_policy_from_args
+
+    ns = argparse.Namespace(cache_threshold=0.1, cfg_cache_interval=1,
+                            reuse_interval=1, cache_warmup=2, cache_tail=2,
+                            cache_poly="2.5,0.5,0.0")
+    pol = cache_policy_from_args(ns)
+    assert isinstance(pol, AdaptiveCachePolicy)
+    assert pol.poly == (2.5, 0.5, 0.0)
+    ns.cache_poly = ""
+    assert cache_policy_from_args(ns).poly == (1.0, 0.0)
+
+
 def test_adaptive_policy_active_flag_and_cli_route():
     assert not AdaptiveCachePolicy(threshold=0.0).active
     assert AdaptiveCachePolicy(threshold=0.05).active

@@ -116,6 +116,12 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
                         "last executed forward stays below this. "
                         "Overrides --reuse_interval; composes with "
                         "--cfg_cache_interval. 0 = off")
+    p.add_argument("--cache_poly", type=str, default="",
+                   help="comma-separated np.polyval coefficients rescaling "
+                        "the adaptive drift signal (fit with "
+                        "wanq_tpu.pipelines.text2video.fit_drift_poly; "
+                        "with a fitted poly --cache_threshold is an "
+                        "output-space tolerance). Empty = identity")
     return p
 
 
@@ -130,11 +136,15 @@ def cache_policy_from_args(args):
 
     thresh = getattr(args, "cache_threshold", 0.0)
     if thresh and thresh > 0.0:
+        poly_s = getattr(args, "cache_poly", "") or ""
+        poly = (tuple(float(c) for c in poly_s.split(","))
+                if poly_s.strip() else (1.0, 0.0))
         return AdaptiveCachePolicy(
             threshold=thresh,
             cfg_interval=getattr(args, "cfg_cache_interval", 1),
             warmup=getattr(args, "cache_warmup", 4),
             tail=getattr(args, "cache_tail", 4),
+            poly=poly,
         )
     pol = StepCachePolicy(
         cfg_interval=getattr(args, "cfg_cache_interval", 1),

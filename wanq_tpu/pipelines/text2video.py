@@ -166,6 +166,39 @@ class AdaptiveCachePolicy:
         return self.threshold > 0.0 or self.cfg_interval > 1
 
 
+def fit_drift_poly(pipe, context, context_null, degree: int = 4,
+                   **gen_kw) -> Tuple[float, ...]:
+    """Fit the AdaptiveCachePolicy rescaling polynomial (TeaCache's
+    per-model calibration step) on one full trajectory.
+
+    Runs an all-evaluate adaptive pass (threshold ≈ 0 keeps the drift
+    accumulator above it on every real trajectory) so the trace records,
+    for each consecutive pair of executed forwards, the model-INPUT
+    relative-L1 drift ``d`` and the realized model-OUTPUT relative-L1
+    change ``o``, then least-squares fits ``o ≈ polyval(poly, d)``.
+
+    With the fitted poly installed, the policy's accumulator estimates
+    OUTPUT change, so ``threshold`` becomes an output-space tolerance
+    (e.g. 0.1 = skip while the estimated accumulated change of the noise
+    prediction stays under 10%) — transferable across schedules and step
+    counts in a way the raw input-drift threshold is not. TeaCache ships
+    one fitted polynomial per model family; this fits it in-repo from
+    any prompt/seed (one uncached-trajectory cost).
+    """
+    pol = AdaptiveCachePolicy(threshold=1e-12, warmup=1, tail=0)
+    pipe.generate(context, context_null, cache_policy=pol, **gen_kw)
+    pts = [(e["d"], e["o"]) for e in (pipe.last_adaptive_trace or [])
+           if "o" in e]
+    if len(pts) < 2:
+        raise ValueError(
+            f"need >=2 executed-step pairs to fit, got {len(pts)} "
+            "(too few sampling_steps?)")
+    d = np.asarray([p[0] for p in pts])
+    o = np.asarray([p[1] for p in pts])
+    deg = min(degree, len(pts) - 1)
+    return tuple(float(c) for c in np.polyfit(d, o, deg))
+
+
 @dataclasses.dataclass
 class WanT2V:
     """Latent-space pipeline; text encoding / VAE decode are pluggable
@@ -467,6 +500,7 @@ class WanT2V:
             acc = 0.0
             x_ref = None
             n_eval = 0
+            prev_exec_pred = None
             trace: List[Dict[str, float]] = []
         else:
             actions = policy.plan(n_steps)
@@ -516,6 +550,14 @@ class WanT2V:
                 last_uncond = uncond
                 noise_pred = uncond + gs * (cond - uncond)
             if adaptive and act != "reuse":
+                # record the realized output change between consecutive
+                # executed forwards — the regression target fit_drift_poly
+                # pairs with the input drift d (TeaCache's calibration)
+                if (trace and trace[-1]["step"] == i
+                        and prev_exec_pred is not None):
+                    trace[-1]["o"] = float(dist_fn(noise_pred,
+                                                   prev_exec_pred))
+                prev_exec_pred = noise_pred
                 x_ref = latents
                 acc = 0.0
                 n_eval += 1
