@@ -58,13 +58,15 @@ def main():
     ap.add_argument("--steps", type=int, default=5,
                     help="real denoise steps to execute (extrapolated to 50)")
     ap.add_argument("--res", type=int, default=720, choices=[480, 720])
-    ap.add_argument("--cached", action="store_true",
-                    help="denoise under StepCachePolicy(cfg2+reuse2) — the "
-                         "production schedule whose fidelity gate is "
-                         "measured at 1.3B (tools/cache_probe.py 47.5 dB); "
-                         "per-step action mix is reported so the 50-step "
-                         "extrapolation uses the policy's real full/cond/"
-                         "reuse plan, not the measured prefix's")
+    ap.add_argument("--cached", nargs="?", const="static", default="",
+                    choices=["", "static", "ada"],
+                    help="denoise under a cache policy: 'static' = "
+                         "StepCachePolicy(cfg2+reuse2) (fidelity gate "
+                         "measured at 1.3B, tools/cache_probe.py 47.5 dB); "
+                         "'ada' = AdaptiveCachePolicy(0.10) (55.9 dB at "
+                         "1.3B). Static extrapolates 50 steps from the "
+                         "policy's real plan; adaptive from the measured "
+                         "unprotected action-mix fractions")
     args = ap.parse_args()
     cfg = WAN_CONFIGS["t2v-14B"]
     size = (1280, 720) if args.res == 720 else (832, 480)
@@ -88,11 +90,18 @@ def main():
           f"{total_qbytes/2**30:.2f} GiB int-at-rest "
           f"(bf16 would be ~27 GiB)", flush=True)
 
-    from wanq_tpu.pipelines.text2video import StepCachePolicy
+    from wanq_tpu.pipelines.text2video import (
+        AdaptiveCachePolicy,
+        StepCachePolicy,
+    )
 
-    pol = (StepCachePolicy(cfg_interval=2, reuse_interval=2,
-                           warmup=2, tail=2)
-           if args.cached else None)
+    if args.cached == "ada":
+        pol = AdaptiveCachePolicy(threshold=0.10, warmup=2, tail=2)
+    elif args.cached:
+        pol = StepCachePolicy(cfg_interval=2, reuse_interval=2,
+                              warmup=2, tail=2)
+    else:
+        pol = None
     pipe = WanT2V(cfg, params, quant_ctx=qctx)
     c_j = jnp.asarray(context)
     cn_j = jnp.asarray(context_null)
@@ -127,9 +136,17 @@ def main():
     t_denoise = time.time() - t0
     if pol is not None:
         # cost model per action from the measured per-step times, then
-        # price the REAL 50-step plan (the measured prefix is full-heavy
-        # because of the warmup window)
-        acts = pol.plan(args.steps)
+        # price the 50-step run: the REAL plan for the static policy;
+        # for the adaptive one, the measured unprotected mix fractions
+        # scaled to 50 steps (warmup/tail stay full)
+        adaptive = isinstance(pol, AdaptiveCachePolicy)
+        if adaptive:
+            acts = ["full"] * pol.warmup + [
+                e["act"] for e in pipe.last_adaptive_trace] + \
+                ["full"] * pol.tail
+            acts = acts[:args.steps]
+        else:
+            acts = pol.plan(args.steps)
         by_act = {}
         for a, dt in zip(acts, step_times):
             by_act.setdefault(a, []).append(dt)
@@ -137,19 +154,30 @@ def main():
         print("   measured per-action cost: " + ", ".join(
             f"{a}={cost[a]:.1f}s x{len(by_act[a])}" for a in cost),
             flush=True)
-        plan50 = pol.plan(50)
         # actions unseen in the short run: cond ~ half a full pair,
         # reuse ~ solver-only (use the smallest observed time floor)
         full = cost.get("full", max(step_times))
         cost.setdefault("cond", full / 2)
         cost.setdefault("reuse", min(step_times + [0.5]) * 0.01)
-        denoise50 = sum(cost[a] for a in plan50)
+        if adaptive:
+            prot = pol.warmup + pol.tail
+            mid = [a for a in acts[pol.warmup:args.steps - pol.tail]]
+            frac = {a: mid.count(a) / max(len(mid), 1)
+                    for a in ("full", "cond", "reuse")}
+            denoise50 = prot * cost["full"] + (50 - prot) * sum(
+                frac[a] * cost[a] for a in frac)
+            print(f"   adaptive mix over {len(mid)} unprotected steps: "
+                  + ", ".join(f"{a}={frac[a]:.2f}" for a in frac
+                              if frac[a]), flush=True)
+        else:
+            plan50 = pol.plan(50)
+            denoise50 = sum(cost[a] for a in plan50)
         s_per_step = denoise50 / 50
     else:
         s_per_step = float(np.median(step_times))
         denoise50 = 50 * s_per_step
     print(f"   {args.steps}-step sequential-CFG denoise"
-          f"{' (cached cfg2+reuse2)' if pol else ''}: {t_denoise:.1f}s "
+          f"{' (cached ' + args.cached + ')' if pol else ''}: {t_denoise:.1f}s "
           f"(per-step min {min(step_times):.1f} / median "
           f"{float(np.median(step_times)):.1f} / max {max(step_times):.1f}) "
           f"-> latents {latents.shape}", flush=True)
@@ -178,7 +206,7 @@ def main():
     full50 = encode + denoise50 + t_vae
     print(f"\n14B {args.res}p x {frame_num}f ON ONE CHIP "
           f"(warm, {args.steps} steps measured"
-          f"{', cached cfg2+reuse2' if pol else ''}): {measured:.1f}s "
+          f"{', cached ' + args.cached if pol else ''}): {measured:.1f}s "
           f"= encode {encode:.1f} + denoise {t_denoise:.1f} "
           f"+ vae {t_vae:.1f}")
     print(f"50-step 5s video extrapolation: {full50/60:.1f} min "
