@@ -1,6 +1,7 @@
 """Unit tests for the pure quantizer math vs the closed-form reference
 formulas (ViDiT-Q qdiff/base/base_quantizer.py — see SURVEY.md §2.1)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -122,3 +123,25 @@ def test_merge_minmax_accumulates(rng):
     d_ref, z_ref = Q.compute_quant_params(jnp.asarray(both), 8, False)
     np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), rtol=1e-5)
+
+
+def test_nan_guard_debug_assertions(rng, monkeypatch):
+    """The reference's in-path runtime nan checks (base_quantizer.py:113)
+    as the opt-in WANQ_DEBUG_NANCHECK guard: raises on non-finite input
+    under jit when enabled, free no-op when off."""
+    bad = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    bad = bad.at[1, 3].set(jnp.nan)
+
+    monkeypatch.delenv("WANQ_DEBUG_NANCHECK", raising=False)
+    d, z = Q.compute_quant_params(bad, 8, True)  # off: silent (ref parity)
+    assert d.shape == (4, 1)
+
+    monkeypatch.setenv("WANQ_DEBUG_NANCHECK", "1")
+    f = jax.jit(lambda x: Q.compute_quant_params(x, 8, True))
+    with pytest.raises(Exception, match="non-finite|FloatingPointError"):
+        jax.block_until_ready(f(bad))
+    # clean input passes with the guard enabled (new jit avoids the
+    # poisoned cache entry's device state)
+    good = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    d, _ = jax.jit(lambda x: Q.compute_quant_params(x, 8, True))(good)
+    assert np.isfinite(np.asarray(d)).all()

@@ -29,14 +29,39 @@ Weights use per-output-channel groups; activations use per-token groups.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # eps clamps mirror the reference (base_quantizer.py:122-128 sym, :141-148 asym)
 _EPS_SYM = 1e-6
 _EPS_ASYM = 1e-8
+
+
+def nan_guard(x: jax.Array, name: str) -> jax.Array:
+    """Opt-in in-path debug assertion — the reference's pervasive runtime
+    nan checks and delta>eps ipdb fallbacks (base_quantizer.py:94-97,
+    :113, :145) in their idiomatic-JAX form: under ``WANQ_DEBUG_NANCHECK=1``
+    a host callback raises FloatingPointError on non-finite values flowing
+    through the quantizers (works inside jit; on TPU the callback is
+    asynchronous, so the error surfaces at the next sync point). When the
+    env var is unset this is a trace-time no-op with zero runtime cost.
+    """
+    if os.environ.get("WANQ_DEBUG_NANCHECK", "0") != "1":
+        return x
+
+    def _chk(v):
+        if not np.isfinite(v).all():
+            raise FloatingPointError(
+                f"non-finite values in {name}: "
+                f"nan={int(np.isnan(v).sum())} inf={int(np.isinf(v).sum())}"
+            )
+
+    jax.debug.callback(_chk, x)
+    return x
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,7 +117,7 @@ def compute_quant_params(
     """
     assert x.ndim == 2, f"expected [G, -1], got {x.shape}"
     nl = n_levels_for(n_bits, sym)
-    xf = x.astype(jnp.float32)
+    xf = nan_guard(x.astype(jnp.float32), "compute_quant_params.x")
     if sym:
         absmax = jnp.max(jnp.abs(xf), axis=1)
         delta = absmax / nl
@@ -135,7 +160,9 @@ def fake_quant(
     x: jax.Array, delta: jax.Array, zp: jax.Array, n_bits: int, sym: bool
 ) -> jax.Array:
     """Quantize-then-dequantize with given params."""
-    return dequantize(quantize(x, delta, zp, n_bits, sym), delta, zp)
+    return nan_guard(
+        dequantize(quantize(x, delta, zp, n_bits, sym), delta, zp),
+        "fake_quant.out")
 
 
 def dynamic_fake_quant(x: jax.Array, cfg: QuantizerCfg) -> jax.Array:
