@@ -45,8 +45,9 @@ from wanq_tpu.utils.metrics import cosine_similarity, latent_psnr
 
 
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    frame_num = int(sys.argv[2]) if len(sys.argv) > 2 else 81
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    steps = int(pos[0]) if pos else 30
+    frame_num = int(pos[1]) if len(pos) > 1 else 81
     cfg = WAN_CONFIGS["t2v-1.3B"]
     print(f"cache_probe: 1.3B 832*480 f{frame_num} steps={steps} "
           f"on {jax.devices()[0]}", flush=True)
@@ -126,6 +127,20 @@ def main():
         ("ada.20", AdaptiveCachePolicy(threshold=0.20)),
         ("ada.10+cfg2", AdaptiveCachePolicy(threshold=0.10, cfg_interval=2)),
     ]
+    if "--fit" in sys.argv:
+        # fit the TeaCache rescaling polynomial on one all-evaluate
+        # trajectory, then sweep OUTPUT-space tolerances with it
+        from wanq_tpu.pipelines.text2video import fit_drift_poly
+
+        t0 = time.time()
+        poly = fit_drift_poly(pipe, context, context_null, degree=3,
+                              **gen_kw)
+        print(f"fitted drift poly ({time.time()-t0:.1f}s): "
+              + ", ".join(f"{c:.4g}" for c in poly), flush=True)
+        configs += [
+            (f"fit.{tol}", AdaptiveCachePolicy(threshold=tol, poly=poly))
+            for tol in (0.05, 0.10, 0.20)
+        ]
     base = None
     base_dt = None
     print(f"{'config':>12} {'wall s':>8} {'s/step-eq':>9} {'speedup':>8} "
