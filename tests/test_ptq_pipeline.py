@@ -274,3 +274,45 @@ def test_strip_quantized_weights_int8_parity(tiny):
         ref = dit_forward(params, cfg, x, t, txt, 32, ctx=ctx)
         got = dit_forward(stripped, cfg, x, t, txt, 32, ctx=ctx)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_prepare_quant_state_stacked_parity(tiny, calib_and_fp):
+    """The memory-lean scan-form PTQ (slices stacked params, donated
+    incremental writes — one layer + the final stacked state resident
+    instead of three weight-sized copies) must produce exactly the
+    scan_state that prepare_quant_state + make_scan_ctx build, for every
+    method config."""
+    from wanq_tpu.models.dit import make_scan_ctx, stack_block_params
+    from wanq_tpu.quant.ptq import prepare_quant_state_stacked
+
+    cfg, params = tiny
+    stats, _ = calib_and_fp
+    stacked_params = stack_block_params(params)
+
+    for qd in (WAN_QCFG, BASE_QCFG):
+        qcfg = QuantConfig.from_dict(qd)
+        pol_ref, state_ref, rot_ref = prepare_quant_state(
+            params, linear_layer_names(cfg), qcfg, calib=stats, seed=0,
+            targets="sim", rotate_on_device=True,
+        )
+        ref_ctx = make_scan_ctx(
+            QuantCtx(mode="sim", policies=pol_ref, state=state_ref,
+                     rotations=rot_ref),
+            cfg.num_layers,
+        )
+        pol, scan_state, rot = prepare_quant_state_stacked(
+            stacked_params["blocks"], cfg.num_layers, qcfg, calib=stats,
+            seed=0, targets="sim",
+        )
+        # same quantized suffixes, identical stacked leaves
+        assert set(scan_state) == set(ref_ctx.scan_state)
+        for sfx in scan_state:
+            jax.tree.map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)),
+                scan_state[sfx], ref_ctx.scan_state[sfx],
+            )
+        # block policies agree (stacked builder emits blocks.* only)
+        for name, p in pol.items():
+            assert pol_ref[name] == p
+        assert set(rot) == set(rot_ref)

@@ -44,7 +44,10 @@ from wanq_tpu.models.dit import (
 )
 from wanq_tpu.pipelines.text2video import compute_seq_len, compute_target_shape
 from wanq_tpu.quant import QuantConfig
-from wanq_tpu.quant.ptq import prepare_quant_state
+from wanq_tpu.quant.ptq import (
+    prepare_quant_state,
+    prepare_quant_state_stacked,
+)
 from wanq_tpu.quant.qlinear import QuantCtx, qlinear
 from wanq_tpu.quant.synthetic import (
     correlated_outlier_acts,
@@ -119,6 +122,10 @@ def model_level(frame_num: int):
     t0 = time.time()
     params = stack_block_params(params_list(cfg))
     jax.block_until_ready(params)
+    # free the list-form copy: every sim state below is built straight
+    # from the STACKED params (prepare_quant_state_stacked) — holding
+    # list + stacked + sim w_q state at 1.3B f32 OOMs the 16 GiB chip
+    _INJECTED.clear()
     print(f"  init+inject: {time.time()-t0:.1f}s", flush=True)
 
     lat = jax.random.normal(jax.random.PRNGKey(1), (1, *target_shape),
@@ -154,24 +161,22 @@ def model_level(frame_num: int):
                              / np.sqrt(((a - fp) ** 2).mean()))
 
     fp_regex = r"text_embedding|time_embedding|time_projection|head\.head"
-    names = linear_layer_names(cfg)
     for tag, qd in METHODS:
         t0 = time.time()
         qcfg = QuantConfig.from_dict(dict(qd, remain_fp_regex=fp_regex))
-        pol, st, rot = prepare_quant_state(
-            params_list(cfg), names, qcfg, calib=calib, targets="sim",
-            rotate_on_device=True,
+        # sim states sliced straight from the stacked forward params into
+        # pre-allocated scan buffers (one layer + final state resident)
+        pol, scan_state, rot = prepare_quant_state_stacked(
+            params["blocks"], cfg.num_layers, qcfg, calib=calib,
+            targets="sim",
         )
-        # re-apply the same outlier injection the forward params carry
-        ctx = make_scan_ctx(
-            QuantCtx(mode="sim", policies=pol, state=st, rotations=rot),
-            cfg.num_layers,
-        )
+        ctx = QuantCtx(mode="sim", policies=pol, state={}, rotations=rot)
+        ctx.scan_state = scan_state
         jax.block_until_ready(ctx.scan_state)
         out = fwd_j(params, ctx, lat)
         print(f"  {tag:7s} PSNR {psnr(out):6.2f} dB   "
               f"({time.time()-t0:.0f}s)", flush=True)
-        del ctx, st
+        del ctx, scan_state
 
 
 _INJECTED = {}

@@ -437,6 +437,102 @@ def prepare_quant_state(
     return policies, state, rotations
 
 
+def prepare_quant_state_stacked(
+    stacked_blocks,
+    num_layers: int,
+    qcfg: QuantConfig,
+    calib: Optional[Mapping[str, np.ndarray]] = None,
+    seed: int = 0,
+    targets: str = "sim",
+) -> Tuple[Dict[str, LayerPolicy], Dict[str, Dict[str, jax.Array]], Dict[int, jax.Array]]:
+    """Memory-lean PTQ for models already in scan (stacked-block) form.
+
+    ``prepare_quant_state`` + ``make_scan_ctx`` need three weight-sized
+    residents at peak: list-form params, the per-layer state dicts, and
+    the stacked copies mid-``jnp.stack``. For sim deployments (state
+    carries a full fake-quant ``w_q`` per layer) at 1.3B+ that OOMs a
+    16 GiB chip next to the forward params. This variant slices each
+    layer's weights straight out of ``stacked_blocks`` (``params["blocks"]``
+    after ``stack_block_params``) and writes its state into pre-allocated
+    stacked buffers via donated ``.at[i].set`` — peak extra memory is the
+    final stacked state plus ONE layer (the same incremental pattern as
+    ``quant.stream.build_streamed_quant_base``, ref ptq_wanx.py's
+    per-module loop :261-385 never materializes a second model either).
+
+    Block linears only (non-block layers go through prepare_quant_state;
+    they are a few MB). Rotations run on-device (f32 FWHT). GPTQ/static-A8
+    are handled exactly as in prepare_quant_state when calib carries the
+    matching entries. Returns (policies, scan_state, rotations) — pass
+    scan_state to ``QuantCtx`` via ``ctx.scan_state`` (it is already in
+    the stacked layout ``make_scan_ctx`` would produce).
+    """
+    from wanq_tpu.quant.stream import BLOCK_LINEARS
+
+    calib_max = reduce_calib(calib) if calib is not None else {}
+    pol_by_sfx = {sfx: qcfg.resolve(f"blocks.0.{sfx}") for sfx in BLOCK_LINEARS}
+    policies = {
+        f"blocks.{i}.{sfx}": pol_by_sfx[sfx]
+        for sfx in BLOCK_LINEARS for i in range(num_layers)
+    }
+
+    jwrite = jax.jit(
+        lambda S, st, i: jax.tree.map(lambda s, x: s.at[i].set(x), S, st),
+        donate_argnums=0,
+    )
+    scan_state: Dict[str, Dict[str, jax.Array]] = {}
+    rot_dims = set()
+    for sfx in BLOCK_LINEARS:
+        policy = pol_by_sfx[sfx]
+        if not policy.is_quantized:
+            continue
+        node = params_get({"blocks": stacked_blocks}, f"blocks.{sfx}")
+        stacked = None
+        for i in range(num_layers):
+            w = node["w"][i].astype(jnp.float32)
+            name = f"blocks.{i}.{sfx}"
+            rot_seed = None
+            if policy.uses_rotation:
+                c_in = int(w.shape[0])
+                rot_dims.add(c_in)
+                rot_seed = derived_rotation_seed(c_in, seed)
+            act_absmax = calib_max.get(name)
+            if policy.uses_channel_mask and act_absmax is None:
+                raise ValueError(
+                    f"layer {name} uses {policy.method} but no calibration "
+                    f"data was provided (expected key '{name}')"
+                )
+            act_minmax = None
+            if f"{name}.act_max" in calib_max:
+                act_minmax = (calib_max[f"{name}.act_max"],
+                              calib_max[f"{name}.act_min"])
+            hessian = act_rotation = None
+            if policy.gptq:
+                hessian = calib_max.get(f"{name}.hess")
+                if hessian is not None and policy.uses_rotation:
+                    act_rotation = jnp.asarray(
+                        rotation_for_dim(int(w.shape[0]), seed=seed).astype(
+                            np.float32))
+            st = prepare_layer_state(
+                policy, w, act_absmax, rot_seed, targets,
+                rotate_on_device=True,
+                act_minmax=act_minmax,
+                hessian=hessian,
+                act_rotation=act_rotation,
+            )
+            if stacked is None:
+                stacked = jax.tree.map(
+                    lambda l: jnp.zeros((num_layers,) + l.shape, l.dtype), st)
+            stacked = jwrite(stacked, st, i)
+            del st
+        scan_state[sfx] = stacked
+
+    rotations = {
+        d: jnp.asarray(rotation_for_dim(d, seed=seed).astype(np.float32))
+        for d in rot_dims
+    }
+    return policies, scan_state, rotations
+
+
 # ---------------------------------------------------------------------------
 # artifact io (ref: quant_params.pth + int_weight.pt, orbax-free npz format)
 # ---------------------------------------------------------------------------
