@@ -200,3 +200,24 @@ def test_gate_residual(rng):
     g = rng.normal(size=(2, 1, 16)).astype(np.float32)
     got = np.asarray(fused.gate_residual(jnp.asarray(x), jnp.asarray(y), jnp.asarray(g)))
     np.testing.assert_allclose(got, x + y * g, rtol=1e-6)
+
+
+def test_w8a8_nd_flatten_route_matches_xla(rng):
+    """The WANQ_PALLAS_QGEMM dispatch flattens ND activations to 2D for
+    the kernel and reshapes back (qlinear feeds [B,S,C] unflattened to
+    preserve GSPMD shardings) — pin the flatten/scale plumbing the env
+    flag takes on hardware."""
+    from wanq_tpu.ops import qgemm
+
+    a = jnp.asarray(rng.integers(-127, 128, size=(2, 64, 256)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, size=(256, 128)), jnp.int8)
+    s_a = jnp.asarray(rng.uniform(0.01, 0.1, size=(2, 64)), jnp.float32)
+    s_w = jnp.asarray(rng.uniform(0.01, 0.1, size=(128,)), jnp.float32)
+    ref = qgemm.w8a8_linear_xla(a, w, s_a, s_w)
+    k, n = 256, 128
+    lead = a.shape[:-1]
+    got = qgemm.w8a8_linear_pallas(
+        a.reshape(-1, k), w, s_a.reshape(-1), s_w,
+        block_m=128, block_n=128, block_k=128, interpret=True,
+    ).reshape(*lead, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)

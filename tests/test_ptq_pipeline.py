@@ -316,3 +316,22 @@ def test_prepare_quant_state_stacked_parity(tiny, calib_and_fp):
         for name, p in pol.items():
             assert pol_ref[name] == p
         assert set(rot) == set(rot_ref)
+
+def test_prepare_quant_state_stacked_rejects_nonuniform_policies(tiny):
+    """Scan-over-blocks shares one compiled body, so the stacked PTQ must
+    REFUSE layer-index-dependent configs (e.g. keep-first-block-FP) loudly
+    instead of silently applying blocks.0's policy to every layer — the
+    list-form path would have honored the per-layer regex."""
+    from wanq_tpu.models.dit import stack_block_params
+    from wanq_tpu.quant.ptq import prepare_quant_state_stacked
+
+    cfg, params = tiny
+    stacked_params = stack_block_params(params)
+    qcfg = QuantConfig.from_dict(
+        dict(BASE_QCFG,
+             remain_fp_regex=BASE_QCFG["remain_fp_regex"] + r"|blocks\.0\.")
+    )
+    with pytest.raises(ValueError, match="uniform policy"):
+        prepare_quant_state_stacked(
+            stacked_params["blocks"], cfg.num_layers, qcfg, targets="sim"
+        )

@@ -333,3 +333,33 @@ def test_calibration_rejects_cache_policy(tiny, contexts):
     with pytest.raises(AssertionError, match="calib"):
         pipe.generate(c, cn, collect_calib=True,
                       cache_policy=StepCachePolicy(cfg_interval=2), **GEN_KW)
+
+
+def test_adaptive_drift_is_per_step_not_since_last_eval(tiny, contexts):
+    """The accumulator sums PER-STEP drift estimates — the drift reference
+    updates every step (TeaCache's previous_modulated_input), so k small
+    steps add ~k*poly(d), matching what fit_drift_poly calibrated on
+    one-step pairs. Re-measuring against the last EXECUTED forward would
+    sum growing totals (~k^2/2) and cross the threshold ~2x early."""
+    cfg, params = tiny
+    c, cn = contexts
+    pipe = WanT2V(cfg, params)
+    seen = []
+    pol = AdaptiveCachePolicy(threshold=1e9, warmup=2, tail=2)
+    pipe.generate(c, cn, cache_policy=pol,
+                  on_step=lambda i, t, lat: seen.append(np.asarray(lat)),
+                  **GEN_KW)
+    trace = pipe.last_adaptive_trace
+    assert trace and all(e["act"] == "reuse" for e in trace)
+
+    def rel_l1(a, b):
+        return float(np.mean(np.abs(a - b)) / (np.mean(np.abs(b)) + 1e-8))
+
+    # step i's model input is the latents AFTER step i-1 (on_step order)
+    acc = 0.0
+    for e in trace:
+        i = e["step"]
+        expect = rel_l1(seen[i - 1], seen[i - 2])
+        assert np.isclose(e["d"], expect, rtol=2e-3, atol=1e-6), (i, e, expect)
+        acc += e["d"]  # identity poly
+        assert np.isclose(e["acc"], acc, rtol=2e-3, atol=1e-6)

@@ -443,11 +443,10 @@ class WanVAE:
                     post=None, donate: bool = False):
         """Host loop over temporal chunks with explicit cache carry. ``post``
         (epilogue on the time-concatenated result) is jitted WITH the concat
-        and the chunk list donated — one fused pass instead of eager
-        concat -> astype -> clip, each of which would hold a full-video copy
-        (3 x 895 MB at 720p x 81f)."""
-        import functools
-
+        — one fused pass instead of eager concat -> astype -> clip, each of
+        which would hold a full-video copy (3 x 895 MB at 720p x 81f). The
+        chunk buffers are NOT donated: XLA cannot alias differently-shaped
+        inputs into a concatenated output, so donation only warns."""
         run = self._chunk_runner(forward, donate)
         caches: Any = tuple([None] * 64)
         outs = []
@@ -456,7 +455,7 @@ class WanVAE:
             y, caches = run(self.params, chunk, caches, chunk0=(ci == 0))
             outs.append(y)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @jax.jit
         def tail(chunks):
             out = jnp.concatenate(chunks, axis=2)
             return post(out) if post is not None else out

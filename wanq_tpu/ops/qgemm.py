@@ -366,7 +366,8 @@ def w4a8_linear(
     bias: Optional[jax.Array] = None,
     out_dtype=jnp.float32,
 ) -> jax.Array:
-    """Dispatch for packed-int4-weight GEMM (mirrors w8a8_linear)."""
+    """Dispatch for packed-int4-weight GEMM (mirrors w8a8_linear, incl.
+    the ND flatten-for-Pallas single-chip tuning route)."""
     import os
 
     k = a_int8.shape[-1]
@@ -374,12 +375,16 @@ def w4a8_linear(
     if (
         os.environ.get("WANQ_PALLAS_QGEMM") == "1"
         and jax.default_backend() == "tpu"
-        and a_int8.ndim == 2
         and k % 256 == 0
         and n % 128 == 0
     ):
-        return w4a8_linear_pallas(a_int8, w_packed, s_a, s_w, sum_a, zp_w,
-                                  bias).astype(out_dtype)
+        lead = a_int8.shape[:-1]
+        out = w4a8_linear_pallas(
+            a_int8.reshape(-1, k), w_packed, s_a.reshape(-1), s_w,
+            None if sum_a is None else sum_a.reshape(-1),
+            zp_w, bias,
+        ).astype(out_dtype)
+        return out.reshape(*lead, n)
     return w4a8_linear_xla(a_int8, w_packed, s_a, s_w, sum_a, zp_w, bias,
                            out_dtype)
 
@@ -584,7 +589,11 @@ def w8a8_linear(
     int8 units and XLA fuses the dequant epilogue, measured on-par with the
     hand kernel while compiling ~30x faster (remote Mosaic compiles run
     ~80s/shape on relayed backends). WANQ_PALLAS_QGEMM=1 forces the Pallas
-    kernel (kept for tuning headroom)."""
+    kernel (kept for tuning headroom). ND activations are flattened to 2D
+    for the kernel and reshaped back — a single-chip tuning knob only: the
+    flatten merges leading dims, which under GSPMD would break token
+    shardings (see w8a8_linear_xla docstring), so leave the flag unset on
+    a mesh."""
     import os
 
     k = a_int8.shape[-1]
@@ -592,11 +601,15 @@ def w8a8_linear(
     if (
         os.environ.get("WANQ_PALLAS_QGEMM") == "1"
         and jax.default_backend() == "tpu"
-        and a_int8.ndim == 2
         and k % 128 == 0
         and n % 128 == 0
     ):
-        return w8a8_linear_pallas(a_int8, w_int8, s_a, s_w, sum_a, zp_w,
-                                  bias).astype(out_dtype)
+        lead = a_int8.shape[:-1]
+        out = w8a8_linear_pallas(
+            a_int8.reshape(-1, k), w_int8, s_a.reshape(-1), s_w,
+            None if sum_a is None else sum_a.reshape(-1),
+            zp_w, bias,
+        ).astype(out_dtype)
+        return out.reshape(*lead, n)
     return w8a8_linear_xla(a_int8, w_int8, s_a, s_w, sum_a, zp_w, bias,
                            out_dtype)

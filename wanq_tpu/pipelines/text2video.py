@@ -131,15 +131,19 @@ class AdaptiveCachePolicy:
     """Input-adaptive step reuse (TeaCache-style; beyond-reference).
 
     Where :class:`StepCachePolicy` skips on a STATIC schedule, this policy
-    decides per step from the trajectory itself: the relative L1 drift of
-    the model input since the last executed forward,
+    decides per step from the trajectory itself: the per-step relative L1
+    drift of the model input,
 
-        d_i = mean|x_i − x_ref| / mean|x_ref|,
+        d_i = mean|x_i − x_{i−1}| / mean|x_{i−1}|,
 
     optionally rescaled by a fitted polynomial (``poly``, ``np.polyval``
     coefficients — TeaCache fits one per model family to map input drift
-    to output change; identity by default), accumulates across candidate
-    steps; while the accumulator stays below ``threshold`` the previous
+    to output change; identity by default), accumulates the per-step
+    estimates since the last executed forward (the reference point for
+    the drift updates EVERY step, like TeaCache's
+    previous_modulated_input — so k small steps add ~k·poly(δ), not the
+    quadratic sum that re-measuring against a frozen reference would
+    give); while the accumulator stays below ``threshold`` the previous
     noise prediction is reused verbatim, and when it crosses, the model
     runs and the accumulator resets. Unlike a static ``reuse_interval``
     the skip pattern concentrates where the trajectory actually idles
@@ -491,14 +495,15 @@ class WanT2V:
         n_steps = len(timesteps)
         adaptive = isinstance(policy, AdaptiveCachePolicy)
         if adaptive:
-            # rel-L1 drift of the model input since the last executed
-            # forward; one jitted program, one scalar fetch per step
+            # per-step rel-L1 drift of the model input (reference point
+            # updates every step, TeaCache-style); one jitted program,
+            # one scalar fetch per step
             dist_fn = jax.jit(
                 lambda a, r: jnp.mean(jnp.abs(a - r))
                 / (jnp.mean(jnp.abs(r)) + 1e-8)
             )
             acc = 0.0
-            x_ref = None
+            x_prev = None
             n_eval = 0
             prev_exec_pred = None
             trace: List[Dict[str, float]] = []
@@ -510,13 +515,13 @@ class WanT2V:
         for i, t in enumerate(timesteps):
             if adaptive:
                 protected = i < policy.warmup or i >= n_steps - policy.tail
-                if protected or last_pred is None or x_ref is None:
+                if protected or last_pred is None or x_prev is None:
                     act = "full" if (protected or last_uncond is None) else (
                         "cond" if policy.cfg_interval > 1
                         and n_eval % policy.cfg_interval else "full")
                     d = None
                 else:
-                    d = float(dist_fn(latents, x_ref))
+                    d = float(dist_fn(latents, x_prev))
                     acc += float(np.polyval(policy.poly, d))
                     if acc < policy.threshold:
                         act = "reuse"
@@ -558,11 +563,12 @@ class WanT2V:
                     trace[-1]["o"] = float(dist_fn(noise_pred,
                                                    prev_exec_pred))
                 prev_exec_pred = noise_pred
-                x_ref = latents
                 acc = 0.0
                 n_eval += 1
             stats[act] += 1
             last_pred = noise_pred
+            if adaptive:
+                x_prev = latents
             latents = sch.step(noise_pred, int(t), latents)
             if on_step is not None:
                 on_step(i, float(t), latents)

@@ -387,42 +387,9 @@ def prepare_quant_state(
         if not policy.is_quantized:
             continue
         w = params_get(params, name)["w"].astype(jnp.float32)
-        rot_seed = None
-        if policy.uses_rotation:
-            c_in = int(w.shape[0])
-            rot_dims.add(c_in)
-            rot_seed = derived_rotation_seed(c_in, seed)
-        act_absmax = calib_max.get(name)
-        if policy.uses_channel_mask and act_absmax is None:
-            raise ValueError(
-                f"layer {name} uses {policy.method} but no calibration data "
-                f"was provided (expected key '{name}')"
-            )
-        act_minmax = None
-        if f"{name}.act_max" in calib_max:
-            act_minmax = (calib_max[f"{name}.act_max"],
-                          calib_max[f"{name}.act_min"])
-        hessian = act_rotation = None
-        if policy.gptq:
-            # Hessian-aware rounding when the calibration sweep collected
-            # this layer's input Hessian (hessian_regex); RTN otherwise —
-            # the regex may intentionally cover a subset of layers
-            hessian = calib_max.get(f"{name}.hess")
-            if hessian is not None and policy.uses_rotation:
-                # the Hessian transform needs the activation-side rotation
-                # (x @ Q pairs with the FWHT'd weight; same matrix as the
-                # runtime `rotations` dict built below)
-                act_rotation = jnp.asarray(
-                    rotation_for_dim(int(w.shape[0]), seed=seed).astype(
-                        np.float32
-                    )
-                )
-        state[name] = prepare_layer_state(
-            policy, w, act_absmax, rot_seed, targets,
-            rotate_on_device=rotate_on_device,
-            act_minmax=act_minmax,
-            hessian=hessian,
-            act_rotation=act_rotation,
+        state[name] = _layer_state(
+            policy, name, w, calib_max, seed, targets, rotate_on_device,
+            rot_dims,
         )
 
     if mesh is not None:
@@ -435,6 +402,51 @@ def prepare_quant_state(
         for d in rot_dims
     }
     return policies, state, rotations
+
+
+def _layer_state(policy, name, w, calib_max, seed, targets,
+                 rotate_on_device, rot_dims):
+    """One layer's quant state (shared by the list-form and stacked PTQ
+    drivers — keeps their calibration-key/GPTQ/rotation handling from
+    drifting). ``rot_dims`` collects the activation-rotation dims the
+    caller turns into the runtime ``rotations`` dict."""
+    rot_seed = None
+    if policy.uses_rotation:
+        c_in = int(w.shape[0])
+        rot_dims.add(c_in)
+        rot_seed = derived_rotation_seed(c_in, seed)
+    act_absmax = calib_max.get(name)
+    if policy.uses_channel_mask and act_absmax is None:
+        raise ValueError(
+            f"layer {name} uses {policy.method} but no calibration data "
+            f"was provided (expected key '{name}')"
+        )
+    act_minmax = None
+    if f"{name}.act_max" in calib_max:
+        act_minmax = (calib_max[f"{name}.act_max"],
+                      calib_max[f"{name}.act_min"])
+    hessian = act_rotation = None
+    if policy.gptq:
+        # Hessian-aware rounding when the calibration sweep collected
+        # this layer's input Hessian (hessian_regex); RTN otherwise —
+        # the regex may intentionally cover a subset of layers
+        hessian = calib_max.get(f"{name}.hess")
+        if hessian is not None and policy.uses_rotation:
+            # the Hessian transform needs the activation-side rotation
+            # (x @ Q pairs with the FWHT'd weight; same matrix as the
+            # runtime `rotations` dict the caller builds)
+            act_rotation = jnp.asarray(
+                rotation_for_dim(int(w.shape[0]), seed=seed).astype(
+                    np.float32
+                )
+            )
+    return prepare_layer_state(
+        policy, w, act_absmax, rot_seed, targets,
+        rotate_on_device=rotate_on_device,
+        act_minmax=act_minmax,
+        hessian=hessian,
+        act_rotation=act_rotation,
+    )
 
 
 def prepare_quant_state_stacked(
@@ -469,7 +481,24 @@ def prepare_quant_state_stacked(
     from wanq_tpu.quant.stream import BLOCK_LINEARS
 
     calib_max = reduce_calib(calib) if calib is not None else {}
-    pol_by_sfx = {sfx: qcfg.resolve(f"blocks.0.{sfx}") for sfx in BLOCK_LINEARS}
+    # scan shares ONE compiled block body, so every layer of a suffix must
+    # resolve to the same policy; a layer-index-dependent regex (e.g.
+    # remain_fp for first/last blocks) cannot ride the stacked path — fail
+    # loudly instead of silently applying blocks.0's policy everywhere
+    # (the list-form prepare_quant_state + stack_quant_state pair enforces
+    # the same invariant)
+    pol_by_sfx = {}
+    for sfx in BLOCK_LINEARS:
+        pols = [qcfg.resolve(f"blocks.{i}.{sfx}") for i in range(num_layers)]
+        if any(p != pols[0] for p in pols[1:]):
+            bad = [i for i in range(num_layers) if pols[i] != pols[0]]
+            raise ValueError(
+                f"prepare_quant_state_stacked needs a uniform policy per "
+                f"block suffix (scan-over-blocks shares one compiled body); "
+                f"'{sfx}' resolves differently at layers {bad[:4]} vs 0 — "
+                f"use prepare_quant_state on list-form params instead"
+            )
+        pol_by_sfx[sfx] = pols[0]
     policies = {
         f"blocks.{i}.{sfx}": pol_by_sfx[sfx]
         for sfx in BLOCK_LINEARS for i in range(num_layers)
@@ -490,34 +519,9 @@ def prepare_quant_state_stacked(
         for i in range(num_layers):
             w = node["w"][i].astype(jnp.float32)
             name = f"blocks.{i}.{sfx}"
-            rot_seed = None
-            if policy.uses_rotation:
-                c_in = int(w.shape[0])
-                rot_dims.add(c_in)
-                rot_seed = derived_rotation_seed(c_in, seed)
-            act_absmax = calib_max.get(name)
-            if policy.uses_channel_mask and act_absmax is None:
-                raise ValueError(
-                    f"layer {name} uses {policy.method} but no calibration "
-                    f"data was provided (expected key '{name}')"
-                )
-            act_minmax = None
-            if f"{name}.act_max" in calib_max:
-                act_minmax = (calib_max[f"{name}.act_max"],
-                              calib_max[f"{name}.act_min"])
-            hessian = act_rotation = None
-            if policy.gptq:
-                hessian = calib_max.get(f"{name}.hess")
-                if hessian is not None and policy.uses_rotation:
-                    act_rotation = jnp.asarray(
-                        rotation_for_dim(int(w.shape[0]), seed=seed).astype(
-                            np.float32))
-            st = prepare_layer_state(
-                policy, w, act_absmax, rot_seed, targets,
-                rotate_on_device=True,
-                act_minmax=act_minmax,
-                hessian=hessian,
-                act_rotation=act_rotation,
+            st = _layer_state(
+                policy, name, w, calib_max, seed, targets,
+                rotate_on_device=True, rot_dims=rot_dims,
             )
             if stacked is None:
                 stacked = jax.tree.map(
