@@ -205,19 +205,46 @@ def test_gate_residual(rng):
 def test_w8a8_nd_flatten_route_matches_xla(rng):
     """The WANQ_PALLAS_QGEMM dispatch flattens ND activations to 2D for
     the kernel and reshapes back (qlinear feeds [B,S,C] unflattened to
-    preserve GSPMD shardings) — pin the flatten/scale plumbing the env
-    flag takes on hardware."""
+    preserve GSPMD shardings) — exercise the ACTUAL dispatch helper
+    (_flatten_for_pallas) the env flag takes on hardware, for both the
+    w8a8 and the asym w4a8 kernels."""
     from wanq_tpu.ops import qgemm
+    from wanq_tpu.quant.quantizers import pack_int4
 
     a = jnp.asarray(rng.integers(-127, 128, size=(2, 64, 256)), jnp.int8)
     w = jnp.asarray(rng.integers(-127, 128, size=(256, 128)), jnp.int8)
     s_a = jnp.asarray(rng.uniform(0.01, 0.1, size=(2, 64)), jnp.float32)
     s_w = jnp.asarray(rng.uniform(0.01, 0.1, size=(128,)), jnp.float32)
     ref = qgemm.w8a8_linear_xla(a, w, s_a, s_w)
-    k, n = 256, 128
-    lead = a.shape[:-1]
-    got = qgemm.w8a8_linear_pallas(
-        a.reshape(-1, k), w, s_a.reshape(-1), s_w,
-        block_m=128, block_n=128, block_k=128, interpret=True,
-    ).reshape(*lead, n)
+    got = qgemm._flatten_for_pallas(
+        qgemm.w8a8_linear_pallas, a, w, s_a, s_w, None, None, None,
+        jnp.float32, block_m=128, block_n=128, block_k=128, interpret=True,
+    )
+    assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+    # w4a8 asym: the sum_a/zp_w plumbing must flatten alongside s_a
+    codes = jnp.asarray(rng.integers(-8, 8, size=(256, 128)), jnp.int8)
+    wp = pack_int4(codes)
+    zp = jnp.asarray(rng.uniform(-2, 2, size=(128,)), jnp.float32)
+    sum_a = s_a * jnp.sum(a.astype(jnp.float32), axis=-1)
+    ref4 = qgemm.w4a8_linear_xla(a, wp, s_a, s_w, sum_a, zp)
+    got4 = qgemm._flatten_for_pallas(
+        qgemm.w4a8_linear_pallas, a, wp, s_a, s_w, sum_a, zp, None,
+        jnp.float32, interpret=True,
+    )
+    assert got4.shape == ref4.shape
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(ref4),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_flag_inert_on_multidevice(rng, monkeypatch):
+    """WANQ_PALLAS_QGEMM must be ignored when >1 device is visible — the
+    flatten would merge token-sharded leading dims under GSPMD."""
+    from wanq_tpu.ops import qgemm
+
+    monkeypatch.setenv("WANQ_PALLAS_QGEMM", "1")
+    # conftest provisions 8 virtual CPU devices; backend is 'cpu' anyway,
+    # but assert the device_count() clause independently of the backend
+    assert jax.device_count() > 1
+    assert not qgemm._pallas_flag_engaged(256, 128, k_mult=128)

@@ -356,6 +356,37 @@ def w4a8_linear_pallas(
     return out[:m] if m_pad != m else out
 
 
+def _pallas_flag_engaged(k: int, n: int, k_mult: int) -> bool:
+    """True when WANQ_PALLAS_QGEMM=1 should route this GEMM to the hand
+    kernel: TPU backend, tileable dims, and a SINGLE visible device — on a
+    mesh the flatten-to-2D below would merge token-sharded leading dims
+    and force a full-seq all-gather per GEMM (w8a8_linear_xla docstring),
+    so the flag is deliberately inert there."""
+    import os
+
+    return (
+        os.environ.get("WANQ_PALLAS_QGEMM") == "1"
+        and jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and k % k_mult == 0
+        and n % 128 == 0
+    )
+
+
+def _flatten_for_pallas(kernel, a, w, s_a, s_w, sum_a, zp_w, bias,
+                        out_dtype, **kernel_kw):
+    """Run a 2D Pallas GEMM kernel on ND activations: flatten leading dims
+    (per-token s_a/sum_a follow), reshape the output back."""
+    k = a.shape[-1]
+    lead = a.shape[:-1]
+    out = kernel(
+        a.reshape(-1, k), w, s_a.reshape(-1), s_w,
+        None if sum_a is None else sum_a.reshape(-1),
+        zp_w, bias, **kernel_kw,
+    ).astype(out_dtype)
+    return out.reshape(*lead, out.shape[-1])
+
+
 def w4a8_linear(
     a_int8: jax.Array,
     w_packed: jax.Array,
@@ -368,23 +399,11 @@ def w4a8_linear(
 ) -> jax.Array:
     """Dispatch for packed-int4-weight GEMM (mirrors w8a8_linear, incl.
     the ND flatten-for-Pallas single-chip tuning route)."""
-    import os
-
-    k = a_int8.shape[-1]
-    n = w_packed.shape[1]
-    if (
-        os.environ.get("WANQ_PALLAS_QGEMM") == "1"
-        and jax.default_backend() == "tpu"
-        and k % 256 == 0
-        and n % 128 == 0
-    ):
-        lead = a_int8.shape[:-1]
-        out = w4a8_linear_pallas(
-            a_int8.reshape(-1, k), w_packed, s_a.reshape(-1), s_w,
-            None if sum_a is None else sum_a.reshape(-1),
-            zp_w, bias,
-        ).astype(out_dtype)
-        return out.reshape(*lead, n)
+    if _pallas_flag_engaged(a_int8.shape[-1], w_packed.shape[1], k_mult=256):
+        return _flatten_for_pallas(
+            w4a8_linear_pallas, a_int8, w_packed, s_a, s_w, sum_a, zp_w,
+            bias, out_dtype,
+        )
     return w4a8_linear_xla(a_int8, w_packed, s_a, s_w, sum_a, zp_w, bias,
                            out_dtype)
 
@@ -559,16 +578,7 @@ def w4a4_linear(
     from wanq_tpu.quant.quantizers import act_group_int4_quant
 
     q, s_a = act_group_int4_quant(a, group)
-    import os
-
-    k = q.shape[1]
-    n = w_packed.shape[1]
-    if (
-        os.environ.get("WANQ_PALLAS_QGEMM") == "1"
-        and jax.default_backend() == "tpu"
-        and k % 256 == 0
-        and n % 128 == 0
-    ):
+    if _pallas_flag_engaged(q.shape[1], w_packed.shape[1], k_mult=256):
         return w4a4_linear_pallas(q, w_packed, s_a, s_w, bias,
                                   group=group).astype(out_dtype)
     return w4a4_linear_xla(q, w_packed, s_a, s_w, bias, group=group,
@@ -590,26 +600,14 @@ def w8a8_linear(
     hand kernel while compiling ~30x faster (remote Mosaic compiles run
     ~80s/shape on relayed backends). WANQ_PALLAS_QGEMM=1 forces the Pallas
     kernel (kept for tuning headroom). ND activations are flattened to 2D
-    for the kernel and reshaped back — a single-chip tuning knob only: the
+    for the kernel and reshaped back — a single-chip tuning knob: the
     flatten merges leading dims, which under GSPMD would break token
-    shardings (see w8a8_linear_xla docstring), so leave the flag unset on
-    a mesh."""
-    import os
-
-    k = a_int8.shape[-1]
-    n = w_int8.shape[1]
-    if (
-        os.environ.get("WANQ_PALLAS_QGEMM") == "1"
-        and jax.default_backend() == "tpu"
-        and k % 128 == 0
-        and n % 128 == 0
-    ):
-        lead = a_int8.shape[:-1]
-        out = w8a8_linear_pallas(
-            a_int8.reshape(-1, k), w_int8, s_a.reshape(-1), s_w,
-            None if sum_a is None else sum_a.reshape(-1),
-            zp_w, bias,
-        ).astype(out_dtype)
-        return out.reshape(*lead, n)
+    shardings (see w8a8_linear_xla docstring), so the flag is ignored
+    when more than one device is visible."""
+    if _pallas_flag_engaged(a_int8.shape[-1], w_int8.shape[1], k_mult=128):
+        return _flatten_for_pallas(
+            w8a8_linear_pallas, a_int8, w_int8, s_a, s_w, sum_a, zp_w,
+            bias, out_dtype,
+        )
     return w8a8_linear_xla(a_int8, w_int8, s_a, s_w, sum_a, zp_w, bias,
                            out_dtype)

@@ -382,6 +382,7 @@ def prepare_quant_state(
     calib_max = reduce_calib(calib) if calib is not None else {}
 
     rot_dims = set()
+    rot_cache: Dict[int, jax.Array] = {}
     state: Dict[str, Dict[str, jax.Array]] = {}
     for name, policy in policies.items():
         if not policy.is_quantized:
@@ -389,7 +390,7 @@ def prepare_quant_state(
         w = params_get(params, name)["w"].astype(jnp.float32)
         state[name] = _layer_state(
             policy, name, w, calib_max, seed, targets, rotate_on_device,
-            rot_dims,
+            rot_dims, rot_cache=rot_cache,
         )
 
     if mesh is not None:
@@ -405,11 +406,14 @@ def prepare_quant_state(
 
 
 def _layer_state(policy, name, w, calib_max, seed, targets,
-                 rotate_on_device, rot_dims):
+                 rotate_on_device, rot_dims, rot_cache=None):
     """One layer's quant state (shared by the list-form and stacked PTQ
     drivers — keeps their calibration-key/GPTQ/rotation handling from
     drifting). ``rot_dims`` collects the activation-rotation dims the
-    caller turns into the runtime ``rotations`` dict."""
+    caller turns into the runtime ``rotations`` dict. ``rot_cache``
+    (dict, per prepare call) memoizes the dense GPTQ act-rotation by
+    input dim — same-(dim, seed) layers share one host FWHT build +
+    device transfer instead of rebuilding per layer."""
     rot_seed = None
     if policy.uses_rotation:
         c_in = int(w.shape[0])
@@ -435,11 +439,15 @@ def _layer_state(policy, name, w, calib_max, seed, targets,
             # the Hessian transform needs the activation-side rotation
             # (x @ Q pairs with the FWHT'd weight; same matrix as the
             # runtime `rotations` dict the caller builds)
-            act_rotation = jnp.asarray(
-                rotation_for_dim(int(w.shape[0]), seed=seed).astype(
-                    np.float32
+            c_in = int(w.shape[0])
+            if rot_cache is not None and c_in in rot_cache:
+                act_rotation = rot_cache[c_in]
+            else:
+                act_rotation = jnp.asarray(
+                    rotation_for_dim(c_in, seed=seed).astype(np.float32)
                 )
-            )
+                if rot_cache is not None:
+                    rot_cache[c_in] = act_rotation
     return prepare_layer_state(
         policy, w, act_absmax, rot_seed, targets,
         rotate_on_device=rotate_on_device,
@@ -510,6 +518,7 @@ def prepare_quant_state_stacked(
     )
     scan_state: Dict[str, Dict[str, jax.Array]] = {}
     rot_dims = set()
+    rot_cache: Dict[int, jax.Array] = {}
     for sfx in BLOCK_LINEARS:
         policy = pol_by_sfx[sfx]
         if not policy.is_quantized:
@@ -522,6 +531,7 @@ def prepare_quant_state_stacked(
             st = _layer_state(
                 policy, name, w, calib_max, seed, targets,
                 rotate_on_device=True, rot_dims=rot_dims,
+                rot_cache=rot_cache,
             )
             if stacked is None:
                 stacked = jax.tree.map(
