@@ -112,9 +112,9 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
     p.add_argument("--cache_threshold", type=float, default=0.0,
                    help="input-adaptive step reuse (TeaCache-style, "
                         "AdaptiveCachePolicy): skip the model while the "
-                        "accumulated relative-L1 input drift since the "
-                        "last executed forward stays below this. "
-                        "Overrides --reuse_interval; composes with "
+                        "per-step relative-L1 input drift, accumulated "
+                        "since the last executed forward, stays below "
+                        "this. Overrides --reuse_interval; composes with "
                         "--cfg_cache_interval. 0 = off")
     p.add_argument("--cache_poly", type=str, default="",
                    help="comma-separated np.polyval coefficients rescaling "
