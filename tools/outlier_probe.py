@@ -112,9 +112,12 @@ def layer_level():
         print(f"  {'':22s} W4A8: " + "  ".join(row4), flush=True)
 
 
-def model_level(frame_num: int):
+def model_level(frame_num: int, draw: int = 0):
+    """``draw`` offsets the latent/context keys — re-running B across
+    draws measures whether the method deltas are systematic or inside
+    the random-init draw-dependence (BENCH_NOTES outlier section)."""
     print(f"== B. full-model 1.3B noise-pred PSNR, outlier-injected init "
-          f"(480p x {frame_num}f) ==", flush=True)
+          f"(480p x {frame_num}f, draw {draw}) ==", flush=True)
     cfg = WAN_CONFIGS["t2v-1.3B"]
     target_shape = compute_target_shape(cfg, (832, 480), frame_num)
     seq_len = compute_seq_len(cfg, target_shape)
@@ -128,10 +131,10 @@ def model_level(frame_num: int):
     _INJECTED.clear()
     print(f"  init+inject: {time.time()-t0:.1f}s", flush=True)
 
-    lat = jax.random.normal(jax.random.PRNGKey(1), (1, *target_shape),
-                            jnp.float32)
+    lat = jax.random.normal(jax.random.PRNGKey(1 + 100 * draw),
+                            (1, *target_shape), jnp.float32)
     t = jnp.asarray([999.0])
-    context = jax.random.normal(jax.random.PRNGKey(2),
+    context = jax.random.normal(jax.random.PRNGKey(2 + 100 * draw),
                                 (1, cfg.text_len, cfg.text_dim), jnp.float32)
 
     def fwd(p, qctx, x):
@@ -230,11 +233,18 @@ def planner_ordering():
 
 
 def main():
-    frame_num = int(sys.argv[1]) if len(sys.argv) > 1 else 9
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    frame_num = int(pos[0]) if pos else 9
+    draws = [int(a.split("=", 1)[1]) for a in sys.argv[1:]
+             if a.startswith("--draw=")] or [0]
+    only_b = "--only_b" in sys.argv
     print(f"outlier probe on {jax.devices()[0]}", flush=True)
-    layer_level()
-    model_level(frame_num)
-    planner_ordering()
+    if not only_b:
+        layer_level()
+    for d in draws:
+        model_level(frame_num, draw=d)
+    if not only_b:
+        planner_ordering()
 
 
 if __name__ == "__main__":
