@@ -363,3 +363,113 @@ def test_adaptive_drift_is_per_step_not_since_last_eval(tiny, contexts):
         assert np.isclose(e["d"], expect, rtol=2e-3, atol=1e-6), (i, e, expect)
         acc += e["d"]  # identity poly
         assert np.isclose(e["acc"], acc, rtol=2e-3, atol=1e-6)
+
+
+# -- forecast mode (TaylorSeer-style extrapolation on skipped steps) -------
+
+
+def _install_poly_step_fns(pipe, cfg, power):
+    """Pre-populate the step-fn cache with stubs whose noise prediction is
+    exactly t**power / 1000**power (polynomial in the timestep, scaled into
+    the solver's working range) — an oracle for the forecast math: Lagrange
+    extrapolation of order >= power must reproduce skipped steps exactly."""
+    from wanq_tpu.pipelines.text2video import (
+        compute_seq_len,
+        compute_target_shape,
+    )
+
+    ts = compute_target_shape(cfg, GEN_KW["size"], GEN_KW["frame_num"])
+    seq_len = compute_seq_len(cfg, ts, 1)
+
+    def cond_fn(params, qctx, latents, tt, context):
+        return jnp.ones_like(latents) * (tt[0] / 1000.0) ** power
+
+    def split_fn(params, qctx, latents, tt, context, context_null):
+        p = cond_fn(params, qctx, latents, tt, context)
+        return p, p  # cond == uncond -> CFG combine == p for any scale
+
+    pipe._step_fn_cache[(seq_len, "cond")] = cond_fn
+    pipe._step_fn_cache[(seq_len, "split")] = split_fn
+
+
+@pytest.mark.parametrize("power,exact_order", [(1, 1), (2, 2)])
+def test_forecast_is_exact_on_polynomial_trajectories(tiny, power,
+                                                      exact_order):
+    """With a noise prediction that is a degree-``power`` polynomial of t,
+    order >= power forecasting reproduces the all-evaluate trajectory to
+    float precision, while verbatim reuse (order 0) does not."""
+    cfg, params = tiny
+    pipe = WanT2V(cfg, params)
+    _install_poly_step_fns(pipe, cfg, power)
+    c = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.float32)
+
+    base = np.asarray(pipe.generate(
+        c, c, cache_policy=StepCachePolicy(cfg_interval=2, warmup=100,
+                                           tail=0), **GEN_KW))
+    pol = lambda o: StepCachePolicy(reuse_interval=3, warmup=exact_order + 1,
+                                    tail=1, order=o)
+    exact = np.asarray(pipe.generate(c, c, cache_policy=pol(exact_order),
+                                     **GEN_KW))
+    assert pipe.last_cache_stats["reuse"] > 0
+    verbatim = np.asarray(pipe.generate(c, c, cache_policy=pol(0), **GEN_KW))
+    err_exact = np.abs(exact - base).max()
+    err_verbatim = np.abs(verbatim - base).max()
+    assert err_exact < 1e-5, f"order-{exact_order} forecast not exact: " \
+        f"{err_exact}"
+    assert err_verbatim > 50 * max(err_exact, 1e-9), (
+        "verbatim reuse should be visibly worse on a degree-"
+        f"{power} trajectory: {err_verbatim} vs {err_exact}")
+
+
+def test_forecast_order_one_beats_verbatim_on_quadratic(tiny):
+    """Order 1 on a quadratic trajectory is inexact but still much closer
+    than verbatim reuse (the monotone-improvement property)."""
+    cfg, params = tiny
+    pipe = WanT2V(cfg, params)
+    _install_poly_step_fns(pipe, cfg, 2)
+    c = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.float32)
+    base = np.asarray(pipe.generate(
+        c, c, cache_policy=StepCachePolicy(cfg_interval=2, warmup=100,
+                                           tail=0), **GEN_KW))
+    out = {}
+    for o in (0, 1, 2):
+        pol = StepCachePolicy(reuse_interval=3, warmup=3, tail=1, order=o)
+        out[o] = np.abs(np.asarray(
+            pipe.generate(c, c, cache_policy=pol, **GEN_KW)) - base).max()
+    assert out[2] < out[1] < out[0]
+
+
+def test_forecast_on_real_model_adaptive(tiny, contexts):
+    """On the real tiny model the forecast must stay finite and the
+    adaptive loop's bookkeeping (trace, stats) must be unaffected."""
+    cfg, params = tiny
+    c, cn = contexts
+    pipe = WanT2V(cfg, params)
+    base = np.asarray(pipe.generate(c, cn, **GEN_KW))
+    pol = AdaptiveCachePolicy(threshold=1e9, warmup=2, tail=2, order=1)
+    out = np.asarray(pipe.generate(c, cn, cache_policy=pol, **GEN_KW))
+    assert pipe.last_cache_stats == {"full": 4, "cond": 0, "reuse": 4}
+    assert np.isfinite(out).all()
+    assert latent_psnr(base, out) > 10.0
+
+
+def test_forecast_order_validation_and_cli():
+    import argparse
+
+    from wanq_tpu.cli.common import cache_policy_from_args
+
+    with pytest.raises(ValueError, match="order"):
+        StepCachePolicy(order=3)
+    with pytest.raises(ValueError, match="order"):
+        AdaptiveCachePolicy(order=-1)
+
+    ns = argparse.Namespace(cache_threshold=0.1, cfg_cache_interval=1,
+                            reuse_interval=1, cache_warmup=2, cache_tail=2,
+                            cache_poly="", cache_order=1)
+    pol = cache_policy_from_args(ns)
+    assert isinstance(pol, AdaptiveCachePolicy) and pol.order == 1
+    ns2 = argparse.Namespace(cache_threshold=0.0, cfg_cache_interval=1,
+                             reuse_interval=2, cache_warmup=2, cache_tail=2,
+                             cache_order=2)
+    pol2 = cache_policy_from_args(ns2)
+    assert isinstance(pol2, StepCachePolicy) and pol2.order == 2

@@ -127,6 +127,34 @@ def main():
         ("ada.20", AdaptiveCachePolicy(threshold=0.20)),
         ("ada.10+cfg2", AdaptiveCachePolicy(threshold=0.10, cfg_interval=2)),
     ]
+    if "--forecast" in sys.argv:
+        # order-1/2 Lagrange forecast on skipped steps (TaylorSeer-style):
+        # same eval schedule knobs, extrapolated instead of verbatim reuse
+        configs += [
+            ("reuse2.o1", StepCachePolicy(reuse_interval=2, order=1)),
+            ("ada.10.o1", AdaptiveCachePolicy(threshold=0.10, order=1)),
+            ("ada.20.o1", AdaptiveCachePolicy(threshold=0.20, order=1)),
+            ("ada.30.o1", AdaptiveCachePolicy(threshold=0.30, order=1)),
+            ("ada.20.o2", AdaptiveCachePolicy(threshold=0.20, order=2)),
+            ("ada.30.o2", AdaptiveCachePolicy(threshold=0.30, order=2)),
+            # horizon-capped order-1 (extrapolate at most cN node-spacings,
+            # then hold): bounds the linear-overshoot amplification that
+            # makes uncapped o1 lose on long skip runs
+            ("ada.10.o1c1", AdaptiveCachePolicy(threshold=0.10, order=1,
+                                                max_horizon=1.0)),
+            ("ada.10.o1c2", AdaptiveCachePolicy(threshold=0.10, order=1,
+                                                max_horizon=2.0)),
+            ("ada.20.o1c1", AdaptiveCachePolicy(threshold=0.20, order=1,
+                                                max_horizon=1.0)),
+            ("ada.20.o1c2", AdaptiveCachePolicy(threshold=0.20, order=1,
+                                                max_horizon=2.0)),
+        ]
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    if only:
+        configs = [configs[0]] + [
+            (n, p) for n, p in configs[1:]
+            if any(n.startswith(pre) for pre in only[0].split(","))
+        ]
     if "--fit" in sys.argv:
         # fit the TeaCache rescaling polynomial on one all-evaluate
         # trajectory, then sweep OUTPUT-space tolerances with it

@@ -135,7 +135,8 @@ def phase_t5(cfg, t5_cpu: bool):
     return ctx_np, ctx_null_np, timings
 
 
-def phase_denoise(cfg, context, context_null, steps, cached):
+def phase_denoise(cfg, context, context_null, steps, cached, order=0,
+                  threshold=0.10):
     frame_num = 81
     timings = {}
     t0 = time.time()
@@ -178,9 +179,10 @@ def phase_denoise(cfg, context, context_null, steps, cached):
 
     pipe = WanT2V(cfg, params, quant_ctx=ctx)
     if cached == "ada":
-        pol = AdaptiveCachePolicy(threshold=0.10, warmup=2, tail=2)
+        pol = AdaptiveCachePolicy(threshold=threshold, warmup=2, tail=2,
+                                  order=order)
     elif cached:
-        pol = StepCachePolicy(cfg_interval=2, reuse_interval=2)
+        pol = StepCachePolicy(cfg_interval=2, reuse_interval=2, order=order)
     else:
         pol = None
     c_j = jnp.asarray(context)
@@ -201,8 +203,9 @@ def phase_denoise(cfg, context, context_null, steps, cached):
                             sampling_steps=steps, seed=42, cache_policy=pol)
     latents = np.asarray(latents)
     timings["denoise_s"] = time.time() - t0
-    tag = {"static": " (cached cfg2+reuse2)", "ada": " (cached ada.10)"}.get(
-        cached, "")
+    tag = {"static": " (cached cfg2+reuse2)",
+           "ada": f" (cached ada.{int(threshold*100):02d}"
+                  f"{f'.o{order}' if order else ''})"}.get(cached, "")
     print(f"   {steps}-step denoise{tag}: "
           f"{timings['denoise_s']:.1f}s "
           f"({timings['denoise_s']/steps:.2f} s/step-equivalent; "
@@ -244,6 +247,10 @@ def main():
     ap.add_argument("--vae_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"],
                     help="VAE compute dtype (cli/common.py --vae_dtype)")
+    ap.add_argument("--cache_order", type=int, default=0, choices=[0, 1, 2],
+                    help="forecast order on skipped steps (--cached only)")
+    ap.add_argument("--cache_threshold", type=float, default=0.10,
+                    help="adaptive drift tolerance (--cached ada only)")
     args = ap.parse_args()
     cfg = WAN_CONFIGS["t2v-1.3B"]
     print(f"e2e_probe: t2v-1.3B 832*480 f81, {args.steps} steps, "
@@ -252,7 +259,8 @@ def main():
     context, context_null, t_a = phase_t5(cfg, t5_cpu=not args.no_t5_cpu)
     drain_device("after T5")
     latents, t_b = phase_denoise(cfg, context, context_null, args.steps,
-                                 args.cached)
+                                 args.cached, order=args.cache_order,
+                                 threshold=args.cache_threshold)
     drain_device("after denoise")
     t_c = phase_vae(latents, args.vae_dtype)
 

@@ -122,6 +122,11 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
                         "wanq_tpu.pipelines.text2video.fit_drift_poly; "
                         "with a fitted poly --cache_threshold is an "
                         "output-space tolerance). Empty = identity")
+    p.add_argument("--cache_order", type=int, default=0, choices=[0, 1, 2],
+                   help="forecast order on skipped steps (TaylorSeer-style"
+                        "): 0 reuses the last noise prediction verbatim; "
+                        "1/2 extrapolate it to the current timestep "
+                        "through the last order+1 executed predictions")
     return p
 
 
@@ -145,12 +150,14 @@ def cache_policy_from_args(args):
             warmup=getattr(args, "cache_warmup", 4),
             tail=getattr(args, "cache_tail", 4),
             poly=poly,
+            order=getattr(args, "cache_order", 0),
         )
     pol = StepCachePolicy(
         cfg_interval=getattr(args, "cfg_cache_interval", 1),
         reuse_interval=getattr(args, "reuse_interval", 1),
         warmup=getattr(args, "cache_warmup", 4),
         tail=getattr(args, "cache_tail", 4),
+        order=getattr(args, "cache_order", 0),
     )
     return pol if pol.active else None
 

@@ -96,6 +96,22 @@ class StepCachePolicy:
     reuse_interval: int = 1
     warmup: int = 4
     tail: int = 4
+    # forecast order for skipped steps (TaylorSeer-style, arXiv:2503.06923):
+    # 0 = reuse the last prediction verbatim; 1/2 = extrapolate the noise
+    # prediction to the current timestep by Lagrange interpolation through
+    # the last order+1 EXECUTED predictions, at zero forward cost (one
+    # latents-sized axpy per skipped step). ``max_horizon`` caps the
+    # order-1 extrapolation coefficient c = (t-t1)/(t1-t0): long skip runs
+    # otherwise extrapolate many node-spacings out, where linear overshoot
+    # amplifies the executed-pair difference by c (measured: uncapped o1
+    # LOSES to verbatim reuse on the adaptive schedule's long runs —
+    # BENCH_NOTES 'forecast'); 0 = uncapped.
+    order: int = 0
+    max_horizon: float = 0.0
+
+    def __post_init__(self):
+        if self.order not in (0, 1, 2):
+            raise ValueError(f"order must be 0, 1 or 2, got {self.order}")
 
     def plan(self, n_steps: int) -> List[str]:
         """Per-step actions: 'full' | 'cond' | 'reuse'. The cfg cycle
@@ -164,10 +180,36 @@ class AdaptiveCachePolicy:
     tail: int = 4
     cfg_interval: int = 1
     poly: Tuple[float, ...] = (1.0, 0.0)
+    # forecast order / horizon cap on skipped steps (see StepCachePolicy)
+    order: int = 0
+    max_horizon: float = 0.0
+
+    def __post_init__(self):
+        if self.order not in (0, 1, 2):
+            raise ValueError(f"order must be 0, 1 or 2, got {self.order}")
 
     @property
     def active(self) -> bool:
         return self.threshold > 0.0 or self.cfg_interval > 1
+
+
+@jax.jit
+def _forecast2(p0, p1, w0, w1):
+    return w0 * p0 + w1 * p1
+
+
+@jax.jit
+def _forecast3(p0, p1, p2, w0, w1, w2):
+    return w0 * p0 + w1 * p1 + w2 * p2
+
+
+def _lagrange_weights(ts: List[float], t: float) -> List[float]:
+    """Extrapolation weights at ``t`` for nodes ``ts`` (all distinct —
+    denoise timesteps are strictly decreasing)."""
+    return [
+        math.prod((t - tj) / (ti - tj) for tj in ts if tj != ti)
+        for ti in ts
+    ]
 
 
 def fit_drift_poly(pipe, context, context_null, degree: int = 4,
@@ -512,6 +554,11 @@ class WanT2V:
         stats = {"full": 0, "cond": 0, "reuse": 0}
         last_uncond = None
         last_pred = None
+        order = getattr(policy, "order", 0)
+        # last order+1 EXECUTED (t, noise_pred) pairs — the forecast basis;
+        # forecasted predictions never enter it (extrapolating from
+        # extrapolations compounds error, so the basis is model output only)
+        exec_hist: List[Tuple[float, jax.Array]] = []
         for i, t in enumerate(timesteps):
             if adaptive:
                 protected = i < policy.warmup or i >= n_steps - policy.tail
@@ -543,7 +590,23 @@ class WanT2V:
                     sched is not None and sched.mode in ("sim", "int8")
                 ) else None
             if act == "reuse" and last_pred is not None:
-                noise_pred = last_pred
+                if order and len(exec_hist) >= 2:
+                    pts = exec_hist[-(order + 1):]
+                    if len(pts) == 2:
+                        (t0_, p0), (t1_, p1) = pts
+                        c = (float(t) - t1_) / (t1_ - t0_)
+                        hz = getattr(policy, "max_horizon", 0.0)
+                        if hz > 0.0:
+                            c = min(c, hz)
+                        noise_pred = _forecast2(
+                            p0, p1, jnp.float32(-c), jnp.float32(1.0 + c))
+                    else:
+                        ws = _lagrange_weights([p[0] for p in pts], float(t))
+                        wj = [jnp.float32(w) for w in ws]
+                        noise_pred = _forecast3(
+                            pts[0][1], pts[1][1], pts[2][1], *wj)
+                else:
+                    noise_pred = last_pred
             elif act == "cond" and last_uncond is not None:
                 cond = cond_fn(self.params, step_ctx, latents, tt, context)
                 noise_pred = last_uncond + gs * (cond - last_uncond)
@@ -565,6 +628,9 @@ class WanT2V:
                 prev_exec_pred = noise_pred
                 acc = 0.0
                 n_eval += 1
+            if order and act != "reuse":
+                exec_hist.append((float(t), noise_pred))
+                del exec_hist[:-(order + 1)]
             stats[act] += 1
             last_pred = noise_pred
             if adaptive:
