@@ -11,7 +11,8 @@ YAML schema (compatible with the reference's quant_configs/config.yaml):
 
     remain_fp_regex: <regex or null>
     calib_data: {save_path: ...}
-    weight: {n_bits: 8 | [4, 8], sym: false, gptq: false, gptq_act_order: false}
+    weight: {n_bits: 8 | [4, 8], sym: false, gptq: false, gptq_act_order: false,
+             lowrank_rank: 0}   # SVDQuant low-rank branch (quant/svd.py)
     act:    {n_bits: 8, sym: true}
     smooth_quant: {alpha: 0.5, layer_name_regex: "..."}     # optional
     quarot:       {layer_name_regex: "..."}                 # optional
@@ -67,6 +68,12 @@ class LayerPolicy:
     # K-group size for the W4A4 route (Atom GROUP_SIZE, ref
     # csrc/qgemm/w4a4/atom.cu); only consulted when is_w4a4
     group: int = 128
+    # SVDQuant-style low-rank outlier branch (quant/svd.py; beyond-parity,
+    # arXiv:2411.05007): rank of the 16-bit L1@L2 split subtracted from
+    # the (mask/rotation-transformed) weight before quantization; the
+    # branch is re-added on the transformed activation at apply time.
+    # 0 = off. YAML: weight.lowrank_rank
+    lowrank: int = 0
 
     @property
     def is_quantized(self) -> bool:
@@ -118,6 +125,8 @@ class QuantConfig:
         self.weight_gptq_act_order: bool = (
             bool(w.get("gptq_act_order", False)) if w else False
         )
+        # weight.lowrank_rank: SVDQuant low-rank branch rank (0 = off)
+        self.weight_lowrank: int = int(w.get("lowrank_rank", 0)) if w else 0
         a = raw.get("act")
         self.act_cfg = (
             QuantizerCfg(
@@ -235,6 +244,7 @@ class QuantConfig:
             gptq=self.weight_gptq,
             gptq_act_order=self.weight_gptq_act_order,
             group=self.act_group,
+            lowrank=self.weight_lowrank,
         )
 
     def resolve_all(self, layer_names: List[str]) -> Dict[str, LayerPolicy]:

@@ -145,6 +145,19 @@ def prepare_layer_state(
 
     w_work = wf
 
+    if policy.lowrank > 0:
+        # SVDQuant-style low-rank outlier branch (quant/svd.py,
+        # arXiv:2411.05007): split the TRANSFORMED weight — the branch
+        # must live in the same input space as the quantized GEMM, and
+        # after channel-mask migration the weight side holds the outliers
+        # the dominant singular directions absorb. Only the residual is
+        # quantized below; qlinear re-adds (xf @ L1) @ L2 at apply time.
+        from wanq_tpu.quant.svd import lowrank_split
+
+        l1, l2, w_work = lowrank_split(w_work, policy.lowrank)
+        st["lowrank_a"] = l1.astype(jnp.bfloat16)
+        st["lowrank_b"] = l2.astype(jnp.bfloat16)
+
     if policy.is_w4a4:
         # Atom-style W4A4 (ref csrc/qgemm/w4a4/atom.cu): symmetric int4
         # group quant along K for BOTH weight and activation; one scale

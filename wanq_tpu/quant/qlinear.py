@@ -235,7 +235,7 @@ def qlinear(
             )
             if params.get("b") is not None:
                 y = y + params["b"].astype(jnp.float32)
-            return _maybe_lora(st, x_raw, y)
+            return _maybe_lora(st, x_raw, _maybe_lowrank(st, xf, y))
         if policy.act is not None and not policy.act.dynamic:
             # static A8: calibration-frozen per-tensor params
             # (ref StaticQuantizer.forward, base_quantizer.py:58-68)
@@ -255,7 +255,7 @@ def qlinear(
         )
         if params.get("b") is not None:
             y = y + params["b"].astype(jnp.float32)
-        return _maybe_lora(st, x_raw, y)
+        return _maybe_lora(st, x_raw, _maybe_lowrank(st, xf, y))
 
     if ctx.mode == "int8":
         assert policy.act is not None and policy.act.sym, (
@@ -280,7 +280,8 @@ def qlinear(
                 bias.astype(jnp.float32) if bias is not None else None,
                 group=policy.group, out_dtype=jnp.float32,
             )
-            return _maybe_lora(st, x_raw, y.reshape(b, n, -1))
+            return _maybe_lora(
+                st, x_raw, _maybe_lowrank(st, xf, y.reshape(b, n, -1)))
 
         if ctx.trainable:
             # QLoRA training route: weights stay int-at-rest (int8 /
@@ -313,7 +314,7 @@ def qlinear(
             )
             if bias is not None:
                 y = y + bias.astype(jnp.float32)
-            return _maybe_lora(st, x_raw, y)
+            return _maybe_lora(st, x_raw, _maybe_lowrank(st, xf, y))
 
         # NO [B·N, C] flatten here: the GEMM wrappers take [..., C]
         # natively — under GSPMD a reshape merging batch with the
@@ -333,9 +334,24 @@ def qlinear(
             bias.astype(jnp.float32) if bias is not None else None,
             jnp.float32,
         )
-        return _maybe_lora(st, x_raw, y)
+        return _maybe_lora(st, x_raw, _maybe_lowrank(st, xf, y))
 
     raise ValueError(f"unknown quant mode {ctx.mode}")
+
+
+def _maybe_lowrank(st: Params, xf: jax.Array, y: jax.Array) -> jax.Array:
+    """SVDQuant low-rank branch (quant/svd.py, arXiv:2411.05007):
+    y += (xf @ L1) @ L2 on the TRANSFORMED (post-mask/rotation) input —
+    the space the residual weight was split in. Two rank-r GEMMs in bf16
+    with f32 accumulation (the branch is 16-bit by design)."""
+    a = st.get("lowrank_a")
+    if a is None:
+        return y
+    h = jnp.dot(xf.astype(jnp.bfloat16), a.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    return y + jnp.dot(h.astype(jnp.bfloat16),
+                       st["lowrank_b"].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
 
 
 def _maybe_lora(st: Params, x_raw: jax.Array, y: jax.Array) -> jax.Array:
@@ -387,9 +403,10 @@ def int8_fusable(ctx: Optional[QuantCtx], names, allow_mask: bool = False) -> bo
         st = ctx.state.get(n)
         if st is None or ("w_int8" not in st and "w_int4" not in st):
             return False
-        if "lora_a" in st:
-            # QLoRA adapters apply inside qlinear (_maybe_lora); the fused
-            # block paths would silently drop them
+        if "lora_a" in st or "lowrank_a" in st:
+            # QLoRA adapters / SVDQuant low-rank branches apply inside
+            # qlinear on the FP activation; the fused block paths only see
+            # the already-quantized int8 stream and would silently drop them
             return False
     return True
 
@@ -415,6 +432,7 @@ def int8_static_fusable(ctx: Optional[QuantCtx], name: str) -> bool:
         st is not None
         and "delta_a" in st
         and "lora_a" not in st  # adapters apply inside qlinear only
+        and "lowrank_a" not in st  # low-rank branch needs the FP input
         and ("w_int8" in st or "w_int4" in st)
     )
 
