@@ -164,7 +164,8 @@ def model_level(frame_num: int, draw: int = 0):
                              / np.sqrt(((a - fp) ** 2).mean()))
 
     fp_regex = r"text_embedding|time_embedding|time_projection|head\.head"
-    for tag, qd in METHODS:
+
+    def run_cfg(tag, qd):
         t0 = time.time()
         qcfg = QuantConfig.from_dict(dict(qd, remain_fp_regex=fp_regex))
         # sim states sliced straight from the stacked forward params into
@@ -177,9 +178,30 @@ def model_level(frame_num: int, draw: int = 0):
         ctx.scan_state = scan_state
         jax.block_until_ready(ctx.scan_state)
         out = fwd_j(params, ctx, lat)
-        print(f"  {tag:7s} PSNR {psnr(out):6.2f} dB   "
+        print(f"  {tag:10s} PSNR {psnr(out):6.2f} dB   "
               f"({time.time()-t0:.0f}s)", flush=True)
-        del ctx, scan_state
+
+    for tag, qd in METHODS:
+        run_cfg(tag, qd)
+
+    if "--w4" in sys.argv:
+        # 4-bit lanes ± the SVDQuant low-rank branch (quant/svd.py): the
+        # regime the branch exists for — RTN W4A4 collapses under the
+        # injected stream outliers, smooth∘lowrank recovers it
+        w4a4 = {"weight": {"n_bits": 4, "sym": True},
+                "act": {"n_bits": 4, "sym": True, "group": 128}}
+        w4a8 = {"weight": {"n_bits": 4, "sym": False},
+                "act": {"n_bits": 8, "sym": True}}
+        sq = {"smooth_quant": {"alpha": 0.5665, "layer_name_regex": ""}}
+
+        def lr(d):
+            return {**d, "weight": dict(d["weight"], lowrank_rank=32)}
+
+        for tag, qd in [("w4a8-rtn", w4a8),
+                        ("w4a8-svdq", {**lr(w4a8), **sq}),
+                        ("w4a4-rtn", w4a4),
+                        ("w4a4-svdq", {**lr(w4a4), **sq})]:
+            run_cfg(tag, qd)
 
 
 _INJECTED = {}
