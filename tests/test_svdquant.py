@@ -170,3 +170,80 @@ def test_yaml_and_policy_routing(tmp_path):
     pol = qcfg.resolve("blocks.0.ffn.0")
     assert pol.lowrank == 32 and pol.is_w4a4
     assert QuantConfig.from_dict(W4).resolve("blocks.0.ffn.0").lowrank == 0
+
+
+def test_npz_roundtrip_preserves_bf16_lowrank(layer_setup, tmp_path):
+    """save_quant_state/load_quant_state must roundtrip the bf16 branch
+    factors (npz has no bfloat16 descr — raw void |V2 without the tag)."""
+    from wanq_tpu.quant.ptq import load_quant_state, save_quant_state
+
+    params, calib, x_test, _ = layer_setup
+    qcfg = QuantConfig.from_dict(lr(W4, 16))
+    pol, st, rot = prepare_quant_state(
+        params, ["lin"], qcfg, calib=calib, targets="both")
+    p = str(tmp_path / "state.npz")
+    save_quant_state(p, st, seed=3)
+    st2, seed = load_quant_state(p)
+    assert seed == 3
+    assert st2["lin"]["lowrank_a"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(st["lin"]["lowrank_a"], np.float32),
+        np.asarray(st2["lin"]["lowrank_a"], np.float32))
+    # deployment from the loaded state matches the fresh one exactly
+    ctx_a = QuantCtx(mode="int8", policies=pol, state=st, rotations=rot)
+    ctx_b = QuantCtx(mode="int8", policies=pol, state=st2, rotations=rot)
+    ya = qlinear(ctx_a, "lin", params["lin"], jnp.asarray(x_test))
+    yb = qlinear(ctx_b, "lin", params["lin"], jnp.asarray(x_test))
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+
+def test_stacked_ptq_carries_lowrank():
+    """prepare_quant_state_stacked (the scan/14B route) must stack the
+    branch factors as [L, ...] leaves and the scan forward must run."""
+    from tests.conftest import randomize_head
+    from wanq_tpu.configs import tiny_config
+    from wanq_tpu.models.dit import (
+        dit_forward,
+        init_params,
+        stack_block_params,
+    )
+    from wanq_tpu.quant.ptq import prepare_quant_state_stacked
+
+    cfg = tiny_config()
+    params = stack_block_params(
+        randomize_head(init_params(cfg, jax.random.PRNGKey(0))))
+    qcfg = QuantConfig.from_dict(
+        lr({"remain_fp_regex":
+            r"text_embedding|time_embedding|time_projection|head\.head",
+            "weight": {"n_bits": 4, "sym": False},
+            "act": {"n_bits": 8, "sym": True}}, 8))
+    pol, scan_state, rot = prepare_quant_state_stacked(
+        params["blocks"], cfg.num_layers, qcfg, targets="sim")
+    a = scan_state["self_attn.q"]["lowrank_a"]
+    assert a.shape[0] == cfg.num_layers and a.shape[2] == 8
+    ctx = QuantCtx(mode="sim", policies=pol, state={}, rotations=rot)
+    ctx.scan_state = scan_state
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 2, 8, 8))
+    c = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.float32)
+    out = dit_forward(params, cfg, x, jnp.asarray([500.0]), c, 128, ctx=ctx)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gptq_composes_with_lowrank(layer_setup):
+    """GPTQ rounds the residual on the same Hessian (the input space is
+    unchanged by the split) — must run and not regress plain lowrank."""
+    params, calib, x_test, y_fp = layer_setup
+    x_cal = correlated_outlier_acts(M, C, n_hot=4, seed=0, draw_seed=1)
+    calib_h = dict(calib)
+    calib_h["lin.hess"] = (x_cal.T @ x_cal).astype(np.float32)[None]
+    qd = lr({**W4, "weight": dict(W4["weight"], gptq=True)}, 32)
+    qcfg = QuantConfig.from_dict(qd)
+    pol, st, rot = prepare_quant_state(
+        params, ["lin"], qcfg, calib=calib_h, targets="sim")
+    assert "lowrank_a" in st["lin"]
+    ctx = QuantCtx(mode="sim", policies=pol, state=st, rotations=rot)
+    y = qlinear(ctx, "lin", params["lin"], jnp.asarray(x_test),
+                compute_dtype=jnp.float32)
+    db = sqnr_db(np.asarray(y), y_fp)
+    plain, _ = _run(layer_setup, lr(W4, 32))
+    assert db >= sqnr_db(np.asarray(plain), y_fp) - 0.5, db

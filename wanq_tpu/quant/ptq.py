@@ -623,7 +623,15 @@ def save_quant_state(path: str, state: Dict[str, Dict[str, jax.Array]], seed: in
     flat = {"__seed__": np.asarray(seed)}
     for name, st in state.items():
         for k, v in st.items():
-            flat[f"{name}|{k}"] = np.asarray(v)
+            a = np.asarray(v)
+            if a.dtype == np.dtype(jnp.bfloat16):
+                # npz has no bfloat16 descr (ml_dtypes leaves load back as
+                # raw |V2 void) — store the bit pattern as uint16 with a
+                # key tag and restore the view on load (bf16 leaves:
+                # SVDQuant lowrank_a/b, merged QLoRA adapters)
+                flat[f"{name}|{k}|bf16"] = a.view(np.uint16)
+            else:
+                flat[f"{name}|{k}"] = a
     np.savez(path, **flat)
 
 
@@ -635,8 +643,12 @@ def load_quant_state(path: str) -> Tuple[Dict[str, Dict[str, jax.Array]], int]:
         if key == "__seed__":
             seed = int(data[key])
             continue
-        name, k = key.split("|")
-        state.setdefault(name, {})[k] = jnp.asarray(data[key])
+        parts = key.split("|")
+        name, k = parts[0], parts[1]
+        a = data[key]
+        if len(parts) == 3 and parts[2] == "bf16":
+            a = a.view(np.dtype(jnp.bfloat16))
+        state.setdefault(name, {})[k] = jnp.asarray(a)
     return state, seed
 
 
