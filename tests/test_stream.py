@@ -65,3 +65,53 @@ def test_streamed_base_matches_conventional_build(rng):
     )
     # the streamed base really is stripped: placeholder FP weights
     assert stacked_s["blocks"]["self_attn"]["q"]["w"].shape[-2:] == (1, 1)
+
+
+def test_streamed_base_carries_lowrank(rng):
+    """SVDQuant branch through the streamed 14B-style builder: the
+    per-layer state (incl. the bf16 factors) must be BIT-identical to the
+    conventional build's (same generator draws, same SVD seed), and the
+    forwards must agree. The forward check is loose: the streamed base
+    runs with stripped [1,1] FP placeholders, a different HLO whose
+    fusion/rounding can flip individual int8 codes by ±1 (same reason the
+    plain test above uses rtol 1e-5, amplified here by the extra bf16
+    branch GEMMs)."""
+    cfg = tiny_config()
+    qd = {**QDICT, "weight": dict(QDICT["weight"], lowrank_rank=8)}
+    qcfg = QuantConfig.from_dict(qd)
+    stacked_s, qctx_s, _ = build_streamed_quant_base(cfg, qcfg)
+    a = qctx_s.scan_state["self_attn.q"]["lowrank_a"]
+    assert a.shape[0] == cfg.num_layers and a.shape[2] == 8
+    assert a.dtype == jnp.bfloat16
+
+    params = make_nonblock_generator(cfg)(jax.random.PRNGKey(0))
+    params["head"]["head"]["w"] = (
+        0.02 * jax.random.normal(jax.random.PRNGKey(7),
+                                 params["head"]["head"]["w"].shape)
+    ).astype(params["head"]["head"]["w"].dtype)
+    gen_block = make_block_generator(cfg)
+    params["blocks"] = [
+        gen_block(jax.random.PRNGKey(100 + i)) for i in range(cfg.num_layers)
+    ]
+    pol, state, rot = prepare_quant_state(
+        params, linear_layer_names(cfg), qcfg, targets="int8")
+    qctx_c = make_scan_ctx(
+        QuantCtx(mode="int8", policies=pol, state=state, rotations=rot),
+        cfg.num_layers,
+    )
+    # the real invariant: every stacked state leaf bit-matches
+    for sfx, st in qctx_s.scan_state.items():
+        for key, leaf in st.items():
+            np.testing.assert_array_equal(
+                np.asarray(leaf, np.float32),
+                np.asarray(qctx_c.scan_state[sfx][key], np.float32),
+                err_msg=f"{sfx}|{key}")
+    x = jnp.asarray(rng.normal(size=(1, cfg.in_dim, 2, 8, 8)).astype(np.float32))
+    t = jnp.asarray([500.0])
+    txt = jnp.asarray(
+        rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+    out_s = dit_forward(stacked_s, cfg, x, t, txt, 32, ctx=qctx_s)
+    out_c = dit_forward(
+        stack_block_params(params), cfg, x, t, txt, 32, ctx=qctx_c)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_c), rtol=2e-3, atol=2e-3)
