@@ -99,13 +99,47 @@ def test_streamed_base_carries_lowrank(rng):
         QuantCtx(mode="int8", policies=pol, state=state, rotations=rot),
         cfg.num_layers,
     )
-    # the real invariant: every stacked state leaf bit-matches
+    # the real invariant: every stacked state leaf matches — integer
+    # codes exactly, float leaves to ulp-level jitter (the two builders
+    # are different HLO programs; reduction order differs at ~1e-8). The
+    # SVD factors are only defined up to sign/rotation in degenerate
+    # singular subspaces, so they compare via their PRODUCT L1@L2.
     for sfx, st in qctx_s.scan_state.items():
         for key, leaf in st.items():
-            np.testing.assert_array_equal(
-                np.asarray(leaf, np.float32),
-                np.asarray(qctx_c.scan_state[sfx][key], np.float32),
-                err_msg=f"{sfx}|{key}")
+            if key == "lowrank_b":
+                continue  # covered by the product check below
+            a = np.asarray(leaf, np.float32)
+            b = np.asarray(qctx_c.scan_state[sfx][key], np.float32)
+            if key == "lowrank_a":
+                a = np.einsum(
+                    "lkr,lrn->lkn", a,
+                    np.asarray(st["lowrank_b"], np.float32))
+                b = np.einsum(
+                    "lkr,lrn->lkn", b,
+                    np.asarray(qctx_c.scan_state[sfx]["lowrank_b"],
+                               np.float32))
+                np.testing.assert_allclose(a, b, atol=5e-2,
+                                           err_msg=f"{sfx}|L1@L2")
+            elif np.asarray(leaf).dtype.kind in "iu":
+                # integer codes: the residual differs at ~1e-8 between the
+                # two programs, so values sitting exactly on a rounding
+                # boundary may flip by one code — allow a ≤0.1% fraction
+                # of ±1 flips (packed int4 bytes unpack first)
+                ia = np.asarray(leaf)
+                ib = np.asarray(qctx_c.scan_state[sfx][key])
+                if key in ("w_int4", "w_int4g"):
+                    from wanq_tpu.quant.quantizers import unpack_int4
+
+                    unpack = jax.vmap(unpack_int4)  # over the scan [L]
+                    ia = np.asarray(unpack(jnp.asarray(ia)))
+                    ib = np.asarray(unpack(jnp.asarray(ib)))
+                d = np.abs(ia.astype(np.int32) - ib.astype(np.int32))
+                assert d.max() <= 1 and (d > 0).mean() <= 1e-3, (
+                    f"{sfx}|{key}: {int((d > 0).sum())} flips, "
+                    f"max {int(d.max())}")
+            else:
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6,
+                                           err_msg=f"{sfx}|{key}")
     x = jnp.asarray(rng.normal(size=(1, cfg.in_dim, 2, 8, 8)).astype(np.float32))
     t = jnp.asarray([500.0])
     txt = jnp.asarray(
