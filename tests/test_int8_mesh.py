@@ -191,3 +191,24 @@ def test_int8_full_shard_state_over_all_non_dp_axes(setup):
     assert {s.data.shape for s in w.addressable_shards} == {
         (cfg.num_layers, cfg.dim, cfg.dim // 8)
     }
+
+
+def test_lowrank_branch_on_mesh_matches_single_device(setup):
+    """SVDQuant low-rank branch (quant/svd.py) under GSPMD: the bf16
+    factors ride the scan state replicated, the per-site qlinear route
+    (fused producers excluded) executes on the mesh and matches the
+    single-device run."""
+    cfg, params, inputs = setup
+    x, t, txt = inputs
+    qdict = dict(QCFG_W8A8,
+                 weight={"n_bits": 4, "sym": False, "lowrank_rank": 8})
+    ctx = _int8_ctx(cfg, params, qdict)
+    assert any("lowrank_a" in st for st in ctx.state.values())
+    stacked = stack_block_params(params)
+    sctx = make_scan_ctx(ctx, cfg.num_layers)
+    assert sctx.scan_state["self_attn.q"]["lowrank_a"].dtype == jnp.bfloat16
+    ref = np.asarray(
+        dit_forward(stacked, cfg, x, t, txt, seq_len=32, ctx=sctx)
+    )
+    got = _mesh_run(cfg, stacked, sctx, inputs, (1, 2, 2, 2))
+    np.testing.assert_allclose(got, ref, atol=3e-3)
