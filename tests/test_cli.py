@@ -353,3 +353,31 @@ def test_quant_generate_with_qlora_adapters(workdir):
     tr = np.load(out_trained)["latents"]
     np.testing.assert_allclose(z, a, atol=1e-5)
     assert float(np.abs(tr - a).max()) > 1e-4
+
+
+def test_generate_serving_loop(workdir):
+    """--prompt_file: N videos from one process, step-fn cache shared
+    (beyond-reference: the reference re-invokes torchrun per prompt)."""
+    from wanq_tpu.cli import generate as gen_cli
+
+    with open("prompts.txt", "w") as f:
+        f.write("a red fox\n\na blue whale\n")
+    args = gen_cli.parse_args(
+        COMMON + ["--prompt_file", "prompts.txt", "--save_file", "serve.npz"])
+    saved = gen_cli.generate(args)
+    assert saved == ["serve_p0.npz", "serve_p1.npz"]
+    a = np.load("serve_p0.npz")
+    b = np.load("serve_p1.npz")
+    assert str(a["prompt"]) == "a red fox" and str(b["prompt"]) == "a blue whale"
+    # different contexts -> different videos; both finite
+    assert np.isfinite(a["latents"]).all() and np.isfinite(b["latents"]).all()
+    assert np.abs(a["latents"] - b["latents"]).max() > 0
+
+    # i2v refuses the loop with a clear message
+    import pytest as _pytest
+
+    i2v_args = gen_cli.parse_args(
+        ["--task", "i2v-14B", "--size", "1280*720", "--random_init",
+         "--prompt_file", "prompts.txt"])
+    with _pytest.raises(SystemExit, match="per-prompt"):
+        gen_cli.generate(i2v_args)
