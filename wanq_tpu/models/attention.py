@@ -12,11 +12,43 @@ wrapper pads q/k/v to the flash block size internally and slices the output.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TemporalWindow:
+    """Sliding temporal-window (block-sparse) self-attention spec.
+
+    Every video token attends only to tokens within ``radius`` latent
+    frames of its own frame (plus the model pad tail rules below). This is
+    the TPU-hardware realization of the reference's 0-bit attention-map
+    blocks (quant_attn.py bitwidth lists with 0 entries prune whole map
+    blocks — here the pruned blocks are never computed at all: the splash
+    kernel's block-sparse mask skips them on the MXU).
+
+    ``tokens_per_frame`` is resolved from the latent grid by dit_forward
+    (grid h·w after patching); ``radius`` is in latent frames and is
+    SHARED across heads — the splash mask-info builder only takes the
+    in-kernel mask_function fast path (zero materialized mask bytes) when
+    all heads share one unique mask; per-head radii would materialize
+    partial mask blocks (~MBs per unique boundary block). Per-head window
+    stats from calibration collapse via max (select_temporal_windows).
+    """
+
+    tokens_per_frame: int
+    radius: int
+
+    def density(self, n_frames: int) -> float:
+        """Fraction of the dense S×S map inside the band (exact, ignoring
+        block rounding)."""
+        f, r = n_frames, min(self.radius, n_frames - 1)
+        inside = sum(min(f - 1, i + r) - max(0, i - r) + 1 for i in range(f))
+        return inside / (f * f)
 
 _DEF_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 # swept on v5e at Wan shapes (BENCH_NOTES.md): 2048/1024 beats 512/512 by ~9%
@@ -68,8 +100,56 @@ def _kv_prefix_mask(shape, valid: int):
     return _KVPrefixMask(shape, valid)
 
 
+def _temporal_band_mask(shape, tpf: int, radius: int, valid: int):
+    """Lazy splash mask attending kv tokens within ``radius`` latent frames
+    (token index // tpf) of the query's frame, restricted to the valid kv
+    prefix. Wrapper-pad q rows (>= valid, sliced off by the caller) attend
+    the full valid prefix so their softmax rows are never empty — they sit
+    in the final q block only, so the cost is one dense q block. The mask
+    function is numpy/jnp polymorphic: numpy during the trace-time
+    block-sparsity scan (fully-outside blocks are SKIPPED on device),
+    jnp inside the kernel for boundary blocks."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_mask as sm,
+    )
+
+    class _TemporalBandMask(sm._ComputableMask):
+        def __init__(self, shape, tpf, radius, valid, shard_count=1):
+            self.tpf = tpf
+            self.radius = radius
+            self.valid = valid
+
+            def band_mask_function(q_ids, kv_ids):
+                d = q_ids // tpf - kv_ids // tpf
+                band = (d <= radius) & (d >= -radius)
+                pad_rows = q_ids >= valid
+                return (band | pad_rows) & (kv_ids < valid)
+
+            super().__init__(
+                shape=shape,
+                mask_function=band_mask_function,
+                shard_count=shard_count,
+            )
+
+        def __eq__(self, other):
+            return (
+                isinstance(other, _TemporalBandMask)
+                and self.shape == other.shape
+                and self.tpf == other.tpf
+                and self.radius == other.radius
+                and self.valid == other.valid
+            )
+
+        def __hash__(self):
+            return hash((type(self).__name__, self.shape, self.tpf,
+                         self.radius, self.valid))
+
+    return _TemporalBandMask(shape, tpf, radius, valid)
+
+
 def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float,
-                   kv_valid: Optional[int] = None):
+                   kv_valid: Optional[int] = None,
+                   window: Optional[TemporalWindow] = None):
     # NOTE: deliberately not cached — make_splash_mha closes over values
     # created at call time, and reusing a kernel object across jit traces
     # leaks tracers; construction is cheap (masks are lazy)
@@ -78,8 +158,12 @@ def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float,
         splash_attention_mask as sm,
     )
 
-    if kv_valid is not None and kv_valid < s:
-        head_mask = _kv_prefix_mask((s, s), kv_valid)
+    valid = kv_valid if kv_valid is not None else s
+    if window is not None and not _window_is_dense(window, valid):
+        head_mask = _temporal_band_mask((s, s), window.tokens_per_frame,
+                                        window.radius, valid)
+    elif valid < s:
+        head_mask = _kv_prefix_mask((s, s), valid)
     else:
         head_mask = sm.FullMask((s, s))
     mask = sm.MultiHeadMask([head_mask for _ in range(h)])
@@ -94,6 +178,12 @@ def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float,
     return sk.make_splash_mha(
         mask=mask, head_shards=1, q_seq_shards=1, block_sizes=sizes
     )
+
+
+def _window_is_dense(window: TemporalWindow, valid: int) -> bool:
+    """A radius covering every frame pair degrades to the dense mask."""
+    n_frames = -(-valid // window.tokens_per_frame)
+    return window.radius >= n_frames - 1
 
 
 def _splash_blocks(s: int):
@@ -112,13 +202,13 @@ def _splash_blocks(s: int):
     return _SPLASH_BLOCK_Q, blk_kv
 
 
-def _splash_path(q, k, v, scale, kv_len):
+def _splash_path(q, k, v, scale, kv_len, window=None):
     """Self-attention via the splash kernel. q,k,v: [B, S, N, D] with S
     already padded to the splash block; the sm_scale folds into q."""
     b, s, n, d = q.shape
     blk_q, blk_kv = _splash_blocks(s)
     kernel = _splash_kernel(s, n, blk_q, blk_kv, scale,
-                            kv_valid=kv_len)
+                            kv_valid=kv_len, window=window)
     qt = (jnp.swapaxes(q, 1, 2) * scale).astype(jnp.bfloat16)
     kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
     vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)
@@ -131,6 +221,7 @@ def attention_heads_major(
     k: jax.Array,
     v: jax.Array,
     k_valid_len: Optional[int] = None,
+    window: Optional[TemporalWindow] = None,
 ) -> jax.Array:
     """Self-attention on ALREADY head-major [B, N, S, D] operands with the
     softmax scale pre-folded into q (the fused rms+rope+head-split kernel,
@@ -148,14 +239,14 @@ def attention_heads_major(
     ):
         out = attention(
             jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
-            scale=1.0, k_valid_len=k_valid_len,
+            scale=1.0, k_valid_len=k_valid_len, window=window,
         )
         return jnp.swapaxes(out, 1, 2)
 
     kv_len = min(k_valid_len, s) if k_valid_len is not None else s
     blk_q, blk_kv = _splash_blocks(s)
     kernel = _splash_kernel(s, n, blk_q, blk_kv, 1.0,
-                            kv_valid=kv_len)
+                            kv_valid=kv_len, window=window)
     out = jax.vmap(kernel)(
         q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
     )
@@ -224,18 +315,38 @@ def cross_attention_heads_major(
     return out.astype(v.dtype)
 
 
+def temporal_band_dense_mask(
+    sq: int, sk: int, window: TemporalWindow, k_valid_len: Optional[int]
+) -> jax.Array:
+    """[Sq, Sk] boolean mask with the exact semantics of the splash
+    band mask (_temporal_band_mask) — the reference oracle for tests and
+    the CPU/sim execution path."""
+    valid = min(k_valid_len, sk) if k_valid_len is not None else sk
+    fq = jnp.arange(sq) // window.tokens_per_frame
+    fk = jnp.arange(sk) // window.tokens_per_frame
+    d = fq[:, None] - fk[None, :]
+    band = (d <= window.radius) & (d >= -window.radius)
+    pad_rows = (jnp.arange(sq) >= valid)[:, None]
+    return (band | pad_rows) & (jnp.arange(sk) < valid)[None, :]
+
+
 def _sdpa_reference(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     scale: float,
     k_valid_len: Optional[int],
+    window: Optional[TemporalWindow] = None,
 ) -> jax.Array:
     """Plain jnp attention with f32 softmax. q,k,v: [B, S, N, D]."""
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     scores = jnp.einsum("bsnd,btnd->bnst", qf, kf) * scale
-    if k_valid_len is not None and k_valid_len < k.shape[1]:
+    if window is not None:
+        mask = temporal_band_dense_mask(
+            q.shape[1], k.shape[1], window, k_valid_len)
+        scores = jnp.where(mask[None, None, :, :], scores, _DEF_MASK_VALUE)
+    elif k_valid_len is not None and k_valid_len < k.shape[1]:
         mask = jnp.arange(k.shape[1]) < k_valid_len
         scores = jnp.where(mask[None, None, None, :], scores, _DEF_MASK_VALUE)
     probs = jax.nn.softmax(scores, axis=-1)
@@ -255,6 +366,7 @@ def attention(
     k_valid_len: Optional[int] = None,
     force_reference: bool = False,
     trainable: bool = False,
+    window: Optional[TemporalWindow] = None,
 ) -> jax.Array:
     """Scaled dot-product attention. q: [B, Sq, N, D]; k,v: [B, Sk, N, D].
 
@@ -268,7 +380,7 @@ def attention(
         scale = 1.0 / math.sqrt(q.shape[-1])
 
     if force_reference or jax.default_backend() != "tpu":
-        return _sdpa_reference(q, k, v, scale, k_valid_len)
+        return _sdpa_reference(q, k, v, scale, k_valid_len, window=window)
 
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
@@ -284,8 +396,13 @@ def attention(
         if s_p != sq:
             pad = ((0, 0), (0, s_p - sq), (0, 0), (0, 0))
             q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-        out = _splash_path(q, k, v, scale, kv_len)
+        out = _splash_path(q, k, v, scale, kv_len, window=window)
         return (out[:, :sq] if s_p != sq else out).astype(v.dtype)
+
+    if window is not None and not _window_is_dense(window, kv_len):
+        # short/odd-shape fallback: the flash kernel has no sparse mask —
+        # run the exact dense-mask reference (tests, CPU, tiny shapes)
+        return _sdpa_reference(q, k, v, scale, k_valid_len, window=window)
 
     blk_q = min(_FLASH_BLOCK_Q, _round_up(sq, 128))
     blk_k = min(_FLASH_BLOCK_K, _round_up(sk, 128))

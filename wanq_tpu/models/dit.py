@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wanq_tpu.configs import WanConfig
-from wanq_tpu.models.attention import attention
+from wanq_tpu.models.attention import TemporalWindow, attention
 from wanq_tpu.models.rope import rope_apply_interleaved, rope_tables_interleaved
 from wanq_tpu.quant.qlinear import QuantCtx, qlinear, resolves_fp
 
@@ -531,6 +531,14 @@ def _self_attention(
         or (ctx is not None and ctx.mode == "calib")
     )
     q_scale = (1.0 / math.sqrt(hd)) if plain_attn else 1.0
+    # sliding temporal-window mask, resolved by dit_forward (None = dense).
+    # Only the plain-attention paths take it — calib runs dense (window
+    # selection needs the full map mass) and the quant/ring composition
+    # guards raise in dit_forward.
+    window = None
+    if ctx is not None and ctx.attn_window is not None and plain_attn:
+        assert isinstance(ctx.attn_window, TemporalWindow), ctx.attn_window
+        window = ctx.attn_window
 
     # fused rms_norm→rope→head-split Pallas kernel (ops/rmsnorm_rope.py):
     # one HBM pass instead of norm + reshape + rope + transpose — the
@@ -556,7 +564,8 @@ def _self_attention(
                             num_heads=n, eps=cfg.eps)
         kh = rms_rope_heads(k, p["norm_k"], ca, sb, num_heads=n, eps=cfg.eps)
         vh = split_heads(v, n, out_dtype=dtype)
-        y = attention_heads_major(qh, kh, vh, k_valid_len=valid_len)
+        y = attention_heads_major(qh, kh, vh, k_valid_len=valid_len,
+                                  window=window)
         if resolves_fp(ctx, f"{name}.o"):
             return _o_proj_heads_major(p["o"], y, dtype)
         if _o_heads_major_int8_ok(ctx, f"{name}.o"):
@@ -587,7 +596,8 @@ def _self_attention(
             from wanq_tpu.quant.attn import pooled_attn_map
 
             ctx.collect[f"{name}.attn_map"] = pooled_attn_map(
-                q, k, ctx.attn_map_pool, k_valid_len=valid_len
+                q, k, ctx.attn_map_pool, k_valid_len=valid_len,
+                reduce=ctx.attn_map_reduce,
             )
     if plan is not None:
         q, k, v = plan.heads(q), plan.heads(k), plan.heads(v)
@@ -634,7 +644,8 @@ def _self_attention(
     else:
         # scale pre-folded into q's rope tables on the plain path
         y = attention(q, k, v, scale=1.0 if plain_attn else None,
-                      k_valid_len=valid_len, trainable=training)
+                      k_valid_len=valid_len, trainable=training,
+                      window=window)
     y = y.reshape(b, s, n * hd)
     if plan is not None:
         y = plan.tokens(y)
@@ -1034,6 +1045,41 @@ def dit_forward(
     cos, sin = (
         jnp.asarray(a) for a in rope_tables_interleaved(grid, cfg.head_dim)
     )
+
+    if ctx is not None and ctx.attn_window is not None:
+        # resolve the sliding temporal-window spec against THIS input's
+        # latent grid (static: grid comes from shapes). The hardware
+        # block-sparse mask is the TPU execution of the reference's 0-bit
+        # attention-map blocks (quant_attn.py bitwidth-0 pruning).
+        aw = ctx.attn_window
+        win = aw if isinstance(aw, TemporalWindow) else TemporalWindow(
+            tokens_per_frame=grid[1] * grid[2], radius=int(aw))
+        if win.radius < 0 or win.radius >= grid[0] - 1:
+            win = None  # covers every frame pair -> dense
+        if win is not None:
+            if training:
+                raise NotImplementedError(
+                    "attn_window is inference-only: the splash sparse mask "
+                    "kernel is fwd-only (train dense, deploy windowed)")
+            if ctx.attn is not None and ctx.mode in ("sim", "int8"):
+                raise NotImplementedError(
+                    "attn_window does not compose with attention-map "
+                    "quantization: the sim materializes the full map and "
+                    "the int8 kernel is dense — window the plain/int8-GEMM "
+                    "deployment instead (drop the attn: section)")
+            if plan is not None and plan.ring_size > 1:
+                raise NotImplementedError(
+                    "attn_window under ring context parallelism needs "
+                    "per-KV-shard band masks (the ring rotates KV shards "
+                    "through every query block); run Ulysses-only "
+                    "(--ring_size 1) — at 1.3B/14B grids the band is wider "
+                    "than one ring shard anyway")
+        # calib runs DENSE (window selection needs full-map mass), but the
+        # resolved/None form is what _self_attention consumes elsewhere.
+        # collect passes by REFERENCE: replace() defaults to copying it,
+        # which would silently drop calibration stats from the caller's ctx
+        ctx = ctx.replace(attn_window=None if ctx.mode == "calib" else win,
+                          collect=ctx.collect)
 
     xf = xq.astype(cfg.res_dtype)  # residual-stream dtype (configs)
     if isinstance(params["blocks"], dict):

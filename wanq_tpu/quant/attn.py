@@ -189,14 +189,20 @@ def pooled_attn_map(
     scale: Optional[float] = None,
     k_valid_len: Optional[int] = None,
     chunk: int = 1024,
+    reduce: str = "max",
 ) -> jax.Array:
-    """Max-pooled post-softmax attention map for calibration.
+    """Pooled post-softmax attention map for calibration.
 
     q, k: [B, S, N, D] (post-rope). Returns [N, S//pool, S//pool] — the max
     over batch of the 2D max-pooled softmax map (ref SaveActivationHook
     'attn' type with max_pool2d downsample, get_calib_data_wanx.py:227-238).
     Computed q-chunk at a time so the full S×S map never materializes.
+    ``reduce='mean'`` averages over batch and pool windows instead — the
+    MASS-preserving form (each row's pooled cells sum to ~1/pool of the
+    softmax mass) that :func:`select_temporal_windows` needs; max-pooling
+    overweights sparse tails and cannot rank retained mass.
     """
+    assert reduce in ("max", "mean"), reduce
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, s, n, d = q.shape
@@ -219,6 +225,8 @@ def pooled_attn_map(
                                jnp.finfo(jnp.float32).min)
         p = jax.nn.softmax(scores, axis=-1)
         pb = p.reshape(b, n, chunk // pool, pool, s // pool, pool)
+        if reduce == "mean":
+            return jnp.mean(pb, axis=(0, 3, 5))
         return jnp.max(pb, axis=(0, 3, 5))  # [N, chunk/pool, S/pool]
 
     chunks = qh.reshape(b, n, s // chunk, chunk, d).transpose(2, 0, 1, 3, 4)
@@ -266,6 +274,68 @@ def generate_reorder_tables(
             perms[i] = tok.astype(np.int32)
         out[layer] = perms
     return out
+
+
+def select_temporal_windows(
+    attn_maps: Dict[str, Any],
+    tokens_per_frame: int,
+    pool: int,
+    threshold: float = 0.95,
+    valid_len: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Calibration-driven sliding-window radii for block-sparse attention.
+
+    ``attn_maps``: {layer: [H, Sp, Sp]} MEAN-pooled post-softmax maps
+    (:func:`pooled_attn_map` with ``reduce='mean'``). For each head, finds
+    the smallest radius r (in latent frames) such that attention mass
+    within |frame(q) − frame(k)| <= r is at least ``threshold`` of the
+    total. This is the mass-retention criterion the sliding-tile-attention
+    literature profiles per head — the in-framework generator for
+    ``QuantCtx.attn_window`` (the deployment collapses per-head radii via
+    :func:`collapse_window_radii`; splash's zero-memory in-kernel mask
+    path needs one shared mask across heads).
+
+    Returns {layer: np.ndarray [H] int radii}.
+    """
+    import numpy as np
+
+    out = {}
+    for layer, maps in attn_maps.items():
+        maps = np.asarray(maps, dtype=np.float64)
+        h, sp, _ = maps.shape
+        # frame id of each pooled cell (cell centre); pooled cells beyond
+        # the valid prefix carry ~zero mass (masked softmax) and don't bias
+        # the fractions
+        frames = (np.arange(sp) * pool + pool // 2) // tokens_per_frame
+        n_frames = int(frames[-1]) + 1
+        if valid_len is not None:
+            n_frames = min(n_frames, -(-valid_len // tokens_per_frame))
+        dist = np.abs(frames[:, None] - frames[None, :])  # [Sp, Sp]
+        radii = np.empty(h, dtype=np.int32)
+        for i in range(h):
+            total = maps[i].sum()
+            if total <= 0:
+                radii[i] = n_frames - 1
+                continue
+            for r in range(n_frames):
+                if maps[i][dist <= r].sum() / total >= threshold:
+                    radii[i] = r
+                    break
+            else:
+                radii[i] = n_frames - 1
+        out[layer] = radii
+    return out
+
+
+def collapse_window_radii(windows: Dict[str, Any]) -> int:
+    """Collapse per-layer/per-head radii to ONE deployable radius (max —
+    conservative: no head loses more mass than its own threshold). One
+    radius is required twice over: the scan-over-blocks path compiles one
+    block body, and splash's in-kernel mask_function fast path (zero
+    materialized mask bytes) only engages when all heads share one mask."""
+    import numpy as np
+
+    return int(max(int(np.max(r)) for r in windows.values()))
 
 
 def quantized_attention(

@@ -63,6 +63,10 @@ class QuantCtx:
     collect_minmax: bool = False
     # calib extras: pool factor for post-softmax attn-map capture (0 = off)
     attn_map_pool: int = 0
+    # calib extras: pooling reduce for the attn-map capture — "max" (ref
+    # max_pool2d semantics, feeds reorder tables) or "mean" (mass-
+    # preserving, feeds select_temporal_windows)
+    attn_map_reduce: str = "max"
     # calib extras: layers matching this regex also accumulate the input
     # Hessian X^T X ([C_in, C_in]) for GPTQ weight rounding (quant/gptq.py).
     # Matched with re.search against the layer path (under scan the path is
@@ -76,6 +80,13 @@ class QuantCtx:
     # per-layer attn-map reorder tables {layer: [H, S] int32} (ref
     # optimal_reorder, quant_attn.py:176-238)
     attn_perms: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
+    # sliding temporal-window self-attention (hardware block-sparse splash
+    # mask — the TPU execution of the reference's 0-bit attention-map
+    # blocks, quant_attn.py bitwidth-0 pruning). An int radius in latent
+    # frames, or a models.attention.TemporalWindow with tokens_per_frame
+    # pre-resolved; dit_forward resolves the int against the input grid.
+    # Static (changes the compiled mask); None = dense.
+    attn_window: Any = None
 
     def policy(self, name: str) -> LayerPolicy:
         return self.policies.get(name, FP_POLICY)
@@ -108,13 +119,15 @@ def _ctx_flatten(ctx: QuantCtx):
         ctx.attn_map_pool,
         ctx.hessian_regex,
         ctx.trainable,
+        ctx.attn_window,
+        ctx.attn_map_reduce,
     )
     return children, aux
 
 
 def _ctx_unflatten(aux, children):
     (mode, policies, attn, cross_attn, collect_minmax, attn_map_pool,
-     hessian_regex, trainable) = aux
+     hessian_regex, trainable, attn_window, attn_map_reduce) = aux
     ctx = QuantCtx(
         mode=mode,
         policies=dict(policies),
@@ -126,6 +139,8 @@ def _ctx_unflatten(aux, children):
         attn_map_pool=attn_map_pool,
         hessian_regex=hessian_regex,
         trainable=trainable,
+        attn_window=attn_window,
+        attn_map_reduce=attn_map_reduce,
     )
     ctx.scan_state = children[2]
     ctx.attn_perms = children[3]
