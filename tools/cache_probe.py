@@ -149,6 +149,20 @@ def main():
             ("ada.20.o1c2", AdaptiveCachePolicy(threshold=0.20, order=1,
                                                 max_horizon=2.0)),
         ]
+    # --window=R[,R2]: compose the sliding temporal-window block-sparse
+    # attention (QuantCtx.attn_window, BENCH_NOTES "Sliding temporal-
+    # window") with step caching. Orthogonal mechanisms — fewer tokens
+    # per eval x fewer evals — so speedups should multiply; fidelity gate
+    # stays the DENSE uncached trajectory (row 0).
+    win_arg = [a.split("=", 1)[1] for a in sys.argv
+               if a.startswith("--window=")]
+    if win_arg:
+        for r in (int(x) for x in win_arg[0].split(",")):
+            configs += [
+                (f"win{r}", None, r),
+                (f"win{r}+reuse2", StepCachePolicy(reuse_interval=2), r),
+                (f"win{r}+ada.10", AdaptiveCachePolicy(threshold=0.10), r),
+            ]
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
     if only:
         configs = [configs[0]] + [
@@ -171,14 +185,36 @@ def main():
         ]
     base = None
     base_dt = None
+    win_pipes = {}
     print(f"{'config':>12} {'wall s':>8} {'s/step-eq':>9} {'speedup':>8} "
           f"{'PSNR dB':>8} {'cosine':>8}  actions")
-    for name, pol in configs:
+    for row in configs:
+        name, pol = row[0], row[1]
+        win = row[2] if len(row) > 2 else None
+        p = pipe
+        if win is not None:
+            if win not in win_pipes:
+                win_pipes[win] = WanT2V(
+                    cfg, params,
+                    quant_ctx=ctx.replace(attn_window=win,
+                                          collect=ctx.collect))
+                t0 = time.time()
+                win_pipes[win].generate(
+                    context, context_null,
+                    **{**gen_kw, "sampling_steps": 2})
+                win_pipes[win].generate(
+                    context, context_null,
+                    cache_policy=StepCachePolicy(cfg_interval=2, warmup=1,
+                                                 tail=0),
+                    **{**gen_kw, "sampling_steps": 3})
+                print(f"win{win} warmup/compile: {time.time()-t0:.1f}s",
+                      flush=True)
+            p = win_pipes[win]
         t0 = time.time()
-        lat = pipe.generate(context, context_null, cache_policy=pol, **gen_kw)
+        lat = p.generate(context, context_null, cache_policy=pol, **gen_kw)
         lat = np.asarray(lat)  # fetch fences the trajectory
         dt = time.time() - t0
-        stats = pipe.last_cache_stats if pol is not None else {"full": steps}
+        stats = p.last_cache_stats if pol is not None else {"full": steps}
         if base is None:
             base, base_dt = lat, dt
             print(f"{name:>12} {dt:8.1f} {dt/steps:9.3f} {'1.000':>8} "
@@ -187,12 +223,12 @@ def main():
             print(f"{name:>12} {dt:8.1f} {dt/steps:9.3f} {base_dt/dt:8.3f} "
                   f"{latent_psnr(base, lat):8.2f} "
                   f"{cosine_similarity(base, lat):8.5f}  {stats}", flush=True)
-            if getattr(pipe, "last_adaptive_trace", None):
+            if getattr(p, "last_adaptive_trace", None):
                 acts = "".join(
                     {"reuse": "R", "cond": "c"}.get(e["act"], "F")
-                    for e in pipe.last_adaptive_trace)
+                    for e in p.last_adaptive_trace)
                 ds = " ".join(f"{e['d']:.3f}"
-                              for e in pipe.last_adaptive_trace)
+                              for e in p.last_adaptive_trace)
                 print(f"{'':>12} decisions={acts}  d={ds}", flush=True)
 
 
