@@ -381,3 +381,33 @@ def test_generate_serving_loop(workdir):
          "--prompt_file", "prompts.txt"])
     with _pytest.raises(SystemExit, match="per-prompt"):
         gen_cli.generate(i2v_args)
+
+
+def test_attn_window_flag(workdir):
+    """--attn_window bands self-attention through every CLI entry: fp mode
+    (window-only QuantCtx), quantized mode (threaded into the int8 ctx),
+    and radius >= n_frames-1 resolving to exactly-dense."""
+    # 9 frames -> 3 latent frames: radius 1 is a real band, radius 2 dense
+    common = [a if a != "5" else "9" for a in COMMON]
+    dense = np.load(fp_generate.generate(fp_generate.parse_args(
+        common + ["--save_file", "wd.npz"])))["latents"]
+    win1 = np.load(fp_generate.generate(fp_generate.parse_args(
+        common + ["--attn_window", "1", "--save_file", "w1.npz"])))["latents"]
+    win2 = np.load(fp_generate.generate(fp_generate.parse_args(
+        common + ["--attn_window", "2", "--save_file", "w2.npz"])))["latents"]
+    assert np.isfinite(win1).all()
+    assert np.abs(win1 - dense).max() > 1e-6  # the band actually cuts
+    np.testing.assert_allclose(win2, dense, atol=0)  # full cover == dense
+
+    # quantized path: flag rides the int8/sim ctx (needs ptq artifacts)
+    calib_file = get_calib_data.generate(
+        get_calib_data.parse_args(common + ["--quant_config", "q.yaml"]))
+    qp_file = ptq.generate(ptq.parse_args(
+        common + ["--quant_config", "q.yaml", "--calib_data", calib_file]))
+    qargs = common + ["--quant_config", "q.yaml", "--quant_params", qp_file]
+    qdense = np.load(quant_generate.generate(quant_generate.parse_args(
+        qargs + ["--save_file", "qwd.npz"])))["latents"]
+    qwin = np.load(quant_generate.generate(quant_generate.parse_args(
+        qargs + ["--attn_window", "1", "--save_file", "qw1.npz"])))["latents"]
+    assert np.isfinite(qwin).all()
+    assert np.abs(qwin - qdense).max() > 1e-6

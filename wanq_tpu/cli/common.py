@@ -89,6 +89,20 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
                         "activation/weight bytes at ~equal speed and is "
                         "REQUIRED for 720p x 81f decode on a 16 GB chip "
                         "(f32 OOMs; BENCH_NOTES 'bf16 VAE decode')")
+    p.add_argument("--attn_window", type=int, default=-1,
+                   help="sliding temporal-window block-sparse self-"
+                        "attention: band to +-N latent frames (splash "
+                        "in-kernel mask skips out-of-band KV blocks on "
+                        "the MXU — the hardware execution of the "
+                        "reference's 0-bit attention-map blocks, "
+                        "quant_attn.py bitwidth-0). -1 = dense. Measured "
+                        "r=1: 1.71x over the dense W8A8 step at 1.3B "
+                        "480p (BENCH_NOTES 'Sliding temporal-window'); "
+                        "pick the radius with "
+                        "quant.attn.select_temporal_windows from calib "
+                        "attention maps. Ulysses-only (needs "
+                        "--ring_size 1); not composable with attn-map "
+                        "quant sections")
     # prompt extension (ref fp_generate.py:119-138 + prompt_extend usage)
     p.add_argument("--use_prompt_extend", action="store_true")
     p.add_argument("--prompt_extend_method", type=str, default="local_qwen",

@@ -55,7 +55,15 @@ def generate(args):
         params = shard_params(params, mesh, getattr(args, 'full_shard', False))
         logging.info("mesh: %s", dict(mesh.shape))
 
-    pipe = WanT2V(cfg, params, sp_size=seq_parallel_size(args), mesh=mesh, shardings=plan)
+    qctx = None
+    if getattr(args, "attn_window", -1) >= 0:
+        from wanq_tpu.quant.qlinear import QuantCtx
+
+        # fp-mode ctx carries only the sliding temporal-window spec
+        # (qlinear treats mode="fp" like ctx=None)
+        qctx = QuantCtx(mode="fp", attn_window=args.attn_window)
+    pipe = WanT2V(cfg, params, quant_ctx=qctx,
+                  sp_size=seq_parallel_size(args), mesh=mesh, shardings=plan)
     t0 = time.time()
     latents = pipe.generate(
         jnp.asarray(context),

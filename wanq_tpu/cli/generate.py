@@ -58,7 +58,14 @@ def _load_image(path: str) -> jnp.ndarray:
 
 
 def _maybe_quant_ctx(args, cfg):
+    win = getattr(args, "attn_window", -1)
     if not args.quant_config:
+        if win is not None and win >= 0:
+            from wanq_tpu.quant.qlinear import QuantCtx
+
+            # windowed-but-unquantized deployment: an fp-mode ctx only
+            # carries the window spec (qlinear treats fp like ctx=None)
+            return QuantCtx(mode="fp", attn_window=win)
         return None
     from wanq_tpu.models.dit import linear_layer_names
     from wanq_tpu.quant import QuantConfig
@@ -75,6 +82,7 @@ def _maybe_quant_ctx(args, cfg):
         mode="int8" if args.hardware else "sim",
         policies=policies, state=state, rotations=rotations,
         attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg,
+        attn_window=win if win is not None and win >= 0 else None,
     )
 
 

@@ -145,8 +145,10 @@ def generate(args):
         state = merge_lora_into_quant_state(state, load_lora(lp))
         logging.info("merged QLoRA adapters from %s", args.lora)
 
+    win = getattr(args, "attn_window", -1)
     ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations,
-                   attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg)
+                   attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg,
+                   attn_window=win if win >= 0 else None)
 
     # scan-over-blocks: one compiled block body instead of 30/40 unrolled
     # (compile-time essential at 14B); falls back to the unrolled loop for

@@ -443,7 +443,12 @@ class WanT2V:
             assert self.quant_ctx is not None and self.quant_ctx.mode == "calib"
         arg_ctx = (
             self.quant_ctx
-            if (self.quant_ctx is not None and mode in ("sim", "int8"))
+            if (self.quant_ctx is not None
+                and (mode in ("sim", "int8")
+                     # fp-mode ctx still matters when it carries the
+                     # sliding temporal-window spec (--attn_window on an
+                     # unquantized deployment)
+                     or self.quant_ctx.attn_window is not None))
             else None
         )
 
