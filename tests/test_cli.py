@@ -411,3 +411,36 @@ def test_attn_window_flag(workdir):
         qargs + ["--attn_window", "1", "--save_file", "qw1.npz"])))["latents"]
     assert np.isfinite(qwin).all()
     assert np.abs(qwin - qdense).max() > 1e-6
+
+
+def test_ptq_suggest_window(workdir, capsys):
+    """calib (--attn_map_pool/--attn_map_reduce mean) -> ptq
+    --suggest_window -> deployable radius: the in-framework generator for
+    --attn_window (select_temporal_windows over mean-pooled calib maps)."""
+    common = [a if a != "5" else "9" for a in COMMON]
+    calib_file = get_calib_data.generate(get_calib_data.parse_args(
+        common + ["--quant_config", "q.yaml", "--attn_map_pool", "4",
+                  "--attn_map_reduce", "mean", "--calib_save_path",
+                  "calib_w.npz"]))
+    calib = dict(np.load(calib_file))
+    assert int(calib["attn_map_pool"]) == 4
+    assert "blocks.0.self_attn.attn_map" in calib
+
+    out = ptq.generate(ptq.parse_args(
+        common + ["--quant_config", "q.yaml", "--calib_data", calib_file,
+                  "--save_path", "qp_w.npz", "--suggest_window", "0.95"]))
+    assert isinstance(out, tuple)
+    path, radius = out
+    # 3 latent frames -> radius in [0, 2]; random-init attention is
+    # near-uniform, so 95% mass needs (almost) the full span
+    assert 0 <= radius <= 2
+    assert "suggested sliding-window radius" in capsys.readouterr().out
+
+    # missing maps -> actionable error (artifact without .attn_map keys)
+    np.savez("calib_nomap.npz", **{
+        k: v for k, v in calib.items()
+        if not k.endswith(".attn_map") and k != "attn_map_pool"})
+    with pytest.raises(SystemExit, match="attn_map_pool"):
+        ptq.generate(ptq.parse_args(
+            common + ["--quant_config", "q.yaml", "--calib_data",
+                      "calib_nomap.npz", "--suggest_window", "0.95"]))

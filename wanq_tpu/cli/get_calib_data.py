@@ -42,6 +42,13 @@ def parse_args(argv=None):
     p.add_argument("--attn_map_pool", type=int, default=0,
                    help="pool factor for post-softmax attn-map capture "
                         "(feeds generate_reorder_tables; 0 = off)")
+    p.add_argument("--attn_map_reduce", type=str, default="max",
+                   choices=["max", "mean"],
+                   help="pooling reduction for captured attn maps: 'max' "
+                        "feeds reorder tables (ref 2D max-pool, "
+                        "get_calib_data_wanx.py:227-238); 'mean' is "
+                        "mass-preserving — required for sliding-window "
+                        "selection (ptq --suggest_window)")
     p.add_argument("--collect_hessian", type=str, default=None, metavar="REGEX",
                    help="also accumulate the input Hessian X^T X for layers "
                         "matching REGEX (GPTQ weight rounding; match on "
@@ -87,6 +94,7 @@ def generate(args):
             mode="calib",
             collect_minmax=args.collect_minmax,
             attn_map_pool=args.attn_map_pool,
+            attn_map_reduce=args.attn_map_reduce,
             hessian_regex=args.collect_hessian,
         ),
         sp_size=seq_parallel_size(args), mesh=mesh, shardings=plan,
@@ -120,6 +128,10 @@ def generate(args):
         time.time() - t0, len(stats), args.sample_steps,
         max(1, args.calib_rounds),
     )
+    if args.attn_map_pool:
+        # record the pool factor so downstream selection (ptq
+        # --suggest_window) can map pooled cells back to token indices
+        stats["attn_map_pool"] = np.asarray(args.attn_map_pool)
     np.savez(save_path, **stats)
     logging.info("saved %s", save_path)
     return save_path

@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 from wanq_tpu.cli.common import add_common_args, load_params, setup_logging, validate_args
-from wanq_tpu.configs import WAN_CONFIGS
+from wanq_tpu.configs import SIZE_CONFIGS, WAN_CONFIGS
 from wanq_tpu.models.dit import linear_layer_names
 from wanq_tpu.quant import QuantConfig
 from wanq_tpu.quant.ptq import load_reference_calib, prepare_quant_state, save_quant_state
@@ -30,6 +30,16 @@ def parse_args(argv=None):
                    help="npz from get_calib_data (or a reference .pth)")
     p.add_argument("--save_path", type=str, default="quant_params.npz")
     p.add_argument("--rotation_seed", type=int, default=0)
+    p.add_argument("--suggest_window", type=float, default=0.0,
+                   metavar="THRESHOLD",
+                   help="derive a sliding temporal-window radius from "
+                        "calibration attention maps (collect with "
+                        "get_calib_data --attn_map_pool N "
+                        "--attn_map_reduce mean): smallest per-head radius "
+                        "retaining >= THRESHOLD of attention mass, "
+                        "collapsed to one deployable radius (max over "
+                        "heads). Logged + returned; deploy with generate "
+                        "--attn_window R. 0 = off")
     p.add_argument("--check_reference_params", type=str, default=None,
                    metavar="QUANT_PARAMS_PTH",
                    help="after PTQ, import a reference quant_params.pth "
@@ -70,6 +80,41 @@ def generate(args):
     )
     save_quant_state(args.save_path, state, seed=args.rotation_seed)
     logging.info("saved %s", args.save_path)
+
+    if args.suggest_window > 0.0:
+        # calibration-driven sliding-window selection (BENCH_NOTES
+        # 'Sliding temporal-window'): per-head smallest radius retaining
+        # >= threshold attention mass, collapsed to one deployable radius
+        from wanq_tpu.pipelines.text2video import compute_target_shape
+        from wanq_tpu.quant.attn import (
+            collapse_window_radii,
+            select_temporal_windows,
+        )
+
+        maps = {
+            k[: -len(".attn_map")]: np.asarray(v, np.float64).mean(axis=0)
+            for k, v in (calib or {}).items() if k.endswith(".attn_map")
+        }
+        if not maps:
+            raise SystemExit(
+                "--suggest_window needs pooled attention maps in the "
+                "calibration artifact; run get_calib_data with "
+                "--attn_map_pool N --attn_map_reduce mean")
+        pool = int((calib or {}).get("attn_map_pool", 1))
+        ts = compute_target_shape(cfg, SIZE_CONFIGS[args.size], args.frame_num)
+        tpf = (ts[2] // cfg.patch_size[1]) * (ts[3] // cfg.patch_size[2])
+        n_frames = ts[1] // cfg.patch_size[0]
+        radii = select_temporal_windows(
+            maps, tpf, pool, threshold=args.suggest_window,
+            valid_len=n_frames * tpf)
+        radius = collapse_window_radii(radii)
+        for lname, r in sorted(radii.items()):
+            logging.info("  %s: per-head radii %s", lname, r.tolist())
+        logging.info(
+            "suggested sliding-window radius (mass >= %.2f, %d latent "
+            "frames): %d — deploy with --attn_window %d",
+            args.suggest_window, n_frames, radius, radius)
+        return args.save_path, radius
 
     if args.check_reference_params:
         from wanq_tpu.quant.ptq import (
