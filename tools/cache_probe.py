@@ -166,8 +166,8 @@ def main():
     only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
     if only:
         configs = [configs[0]] + [
-            (n, p) for n, p in configs[1:]
-            if any(n.startswith(pre) for pre in only[0].split(","))
+            row for row in configs[1:]
+            if any(row[0].startswith(pre) for pre in only[0].split(","))
         ]
     if "--fit" in sys.argv:
         # fit the TeaCache rescaling polynomial on one all-evaluate
