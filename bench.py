@@ -370,6 +370,34 @@ def main():
     except Exception as e:  # noqa: BLE001 — keep the headline alive
         log(f"step-cache metric failed: {type(e).__name__}: {e}")
 
+    # measured sliding temporal-window attention (beyond-reference; the
+    # only lever past the attention-bound v5e ceiling — fully out-of-band
+    # KV blocks never touch the MXU). Same-run pair against the dense
+    # bf16/W8A8 steps above; fidelity caveat recorded in the unit string
+    # (BENCH_NOTES "Sliding temporal-window").
+    if os.environ.get("WANQ_BENCH_WINDOW", "1") != "0" and not over_budget(
+            "window metric"):
+        try:
+            step_fn = make_step(r["cfg"], r["seq_len"])
+            wctx = r["ctx"].replace(attn_window=1, collect=r["ctx"].collect)
+            tshape = compute_target_shape(r["cfg"], (832, 480),
+                                          r["frame_num"])
+            latents = jax.random.normal(jax.random.PRNGKey(1), (1, *tshape),
+                                        jnp.float32)
+            tt = jnp.asarray([999.0])
+            w_time = time_step(step_fn, r["params"], wctx, latents, tt,
+                               r["context"], r["context_null"],
+                               jnp.float32(5.0))
+            log(f"w8a8+window(r=1) step: {w_time*1000:.1f} ms")
+            metrics.append({
+                "name": "w8a8_window_r1_vs_bf16_step_ratio",
+                "value": round(fp_time / w_time, 4),
+                "unit": f"x vs dense bf16 ({fp_time/q_time:.3f}x dense-w8a8 "
+                        "x banded attention; calib-driven radius, "
+                        "composes with stepcache — BENCH_NOTES)"})
+        except Exception as e:  # noqa: BLE001
+            log(f"window metric failed: {type(e).__name__}: {e}")
+
     # measured 14B block ratios (the scale the reference targets; fold of
     # tools/ratio_14b_probe.py, round-3 VERDICT #1). Frees the 1.3B state
     # first — 14B blocks + 1.3B stacks don't co-reside comfortably.

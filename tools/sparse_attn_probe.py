@@ -17,6 +17,10 @@ PSNRs are mechanism floors, not deployment quality. Window selection on a
 real checkpoint goes through select_temporal_windows (mass threshold).
 
 Usage: python tools/sparse_attn_probe.py [kernel|step|all] [radii...]
+A radius given as a comma list ("1,1,1,1,2,2,2,2,4,4,8,8", len = H) is a
+PER-HEAD spec: grouped splash calls per unique radius
+(models/attention.py::_splash_heads_major) vs the max-collapsed single
+radius the scalar deployment would charge every head.
 """
 
 from __future__ import annotations
@@ -77,14 +81,24 @@ def part_kernel(radii):
         q, k, v)
     log(f"dense splash                  {dense_ms:8.2f} ms   (density 1.000)")
     for r in radii:
-        win = TemporalWindow(TPF, r)
+        win, label, dens = _resolve_spec(r, n_frames)
         ms = chain_time(
             lambda q, k, v, w=win: attention_heads_major(
                 q, k, v, k_valid_len=S_VALID, window=w),
             q, k, v)
-        dens = win.density(n_frames)
-        log(f"window r={r:<2d} (density {dens:.3f})  {ms:8.2f} ms   "
+        log(f"window {label} (density {dens:.3f})  {ms:8.2f} ms   "
             f"{dense_ms/ms:5.2f}x  (ceiling {1/dens:4.2f}x)")
+
+
+def _resolve_spec(r, n_frames):
+    """int radius or per-head tuple -> (TemporalWindow, label, density)."""
+    if isinstance(r, tuple):
+        win = TemporalWindow(TPF, max(r), head_radii=r)
+        dens = float(np.mean([TemporalWindow(TPF, ri).density(n_frames)
+                              for ri in r]))
+        return win, f"per-head {','.join(map(str, r))}", dens
+    win = TemporalWindow(TPF, r)
+    return win, f"r={r:<2d}", win.density(n_frames)
 
 
 def part_step(radii):
@@ -121,7 +135,7 @@ def part_step(radii):
         ctx_w = r["ctx"].replace(attn_window=rad)
         tw = bench.time_step(step_fn, r["params"], ctx_w, *args)
         rep = fid(ctx_w)
-        log(f"window r={rad:<2d}: {tw*1000:8.1f} ms/step  "
+        log(f"window {rad}: {tw*1000:8.1f} ms/step  "
             f"{r['q_time']/tw:5.2f}x over dense-w8a8  "
             f"{r['fp_time']/tw:5.2f}x over bf16  | vs dense-w8a8 noise-pred "
             f"PSNR {rep['psnr_db']:.1f} dB cos {rep['cosine']:.5f} "
@@ -130,7 +144,8 @@ def part_step(radii):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
-    radii = [int(a) for a in sys.argv[2:]] or [1, 2, 4, 8]
+    radii = [tuple(int(x) for x in a.split(",")) if "," in a else int(a)
+             for a in sys.argv[2:]] or [1, 2, 4, 8]
     if mode in ("kernel", "all"):
         part_kernel(radii)
     if mode in ("step", "all"):

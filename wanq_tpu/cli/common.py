@@ -89,13 +89,16 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
                         "activation/weight bytes at ~equal speed and is "
                         "REQUIRED for 720p x 81f decode on a 16 GB chip "
                         "(f32 OOMs; BENCH_NOTES 'bf16 VAE decode')")
-    p.add_argument("--attn_window", type=int, default=-1,
+    p.add_argument("--attn_window", type=str, default="-1",
                    help="sliding temporal-window block-sparse self-"
                         "attention: band to +-N latent frames (splash "
                         "in-kernel mask skips out-of-band KV blocks on "
                         "the MXU — the hardware execution of the "
                         "reference's 0-bit attention-map blocks, "
-                        "quant_attn.py bitwidth-0). -1 = dense. Measured "
+                        "quant_attn.py bitwidth-0). -1 = dense; a comma "
+                        "list gives PER-HEAD radii (one splash call per "
+                        "unique radius over grouped head subsets; get "
+                        "them from ptq --suggest_window). Measured "
                         "r=1: 1.71x over the dense W8A8 step at 1.3B "
                         "480p (BENCH_NOTES 'Sliding temporal-window'); "
                         "pick the radius with "
@@ -142,6 +145,22 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
                         "1/2 extrapolate it to the current timestep "
                         "through the last order+1 executed predictions")
     return p
+
+
+def parse_attn_window(args):
+    """``--attn_window`` → None (dense) | int radius | per-head tuple.
+    Accepts "R" or a comma list "r0,r1,..." (len = num_heads, from
+    ptq --suggest_window's per-head table); negative scalar = dense."""
+    val = getattr(args, "attn_window", None)
+    if val is None:
+        return None
+    s = str(val).strip()
+    if not s:
+        return None
+    if "," in s:
+        return tuple(int(x) for x in s.split(","))
+    r = int(s)
+    return r if r >= 0 else None
 
 
 def cache_policy_from_args(args):

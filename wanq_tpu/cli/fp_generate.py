@@ -21,6 +21,7 @@ from wanq_tpu.cli.common import (
     build_mesh_and_plan,
     load_contexts,
     load_params,
+    parse_attn_window,
     setup_logging,
     validate_args,
 )
@@ -56,12 +57,13 @@ def generate(args):
         logging.info("mesh: %s", dict(mesh.shape))
 
     qctx = None
-    if getattr(args, "attn_window", -1) >= 0:
+    win = parse_attn_window(args)
+    if win is not None:
         from wanq_tpu.quant.qlinear import QuantCtx
 
         # fp-mode ctx carries only the sliding temporal-window spec
         # (qlinear treats mode="fp" like ctx=None)
-        qctx = QuantCtx(mode="fp", attn_window=args.attn_window)
+        qctx = QuantCtx(mode="fp", attn_window=win)
     pipe = WanT2V(cfg, params, quant_ctx=qctx,
                   sp_size=seq_parallel_size(args), mesh=mesh, shardings=plan)
     t0 = time.time()

@@ -22,6 +22,7 @@ from wanq_tpu.cli.common import (
     build_mesh_and_plan,
     load_contexts,
     load_params,
+    parse_attn_window,
     setup_logging,
     validate_args,
 )
@@ -58,9 +59,9 @@ def _load_image(path: str) -> jnp.ndarray:
 
 
 def _maybe_quant_ctx(args, cfg):
-    win = getattr(args, "attn_window", -1)
+    win = parse_attn_window(args)
     if not args.quant_config:
-        if win is not None and win >= 0:
+        if win is not None:
             from wanq_tpu.quant.qlinear import QuantCtx
 
             # windowed-but-unquantized deployment: an fp-mode ctx only
@@ -82,7 +83,7 @@ def _maybe_quant_ctx(args, cfg):
         mode="int8" if args.hardware else "sim",
         policies=policies, state=state, rotations=rotations,
         attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg,
-        attn_window=win if win is not None and win >= 0 else None,
+        attn_window=win,
     )
 
 

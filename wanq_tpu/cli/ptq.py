@@ -110,10 +110,16 @@ def generate(args):
         radius = collapse_window_radii(radii)
         for lname, r in sorted(radii.items()):
             logging.info("  %s: per-head radii %s", lname, r.tolist())
+        from wanq_tpu.quant.attn import per_head_window_radii
+
+        ph = per_head_window_radii(radii)
         logging.info(
             "suggested sliding-window radius (mass >= %.2f, %d latent "
-            "frames): %d — deploy with --attn_window %d",
-            args.suggest_window, n_frames, radius, radius)
+            "frames): %d — deploy with --attn_window %d; per-head "
+            "(grouped splash calls, cheap heads keep narrow bands): "
+            "--attn_window %s",
+            args.suggest_window, n_frames, radius, radius,
+            ",".join(str(int(r)) for r in ph))
         return args.save_path, radius
 
     if args.check_reference_params:

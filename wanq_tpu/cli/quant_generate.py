@@ -24,6 +24,7 @@ from wanq_tpu.cli.common import (
     build_mesh_and_plan,
     load_contexts,
     load_params,
+    parse_attn_window,
     setup_logging,
     validate_args,
 )
@@ -145,10 +146,9 @@ def generate(args):
         state = merge_lora_into_quant_state(state, load_lora(lp))
         logging.info("merged QLoRA adapters from %s", args.lora)
 
-    win = getattr(args, "attn_window", -1)
     ctx = QuantCtx(mode=mode, policies=policies, state=state, rotations=rotations,
                    attn=qcfg.attn_cfg, cross_attn=qcfg.cross_attn_cfg,
-                   attn_window=win if win >= 0 else None)
+                   attn_window=parse_attn_window(args))
 
     # scan-over-blocks: one compiled block body instead of 30/40 unrolled
     # (compile-time essential at 14B); falls back to the unrolled loop for

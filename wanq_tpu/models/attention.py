@@ -32,16 +32,36 @@ class TemporalWindow:
     kernel's block-sparse mask skips them on the MXU).
 
     ``tokens_per_frame`` is resolved from the latent grid by dit_forward
-    (grid h·w after patching); ``radius`` is in latent frames and is
-    SHARED across heads — the splash mask-info builder only takes the
-    in-kernel mask_function fast path (zero materialized mask bytes) when
-    all heads share one unique mask; per-head radii would materialize
-    partial mask blocks (~MBs per unique boundary block). Per-head window
-    stats from calibration collapse via max (select_temporal_windows).
+    (grid h·w after patching); ``radius`` is in latent frames. The splash
+    mask-info builder only takes the in-kernel mask_function fast path
+    (zero materialized mask bytes) when all heads share one unique mask,
+    so per-head radii (``head_radii``, from calibration — heads profile
+    very differently in the sliding-tile-attention literature) run as ONE
+    SPLASH CALL PER UNIQUE RADIUS over statically grouped head subsets
+    (:func:`_splash_heads_major`): each call keeps the zero-memory mask
+    path, and cheap heads stop paying the max-collapsed band. ``radius``
+    is the collapsed (max) radius when ``head_radii`` is set.
     """
 
     tokens_per_frame: int
     radius: int
+    head_radii: Optional[tuple] = None
+
+    def __post_init__(self):
+        if self.head_radii is not None:
+            object.__setattr__(self, "head_radii",
+                               tuple(int(r) for r in self.head_radii))
+            assert min(self.head_radii) >= 0, self.head_radii
+            assert self.radius == max(self.head_radii), (
+                "radius must be the collapsed max of head_radii")
+
+    def resolved_radii(self, n_heads: int) -> tuple:
+        """Per-head radii, expanded to ``n_heads`` entries."""
+        if self.head_radii is None:
+            return (self.radius,) * n_heads
+        assert len(self.head_radii) == n_heads, (
+            f"{len(self.head_radii)} radii for {n_heads} heads")
+        return self.head_radii
 
     def density(self, n_frames: int) -> float:
         """Fraction of the dense S×S map inside the band (exact, ignoring
@@ -159,6 +179,10 @@ def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float,
     )
 
     valid = kv_valid if kv_valid is not None else s
+    if window is not None:
+        # per-head windows are grouped into shared-radius calls by
+        # _splash_heads_major before reaching the kernel builder
+        assert window.head_radii is None, "group per-head radii first"
     if window is not None and not _window_is_dense(window, valid):
         head_mask = _temporal_band_mask((s, s), window.tokens_per_frame,
                                         window.radius, valid)
@@ -181,9 +205,12 @@ def _splash_kernel(s: int, h: int, blk_q: int, blk_kv: int, scale: float,
 
 
 def _window_is_dense(window: TemporalWindow, valid: int) -> bool:
-    """A radius covering every frame pair degrades to the dense mask."""
+    """A radius covering every frame pair degrades to the dense mask.
+    Per-head windows are dense only when EVERY head's radius does (single
+    heads degrade per group inside _splash_heads_major)."""
     n_frames = -(-valid // window.tokens_per_frame)
-    return window.radius >= n_frames - 1
+    r = min(window.head_radii) if window.head_radii else window.radius
+    return r >= n_frames - 1
 
 
 def _splash_blocks(s: int):
@@ -202,17 +229,71 @@ def _splash_blocks(s: int):
     return _SPLASH_BLOCK_Q, blk_kv
 
 
+def _head_groups(radii):
+    """Group heads by window radius. Returns ``(order, groups)``: a stable
+    head permutation making equal-radius heads contiguous, and
+    ``[(radius, count), ...]`` in ascending radius order. Pure python on
+    static radii — resolved at trace time."""
+    order = sorted(range(len(radii)), key=lambda i: (radii[i], i))
+    groups: list[list[int]] = []
+    for i in order:
+        if groups and groups[-1][0] == radii[i]:
+            groups[-1][1] += 1
+        else:
+            groups.append([radii[i], 1])
+    return order, [(r, c) for r, c in groups]
+
+
+def _splash_heads_major(q, k, v, kv_len, window):
+    """Splash attention on heads-major [B, N, S, D] operands with the
+    softmax scale pre-folded into q. A shared-radius (or no) window is a
+    single splash call; per-head radii run one call per UNIQUE radius over
+    statically grouped head subsets — each group's heads share one mask,
+    so every call keeps splash's in-kernel mask_function fast path (zero
+    materialized mask bytes), and a group whose radius covers every frame
+    pair degrades to the dense prefix mask inside _splash_kernel. The two
+    static head permutes (in/out) are one gather each — noise next to the
+    attention itself."""
+    b, n, s, d = q.shape
+    blk_q, blk_kv = _splash_blocks(s)
+    if window is not None and window.head_radii is not None:
+        radii = window.resolved_radii(n)
+        if len(set(radii)) == 1:
+            window = TemporalWindow(window.tokens_per_frame, radii[0])
+        else:
+            order, groups = _head_groups(radii)
+            perm = jnp.asarray(order)
+            qs = jnp.take(q, perm, axis=1)
+            ks = jnp.take(k, perm, axis=1)
+            vs = jnp.take(v, perm, axis=1)
+            outs, start = [], 0
+            for r, cnt in groups:
+                win_r = TemporalWindow(window.tokens_per_frame, r)
+                kernel = _splash_kernel(s, cnt, blk_q, blk_kv, 1.0,
+                                        kv_valid=kv_len, window=win_r)
+                outs.append(jax.vmap(kernel)(
+                    qs[:, start:start + cnt],
+                    ks[:, start:start + cnt],
+                    vs[:, start:start + cnt],
+                ))
+                start += cnt
+            out = jnp.concatenate(outs, axis=1)
+            inv = [0] * n
+            for pos, i in enumerate(order):
+                inv[i] = pos
+            return jnp.take(out, jnp.asarray(inv), axis=1)
+    kernel = _splash_kernel(s, n, blk_q, blk_kv, 1.0, kv_valid=kv_len,
+                            window=window)
+    return jax.vmap(kernel)(q, k, v)
+
+
 def _splash_path(q, k, v, scale, kv_len, window=None):
     """Self-attention via the splash kernel. q,k,v: [B, S, N, D] with S
     already padded to the splash block; the sm_scale folds into q."""
-    b, s, n, d = q.shape
-    blk_q, blk_kv = _splash_blocks(s)
-    kernel = _splash_kernel(s, n, blk_q, blk_kv, scale,
-                            kv_valid=kv_len, window=window)
     qt = (jnp.swapaxes(q, 1, 2) * scale).astype(jnp.bfloat16)
     kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
     vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)
-    out = jax.vmap(kernel)(qt, kt, vt)
+    out = _splash_heads_major(qt, kt, vt, kv_len, window)
     return jnp.swapaxes(out, 1, 2)
 
 
@@ -244,13 +325,10 @@ def attention_heads_major(
         return jnp.swapaxes(out, 1, 2)
 
     kv_len = min(k_valid_len, s) if k_valid_len is not None else s
-    blk_q, blk_kv = _splash_blocks(s)
-    kernel = _splash_kernel(s, n, blk_q, blk_kv, 1.0,
-                            kv_valid=kv_len, window=window)
-    out = jax.vmap(kernel)(
-        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+    return _splash_heads_major(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), kv_len, window,
     )
-    return out
 
 
 def cross_attention_heads_major(
@@ -316,16 +394,19 @@ def cross_attention_heads_major(
 
 
 def temporal_band_dense_mask(
-    sq: int, sk: int, window: TemporalWindow, k_valid_len: Optional[int]
+    sq: int, sk: int, window: TemporalWindow, k_valid_len: Optional[int],
+    radius: Optional[int] = None,
 ) -> jax.Array:
     """[Sq, Sk] boolean mask with the exact semantics of the splash
     band mask (_temporal_band_mask) — the reference oracle for tests and
-    the CPU/sim execution path."""
+    the CPU/sim execution path. ``radius`` overrides the window's shared
+    radius (per-head construction)."""
     valid = min(k_valid_len, sk) if k_valid_len is not None else sk
+    r = window.radius if radius is None else radius
     fq = jnp.arange(sq) // window.tokens_per_frame
     fk = jnp.arange(sk) // window.tokens_per_frame
     d = fq[:, None] - fk[None, :]
-    band = (d <= window.radius) & (d >= -window.radius)
+    band = (d <= r) & (d >= -r)
     pad_rows = (jnp.arange(sq) >= valid)[:, None]
     return (band | pad_rows) & (jnp.arange(sk) < valid)[None, :]
 
@@ -343,9 +424,18 @@ def _sdpa_reference(
     kf = k.astype(jnp.float32)
     scores = jnp.einsum("bsnd,btnd->bnst", qf, kf) * scale
     if window is not None:
-        mask = temporal_band_dense_mask(
-            q.shape[1], k.shape[1], window, k_valid_len)
-        scores = jnp.where(mask[None, None, :, :], scores, _DEF_MASK_VALUE)
+        if window.head_radii is not None:
+            # per-head bands: [N, Sq, Sk] stacked masks (test/CPU scale)
+            mask = jnp.stack([
+                temporal_band_dense_mask(q.shape[1], k.shape[1], window,
+                                         k_valid_len, radius=r)
+                for r in window.resolved_radii(q.shape[2])
+            ])
+            scores = jnp.where(mask[None], scores, _DEF_MASK_VALUE)
+        else:
+            mask = temporal_band_dense_mask(
+                q.shape[1], k.shape[1], window, k_valid_len)
+            scores = jnp.where(mask[None, None, :, :], scores, _DEF_MASK_VALUE)
     elif k_valid_len is not None and k_valid_len < k.shape[1]:
         mask = jnp.arange(k.shape[1]) < k_valid_len
         scores = jnp.where(mask[None, None, None, :], scores, _DEF_MASK_VALUE)

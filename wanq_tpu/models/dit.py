@@ -1052,10 +1052,22 @@ def dit_forward(
         # block-sparse mask is the TPU execution of the reference's 0-bit
         # attention-map blocks (quant_attn.py bitwidth-0 pruning).
         aw = ctx.attn_window
-        win = aw if isinstance(aw, TemporalWindow) else TemporalWindow(
-            tokens_per_frame=grid[1] * grid[2], radius=int(aw))
-        if win.radius < 0 or win.radius >= grid[0] - 1:
-            win = None  # covers every frame pair -> dense
+        tpf = grid[1] * grid[2]
+        if isinstance(aw, TemporalWindow):
+            win = aw
+        elif isinstance(aw, (tuple, list)):
+            # per-head radii (calibration-derived) — grouped splash calls
+            # per unique radius keep the zero-memory mask path per group
+            radii = tuple(int(r) for r in aw)
+            assert len(radii) == cfg.num_heads, (
+                f"{len(radii)} window radii for {cfg.num_heads} heads")
+            win = TemporalWindow(tokens_per_frame=tpf, radius=max(radii),
+                                 head_radii=radii)
+        else:
+            win = TemporalWindow(tokens_per_frame=tpf, radius=int(aw))
+        min_r = min(win.head_radii) if win.head_radii else win.radius
+        if min_r < 0 or min_r >= grid[0] - 1:
+            win = None  # every head covers every frame pair -> dense
         if win is not None:
             if training:
                 raise NotImplementedError(

@@ -332,10 +332,28 @@ def collapse_window_radii(windows: Dict[str, Any]) -> int:
     conservative: no head loses more mass than its own threshold). One
     radius is required twice over: the scan-over-blocks path compiles one
     block body, and splash's in-kernel mask_function fast path (zero
-    materialized mask bytes) only engages when all heads share one mask."""
+    materialized mask bytes) only engages when all heads share one mask.
+    See :func:`per_head_window_radii` for the per-head deployment that
+    relaxes the second constraint via grouped splash calls."""
     import numpy as np
 
     return int(max(int(np.max(r)) for r in windows.values()))
+
+
+def per_head_window_radii(windows: Dict[str, Any]):
+    """Collapse per-layer radii to ONE PER-HEAD radius vector (max across
+    layers per head). Scan-over-blocks compiles one block body, so radii
+    must be layer-uniform — but heads may differ: the deployment runs one
+    splash call per unique radius over grouped head subsets
+    (models/attention.py::_splash_heads_major), so cheap heads stop
+    paying the global max the scalar collapse charges them.
+
+    Returns np.ndarray [H] — pass ``tuple(...)`` as ``QuantCtx.attn_window``
+    or comma-joined to ``--attn_window``."""
+    import numpy as np
+
+    arrs = [np.asarray(r, dtype=int) for r in windows.values()]
+    return np.max(np.stack(arrs, axis=0), axis=0)
 
 
 def quantized_attention(
