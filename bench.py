@@ -265,6 +265,14 @@ def measure_stepcache(r, steps: int = 12):
     pols = {"reuse2": StepCachePolicy(reuse_interval=2, warmup=2, tail=2),
             "adaptive.10": AdaptiveCachePolicy(threshold=0.10, warmup=2,
                                                tail=2)}
+    # window x cache composition (measured 3.90x over the uncached W8A8
+    # loop at 54 dB, BENCH_NOTES "Window x step-cache composition"):
+    # the windowed pipe shares the uncached baseline's fidelity gate
+    win_pipe = None
+    if os.environ.get("WANQ_BENCH_WINDOW", "1") != "0":
+        win_pipe = WanT2V(r["cfg"], r["params"],
+                          quant_ctx=r["ctx"].replace(
+                              attn_window=1, collect=r["ctx"].collect))
     # compile pass for all paths (the policies share the cond/split fns)
     pipe.generate(r["context"], r["context_null"],
                   **{**kw, "sampling_steps": 2})
@@ -274,16 +282,23 @@ def measure_stepcache(r, steps: int = 12):
     t0 = time.perf_counter()
     base = np.asarray(pipe.generate(r["context"], r["context_null"], **kw))
     t_base = time.perf_counter() - t0
+    runs = [(name, pipe, pol) for name, pol in pols.items()]
+    if win_pipe is not None:
+        runs.append(("win1+adaptive.10", win_pipe,
+                     AdaptiveCachePolicy(threshold=0.10, warmup=2, tail=2)))
     out = {}
-    for name, pol in pols.items():
+    for name, p, pol in runs:
+        if p is not pipe:  # compile pass for the windowed step fns
+            p.generate(r["context"], r["context_null"],
+                       **{**kw, "sampling_steps": 2})
         t0 = time.perf_counter()
-        cached = np.asarray(pipe.generate(r["context"], r["context_null"],
-                                          cache_policy=pol, **kw))
+        cached = np.asarray(p.generate(r["context"], r["context_null"],
+                                       cache_policy=pol, **kw))
         t_cached = time.perf_counter() - t0
         psnr = latent_psnr(base, cached)
         log(f"step-cache {name} over {steps} steps: {t_base:.1f}s -> "
             f"{t_cached:.1f}s ({t_base/t_cached:.3f}x), final-latent PSNR "
-            f"{psnr:.1f} dB vs uncached {pipe.last_cache_stats}")
+            f"{psnr:.1f} dB vs uncached {p.last_cache_stats}")
         out[name] = (t_base / t_cached, psnr)
     return out
 
@@ -365,8 +380,9 @@ def main():
         effective = (fp_time / q_time) * best
         metrics.append({"name": "w8a8_stepcache_vs_bf16_effective",
                         "value": round(effective, 3),
-                        "unit": "x vs bf16 uncached (ratio x best "
-                                "stepcache)"})
+                        "unit": "x vs bf16 uncached (ratio x best of "
+                                "stepcache/window rows; fidelity gates in "
+                                "the row metrics)"})
     except Exception as e:  # noqa: BLE001 — keep the headline alive
         log(f"step-cache metric failed: {type(e).__name__}: {e}")
 
