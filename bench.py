@@ -288,9 +288,18 @@ def measure_stepcache(r, steps: int = 12):
                      AdaptiveCachePolicy(threshold=0.10, warmup=2, tail=2)))
     out = {}
     for name, p, pol in runs:
-        if p is not pipe:  # compile pass for the windowed step fns
+        if p is not pipe:
+            # compile pass for the windowed pipe's CACHED step fns: the
+            # caching loop runs separate split/cond jits (_build_split_step_fn
+            # /_build_cond_step_fn), so a plain warmup generate does NOT
+            # compile them — the round-4 driver bench timed win1+ada at
+            # 2.097x (vs the true 3.90x) because the composed run paid
+            # split/cond compilation. Warm with a short cache_policy run,
+            # mirroring the base pipe's cached warmup above.
             p.generate(r["context"], r["context_null"],
-                       **{**kw, "sampling_steps": 2})
+                       cache_policy=StepCachePolicy(reuse_interval=2,
+                                                    warmup=2, tail=2),
+                       **{**kw, "sampling_steps": 5})
         t0 = time.perf_counter()
         cached = np.asarray(p.generate(r["context"], r["context_null"],
                                        cache_policy=pol, **kw))

@@ -359,3 +359,62 @@ def test_per_head_ctx_pytree_roundtrip():
     back = jax.tree_util.tree_unflatten(treedef, leaves)
     assert back.attn_window == win
     assert back.attn_window.head_radii == (1, 2, 3, 3)
+
+
+def test_parse_attn_window_tolerates_stray_commas():
+    # round-5 ADVICE: '1,2,' crashed in int(''); negatives now parse
+    # through (dense-for-that-head semantics, resolved by dit_forward)
+    from types import SimpleNamespace
+
+    from wanq_tpu.cli.common import parse_attn_window
+
+    assert parse_attn_window(SimpleNamespace(attn_window="1,2,")) == (1, 2)
+    assert parse_attn_window(
+        SimpleNamespace(attn_window=" 1 , 2 ,3 ")) == (1, 2, 3)
+    assert parse_attn_window(SimpleNamespace(attn_window=",")) is None
+    assert parse_attn_window(SimpleNamespace(attn_window="2,-1")) == (2, -1)
+
+
+def test_per_head_negative_radius_means_dense_head(model):
+    # a negative per-head entry = dense for that head (scalar convention),
+    # instead of tripping TemporalWindow's nonneg assert (round-5 ADVICE)
+    cfg, params, (x, t, txt) = model
+    neg = dit_forward(params, cfg, x, t, txt, seq_len=96,
+                      ctx=QuantCtx(mode="fp", attn_window=(-1, 1, 2, 3)))
+    # radius 9 >= F-1 = 5 covers every frame pair -> same dense head
+    big = dit_forward(params, cfg, x, t, txt, seq_len=96,
+                      ctx=QuantCtx(mode="fp", attn_window=(9, 1, 2, 3)))
+    np.testing.assert_allclose(np.asarray(neg), np.asarray(big),
+                               atol=1e-6, rtol=1e-6)
+    # all-negative -> dense model (mirrors the scalar dense fallback)
+    dense = dit_forward(params, cfg, x, t, txt, seq_len=96)
+    alln = dit_forward(params, cfg, x, t, txt, seq_len=96,
+                       ctx=QuantCtx(mode="fp",
+                                    attn_window=(-1, -1, -1, -1)))
+    np.testing.assert_allclose(np.asarray(alln), np.asarray(dense),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_density_per_head_mean():
+    # density() must average over per-head radii (round-5 ADVICE: the
+    # collapsed-max density overstated per-head cost)
+    d1 = TemporalWindow(1, 1).density(4)
+    d2 = TemporalWindow(1, 2).density(4)
+    win = TemporalWindow(1, 2, head_radii=(1, 2))
+    assert win.density(4) == pytest.approx((d1 + d2) / 2)
+    assert TemporalWindow(1, 2, head_radii=(2, 2)).density(4) == (
+        pytest.approx(d2))
+
+
+def test_per_head_window_guard_under_ulysses(model):
+    # grouped splash permutes/slices the head axis -> guarded on a
+    # head-sharded (sp>1) mesh; uniform per-head radii collapse to the
+    # scalar path and stay allowed
+    cfg, params, (x, t, txt) = model
+    from wanq_tpu.parallel import ShardingPlan, make_mesh
+
+    plan = ShardingPlan(make_mesh(sp=2))
+    with pytest.raises(NotImplementedError, match="per-head window"):
+        dit_forward(params, cfg, x, t, txt, seq_len=96,
+                    ctx=QuantCtx(mode="fp", attn_window=(0, 1, 2, 3)),
+                    plan=plan)

@@ -158,7 +158,14 @@ def parse_attn_window(args):
     if not s:
         return None
     if "," in s:
-        return tuple(int(x) for x in s.split(","))
+        # tolerate a trailing comma / stray whitespace; negative per-head
+        # entries are legal and mean dense for that head (the per-head
+        # analog of the scalar negative=dense convention — dit_forward
+        # maps them to a radius covering every frame pair)
+        parts = [p.strip() for p in s.split(",") if p.strip()]
+        if not parts:
+            return None
+        return tuple(int(x) for x in parts)
     r = int(s)
     return r if r >= 0 else None
 

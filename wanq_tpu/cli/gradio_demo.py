@@ -32,6 +32,105 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+class DemoRuntime:
+    """Everything the demo callback needs, built WITHOUT gradio — so the
+    callback logic is exercisable in environments where gradio is not
+    installed (this TPU image). build_demo() only adds the gr.Blocks
+    wiring on top. ``encoder``/``vae``/``clip`` stay None without a
+    --ckpt_dir; tests inject substitutes."""
+
+    def __init__(self, args):
+        import jax.numpy as jnp
+
+        from wanq_tpu.utils.prompt_extend import (
+            DashScopePromptExpander,
+            IdentityPromptExpander,
+            LocalPromptExpander,
+        )
+
+        self.args = args
+        self.cfg = cfg = WAN_CONFIGS[args.task]
+        self.is_i2v = cfg.model_type == "i2v"
+        self.is_t2i = args.task.startswith("t2i")
+        params = load_params(args, cfg)
+        self.expander = {
+            "none": IdentityPromptExpander,
+            "local": LocalPromptExpander,
+            "dashscope": DashScopePromptExpander,
+        }[args.prompt_extend]()
+
+        self.encoder = self.vae = self.clip = None
+        if args.ckpt_dir:
+            from wanq_tpu.models.t5 import T5EncoderModel
+            from wanq_tpu.models.vae import WanVAE
+
+            self.encoder = T5EncoderModel(
+                cfg.text_len,
+                checkpoint_path=os.path.join(args.ckpt_dir, cfg.t5_checkpoint),
+                tokenizer_path=cfg.t5_tokenizer,
+            )
+            self.vae = WanVAE(
+                vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint),
+                compute_dtype=jnp.dtype(args.vae_dtype).type)
+            if self.is_i2v:
+                from wanq_tpu.models.clip import CLIPModel
+
+                self.clip = CLIPModel(checkpoint_path=os.path.join(
+                    args.ckpt_dir, cfg.clip_checkpoint))
+
+        if self.is_i2v:
+            from wanq_tpu.pipelines.image2video import WanI2V
+
+            self.pipe = WanI2V(cfg, params, vae=self.vae, clip=self.clip)
+        else:
+            from wanq_tpu.pipelines.text2video import WanT2V
+
+            self.pipe = WanT2V(cfg, params)
+
+    def run(self, prompt, image, steps, guide_scale, shift, seed, extend,
+            error_cls=RuntimeError, out_path="gradio_out.mp4"):
+        """The Generate-button callback: one full generate + decode.
+        Returns (video_path, image_array, final_prompt) — exactly the
+        demo's three outputs. ``error_cls`` is gr.Error under gradio."""
+        import jax.numpy as jnp
+
+        from wanq_tpu.utils.video import cache_video
+
+        args, cfg = self.args, self.cfg
+        if extend:
+            prompt = self.expander(prompt, tar_lang="en").prompt
+        if self.encoder is None:
+            raise error_cls("no --ckpt_dir: demo needs the T5 checkpoint")
+        ctx = self.encoder([prompt])
+        ctx_null = self.encoder([args.neg_prompt])
+        frame_num = 1 if self.is_t2i else args.frame_num
+        if self.is_i2v:
+            if image is None:
+                raise error_cls("i2v needs an input image")
+            img = jnp.asarray(
+                np.asarray(image, np.float32).transpose(2, 0, 1) / 127.5 - 1.0)
+            latents = self.pipe.generate(
+                img, jnp.asarray(ctx), jnp.asarray(ctx_null),
+                max_area=MAX_AREA_CONFIGS[args.size], frame_num=frame_num,
+                sampling_steps=int(steps), guide_scale=float(guide_scale),
+                shift=float(shift), seed=int(seed),
+            )
+        else:
+            latents = self.pipe.generate(
+                jnp.asarray(ctx), jnp.asarray(ctx_null),
+                size=SIZE_CONFIGS[args.size], frame_num=frame_num,
+                sampling_steps=int(steps), guide_scale=float(guide_scale),
+                shift=float(shift), seed=int(seed),
+            )
+        video = self.vae.decode(latents)
+        if self.is_t2i:
+            frame = np.asarray(video)[0, :, 0]  # [3, H, W] in [-1, 1]
+            img_out = ((frame.transpose(1, 2, 0) + 1.0) * 127.5).clip(0, 255)
+            return None, img_out.astype(np.uint8), prompt
+        path = cache_video(np.asarray(video), out_path, fps=cfg.sample_fps)
+        return path, None, prompt
+
+
 def build_demo(args):
     try:
         import gradio as gr
@@ -41,88 +140,13 @@ def build_demo(args):
             "pipeline API used by wanq_tpu.cli.generate"
         ) from e
 
-    import jax.numpy as jnp
-
-    from wanq_tpu.utils.prompt_extend import (
-        DashScopePromptExpander,
-        IdentityPromptExpander,
-        LocalPromptExpander,
-    )
-    from wanq_tpu.utils.video import cache_video
-
     setup_logging()
-    cfg = WAN_CONFIGS[args.task]
-    is_i2v = cfg.model_type == "i2v"
-    is_t2i = args.task.startswith("t2i")
-    params = load_params(args, cfg)
-
-    expander = {
-        "none": IdentityPromptExpander,
-        "local": LocalPromptExpander,
-        "dashscope": DashScopePromptExpander,
-    }[args.prompt_extend]()
-
-    encoder = vae = clip = None
-    if args.ckpt_dir:
-        from wanq_tpu.models.t5 import T5EncoderModel
-        from wanq_tpu.models.vae import WanVAE
-
-        encoder = T5EncoderModel(
-            cfg.text_len,
-            checkpoint_path=os.path.join(args.ckpt_dir, cfg.t5_checkpoint),
-            tokenizer_path=cfg.t5_tokenizer,
-        )
-        vae = WanVAE(vae_pth=os.path.join(args.ckpt_dir, cfg.vae_checkpoint),
-                     compute_dtype=jnp.dtype(args.vae_dtype).type)
-        if is_i2v:
-            from wanq_tpu.models.clip import CLIPModel
-
-            clip = CLIPModel(checkpoint_path=os.path.join(
-                args.ckpt_dir, cfg.clip_checkpoint))
-
-    if is_i2v:
-        from wanq_tpu.pipelines.image2video import WanI2V
-
-        pipe = WanI2V(cfg, params, vae=vae, clip=clip)
-    else:
-        from wanq_tpu.pipelines.text2video import WanT2V
-
-        pipe = WanT2V(cfg, params)
+    rt = DemoRuntime(args)
+    is_i2v, is_t2i = rt.is_i2v, rt.is_t2i
 
     def run(prompt, image, steps, guide_scale, shift, seed, extend):
-        if extend:
-            prompt = expander(prompt, tar_lang="en").prompt
-        if encoder is None:
-            raise gr.Error("no --ckpt_dir: demo needs the T5 checkpoint")
-        ctx = encoder([prompt])
-        ctx_null = encoder([args.neg_prompt])
-        frame_num = 1 if is_t2i else args.frame_num
-        if is_i2v:
-            if image is None:
-                raise gr.Error("i2v needs an input image")
-            img = jnp.asarray(
-                np.asarray(image, np.float32).transpose(2, 0, 1) / 127.5 - 1.0)
-            latents = pipe.generate(
-                img, jnp.asarray(ctx), jnp.asarray(ctx_null),
-                max_area=MAX_AREA_CONFIGS[args.size], frame_num=frame_num,
-                sampling_steps=int(steps), guide_scale=float(guide_scale),
-                shift=float(shift), seed=int(seed),
-            )
-        else:
-            latents = pipe.generate(
-                jnp.asarray(ctx), jnp.asarray(ctx_null),
-                size=SIZE_CONFIGS[args.size], frame_num=frame_num,
-                sampling_steps=int(steps), guide_scale=float(guide_scale),
-                shift=float(shift), seed=int(seed),
-            )
-        video = vae.decode(latents)
-        if is_t2i:
-            frame = np.asarray(video)[0, :, 0]  # [3, H, W] in [-1, 1]
-            img_out = ((frame.transpose(1, 2, 0) + 1.0) * 127.5).clip(0, 255)
-            return None, img_out.astype(np.uint8), prompt
-        path = cache_video(np.asarray(video), "gradio_out.mp4",
-                           fps=cfg.sample_fps)
-        return path, None, prompt
+        return rt.run(prompt, image, steps, guide_scale, shift, seed,
+                      extend, error_cls=gr.Error)
 
     title = f"Wan2.1 {args.task} (TPU-native)"
     with gr.Blocks(title=f"wanq_tpu {args.task}") as demo:

@@ -65,10 +65,19 @@ class TemporalWindow:
 
     def density(self, n_frames: int) -> float:
         """Fraction of the dense S×S map inside the band (exact, ignoring
-        block rounding)."""
-        f, r = n_frames, min(self.radius, n_frames - 1)
-        inside = sum(min(f - 1, i + r) - max(0, i - r) + 1 for i in range(f))
-        return inside / (f * f)
+        block rounding). With per-head radii this is the MEAN over heads —
+        the quantity proportional to total attention FLOPs under the
+        grouped-splash execution (one call per unique radius)."""
+        def one(radius: int) -> float:
+            f, r = n_frames, min(radius, n_frames - 1)
+            inside = sum(
+                min(f - 1, i + r) - max(0, i - r) + 1 for i in range(f)
+            )
+            return inside / (f * f)
+
+        if self.head_radii is not None:
+            return sum(one(r) for r in self.head_radii) / len(self.head_radii)
+        return one(self.radius)
 
 _DEF_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 # swept on v5e at Wan shapes (BENCH_NOTES.md): 2048/1024 beats 512/512 by ~9%
@@ -253,7 +262,11 @@ def _splash_heads_major(q, k, v, kv_len, window):
     materialized mask bytes), and a group whose radius covers every frame
     pair degrades to the dense prefix mask inside _splash_kernel. The two
     static head permutes (in/out) are one gather each — noise next to the
-    attention itself."""
+    attention itself. Single-chip scope: under a head-sharded (Ulysses)
+    mesh the permute + uneven slices would force GSPMD reshards of the
+    sharded head axis — dit_forward guards per-head radii when
+    plan.sp_size > 1 (uniform windows shard fine: one call, no permute).
+    """
     b, n, s, d = q.shape
     blk_q, blk_kv = _splash_blocks(s)
     if window is not None and window.head_radii is not None:

@@ -1057,10 +1057,16 @@ def dit_forward(
             win = aw
         elif isinstance(aw, (tuple, list)):
             # per-head radii (calibration-derived) — grouped splash calls
-            # per unique radius keep the zero-memory mask path per group
+            # per unique radius keep the zero-memory mask path per group.
+            # A negative per-head entry means dense for THAT head (the
+            # per-head analog of the scalar negative=dense convention):
+            # map it to a radius covering every frame pair BEFORE
+            # TemporalWindow's nonneg invariant, so the group machinery
+            # degrades it to the dense prefix mask.
             radii = tuple(int(r) for r in aw)
             assert len(radii) == cfg.num_heads, (
                 f"{len(radii)} window radii for {cfg.num_heads} heads")
+            radii = tuple(grid[0] if r < 0 else r for r in radii)
             win = TemporalWindow(tokens_per_frame=tpf, radius=max(radii),
                                  head_radii=radii)
         else:
@@ -1086,6 +1092,16 @@ def dit_forward(
                     "through every query block); run Ulysses-only "
                     "(--ring_size 1) — at 1.3B/14B grids the band is wider "
                     "than one ring shard anyway")
+            if (win.head_radii is not None
+                    and len(set(win.head_radii)) > 1
+                    and plan is not None and plan.sp_size > 1):
+                raise NotImplementedError(
+                    "per-head window radii under Ulysses head sharding: "
+                    "the grouped splash path permutes and unevenly slices "
+                    "the head axis, which GSPMD can only run by resharding "
+                    "the head-sharded operands (silent all-to-alls at 14B "
+                    "scale); deploy a uniform window (scalar attn_window) "
+                    "on the mesh, or per-head radii on a single chip")
         # calib runs DENSE (window selection needs full-map mass), but the
         # resolved/None form is what _self_attention consumes elsewhere.
         # collect passes by REFERENCE: replace() defaults to copying it,
