@@ -273,12 +273,22 @@ def measure_stepcache(r, steps: int = 12):
         win_pipe = WanT2V(r["cfg"], r["params"],
                           quant_ctx=r["ctx"].replace(
                               attn_window=1, collect=r["ctx"].collect))
-    # compile pass for all paths (the policies share the cond/split fns)
-    pipe.generate(r["context"], r["context_null"],
-                  **{**kw, "sampling_steps": 2})
-    pipe.generate(r["context"], r["context_null"],
-                  cache_policy=pols["reuse2"],
-                  **{**kw, "sampling_steps": 5})
+    # compile pass for all paths (the policies share the cond/split fns).
+    # EVERY warmup is FENCED: generate() returns with device work still
+    # queued (the denoise loop dispatches asynchronously), and unfenced
+    # warm work bleeds into the next timed run — measured +9.3 s on the
+    # first timed step of the round-5 composition row (the leftover 5-step
+    # warm trajectory), which is what made win1+ada read 2.25x instead of
+    # its true ~4x. The adaptive warmup also exercises the per-call
+    # drift-metric jit (dist_fn) before timing.
+    def warm(p, pol=None, steps=2):
+        out = p.generate(r["context"], r["context_null"], cache_policy=pol,
+                         **{**kw, "sampling_steps": steps})
+        float(jnp.sum(out))  # scalar fence: drain the queue before timing
+
+    warm(pipe)
+    warm(pipe, pols["reuse2"], 5)
+    warm(pipe, AdaptiveCachePolicy(threshold=0.10, warmup=2, tail=2), 5)
     t0 = time.perf_counter()
     base = np.asarray(pipe.generate(r["context"], r["context_null"], **kw))
     t_base = time.perf_counter() - t0
@@ -293,13 +303,10 @@ def measure_stepcache(r, steps: int = 12):
             # caching loop runs separate split/cond jits (_build_split_step_fn
             # /_build_cond_step_fn), so a plain warmup generate does NOT
             # compile them — the round-4 driver bench timed win1+ada at
-            # 2.097x (vs the true 3.90x) because the composed run paid
-            # split/cond compilation. Warm with a short cache_policy run,
-            # mirroring the base pipe's cached warmup above.
-            p.generate(r["context"], r["context_null"],
-                       cache_policy=StepCachePolicy(reuse_interval=2,
-                                                    warmup=2, tail=2),
-                       **{**kw, "sampling_steps": 5})
+            # 2.097x (vs the true ~4x) because the composed run paid
+            # split/cond compilation AND inherited the unfenced warm
+            # queue. Same-policy-type warm + scalar fence, as above.
+            warm(p, AdaptiveCachePolicy(threshold=0.10, warmup=2, tail=2), 5)
         t0 = time.perf_counter()
         cached = np.asarray(p.generate(r["context"], r["context_null"],
                                        cache_policy=pol, **kw))

@@ -418,3 +418,76 @@ def test_per_head_window_guard_under_ulysses(model):
         dit_forward(params, cfg, x, t, txt, seq_len=96,
                     ctx=QuantCtx(mode="fp", attn_window=(0, 1, 2, 3)),
                     plan=plan)
+
+
+def test_capture_attn_maps_from_quantized_model():
+    # per-head window calibration for deployments where no FP model
+    # exists (streamed 14B): maps captured from the int8 model itself,
+    # through the scan-over-blocks path, via WanT2V.capture_attn_maps
+    from wanq_tpu.models.dit import (
+        init_params,
+        linear_layer_names,
+        make_scan_ctx,
+        stack_block_params,
+    )
+    from wanq_tpu.pipelines.text2video import WanT2V
+    from wanq_tpu.quant import QuantConfig
+    from wanq_tpu.quant.ptq import prepare_quant_state
+    from wanq_tpu.quant.attn import select_temporal_windows
+
+    cfg = tiny_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qcfg = QuantConfig.from_dict({
+        "remain_fp_regex": r"text_embedding|time_embedding|"
+                           r"time_projection|head\.head",
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+    })
+    policies, state, rotations = prepare_quant_state(
+        params, linear_layer_names(cfg), qcfg, targets="int8")
+    sctx = make_scan_ctx(
+        QuantCtx(mode="int8", policies=policies, state=state,
+                 rotations=rotations), cfg.num_layers)
+    pipe = WanT2V(cfg, stack_block_params(params), quant_ctx=sctx)
+    rng = np.random.default_rng(3)
+    ctxv = jnp.asarray(
+        rng.normal(size=(1, cfg.text_len, cfg.text_dim)).astype(np.float32))
+    # size (64,64), frame_num 9 -> latent grid (3, 4, 4): tpf 16, seq 48
+    maps = pipe.capture_attn_maps(ctxv, size=(64, 64), frame_num=9, pool=4)
+    assert set(maps) == {
+        f"blocks.{i}.self_attn" for i in range(cfg.num_layers)}
+    m0 = maps["blocks.0.self_attn"]
+    assert m0.shape == (cfg.num_heads, 12, 12)
+    # mean-pooled rows preserve softmax mass: each row of the unpooled map
+    # sums to 1, so a pooled row sums to ~1/pool
+    row_mass = m0.sum(axis=-1) * 4
+    np.testing.assert_allclose(row_mass, 1.0, atol=1e-3)
+    # the maps feed the selector end-to-end
+    radii = select_temporal_windows(maps, tokens_per_frame=16, pool=4,
+                                    threshold=0.9, valid_len=48)
+    assert all(r.shape == (cfg.num_heads,) for r in radii.values())
+    assert all(0 <= int(r.min()) and int(r.max()) <= 2 for r in radii.values())
+
+    # fp-mode capture (quant_ctx=None) works through the same surface
+    fp_pipe = WanT2V(cfg, stack_block_params(params))
+    fp_maps = fp_pipe.capture_attn_maps(ctxv, size=(64, 64), frame_num=9,
+                                        pool=4)
+    assert fp_maps["blocks.1.self_attn"].shape == (cfg.num_heads, 12, 12)
+
+
+def test_suggested_radii_cli_roundtrip():
+    # the ptq --suggest_window deploy artifact is a comma list; the
+    # emitted per-head vector must survive join -> parse_attn_window
+    # (round-4 VERDICT #4's regression pin)
+    from types import SimpleNamespace
+
+    from wanq_tpu.cli.common import parse_attn_window
+    from wanq_tpu.quant.attn import per_head_window_radii
+
+    windows = {"blocks.0.self_attn": np.array([1, 3, 0, 2]),
+               "blocks.1.self_attn": np.array([2, 1, 4, 0])}
+    ph = per_head_window_radii(windows)
+    np.testing.assert_array_equal(ph, [2, 3, 4, 2])
+    cli = ",".join(str(int(r)) for r in ph)
+    back = parse_attn_window(SimpleNamespace(attn_window=cli))
+    assert back == tuple(int(r) for r in ph)

@@ -473,3 +473,50 @@ def test_forecast_order_validation_and_cli():
                              cache_order=2)
     pol2 = cache_policy_from_args(ns2)
     assert isinstance(pol2, StepCachePolicy) and pol2.order == 2
+
+
+def test_cache_policy_from_quant_config(tmp_path):
+    # scale-tuned cache defaults ride the quant YAML (cache: section);
+    # explicit CLI flags win over it
+    from types import SimpleNamespace
+
+    import yaml
+
+    from wanq_tpu.cli.common import cache_policy_from_args
+    from wanq_tpu.quant import QuantConfig
+
+    raw = {
+        "weight": {"n_bits": 8, "sym": False},
+        "act": {"n_bits": 8, "sym": True},
+        "cache": {"threshold": 0.1, "poly": [0.5, 0.2], "warmup": 2,
+                  "tail": 2},
+    }
+    path = tmp_path / "q.yaml"
+    path.write_text(yaml.safe_dump(raw))
+    qcfg = QuantConfig.from_yaml(str(path))
+    assert qcfg.cache["threshold"] == 0.1
+
+    quiet = SimpleNamespace(cache_threshold=0.0, reuse_interval=1,
+                            cfg_cache_interval=1, cache_poly="",
+                            cache_warmup=4, cache_tail=4, cache_order=0)
+    pol = cache_policy_from_args(quiet, qcfg=qcfg)
+    assert isinstance(pol, AdaptiveCachePolicy)
+    assert pol.threshold == 0.1 and pol.poly == (0.5, 0.2)
+    assert pol.warmup == 2 and pol.tail == 2
+
+    # explicit CLI threshold overrides the config section
+    loud = SimpleNamespace(**{**vars(quiet), "cache_threshold": 0.3})
+    pol2 = cache_policy_from_args(loud, qcfg=qcfg)
+    assert pol2.threshold == 0.3 and pol2.poly == (1.0, 0.0)
+
+    # static section form
+    raw["cache"] = {"reuse_interval": 2, "warmup": 1, "tail": 1}
+    path.write_text(yaml.safe_dump(raw))
+    pol3 = cache_policy_from_args(quiet, qcfg=QuantConfig.from_yaml(str(path)))
+    assert isinstance(pol3, StepCachePolicy) and pol3.reuse_interval == 2
+
+    # no section -> None
+    del raw["cache"]
+    path.write_text(yaml.safe_dump(raw))
+    assert cache_policy_from_args(
+        quiet, qcfg=QuantConfig.from_yaml(str(path))) is None

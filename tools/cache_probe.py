@@ -104,14 +104,23 @@ def main():
     # warm every step-fn variant (combined, split, cond) so timing below
     # is compile-free; 2-step trajectories touch all of them
     t0 = time.time()
-    pipe.generate(context, context_null, **{**gen_kw, "sampling_steps": 2})
+    # every warm is FENCED (float(jnp.sum)): generate() returns with
+    # device work still queued, and unfenced warm work bleeds into the
+    # next timed row (measured +9.3 s on a 12-step run, bench.py round 5)
+    float(jnp.sum(pipe.generate(context, context_null,
+                                **{**gen_kw, "sampling_steps": 2})))
     # cfg_interval=2/warmup=1/tail=0 over 3 steps yields [full, full, cond]
     # — compiles BOTH the split and the cond step fns ('reuse' steps run
     # no forward, nothing to compile)
-    pipe.generate(context, context_null,
-                  cache_policy=StepCachePolicy(cfg_interval=2, warmup=1,
-                                               tail=0),
-                  **{**gen_kw, "sampling_steps": 3})
+    float(jnp.sum(pipe.generate(
+        context, context_null,
+        cache_policy=StepCachePolicy(cfg_interval=2, warmup=1, tail=0),
+        **{**gen_kw, "sampling_steps": 3})))
+    # adaptive warm: compiles the per-call drift-metric jit too
+    float(jnp.sum(pipe.generate(
+        context, context_null,
+        cache_policy=AdaptiveCachePolicy(threshold=0.10, warmup=1, tail=1),
+        **{**gen_kw, "sampling_steps": 3})))
     print(f"warmup/compile: {time.time()-t0:.1f}s", flush=True)
 
     configs = [
@@ -199,14 +208,19 @@ def main():
                     quant_ctx=ctx.replace(attn_window=win,
                                           collect=ctx.collect))
                 t0 = time.time()
-                win_pipes[win].generate(
+                float(jnp.sum(win_pipes[win].generate(
                     context, context_null,
-                    **{**gen_kw, "sampling_steps": 2})
-                win_pipes[win].generate(
+                    **{**gen_kw, "sampling_steps": 2})))
+                float(jnp.sum(win_pipes[win].generate(
                     context, context_null,
                     cache_policy=StepCachePolicy(cfg_interval=2, warmup=1,
                                                  tail=0),
-                    **{**gen_kw, "sampling_steps": 3})
+                    **{**gen_kw, "sampling_steps": 3})))
+                float(jnp.sum(win_pipes[win].generate(
+                    context, context_null,
+                    cache_policy=AdaptiveCachePolicy(threshold=0.10,
+                                                     warmup=1, tail=1),
+                    **{**gen_kw, "sampling_steps": 3})))
                 print(f"win{win} warmup/compile: {time.time()-t0:.1f}s",
                       flush=True)
             p = win_pipes[win]

@@ -170,16 +170,52 @@ def parse_attn_window(args):
     return r if r >= 0 else None
 
 
-def cache_policy_from_args(args):
+def cache_policy_from_config(qcfg):
+    """AdaptiveCachePolicy/StepCachePolicy from a quant config's
+    ``cache:`` section (model-scale-tuned defaults shipped next to the
+    quant scheme — e.g. quant_configs/wan_w8a8_14b.yaml carries the
+    14B-fitted drift->output poly + output-space tolerance, because the
+    1.3B raw-drift threshold demonstrably declines skips at 14B).
+    Returns None when the config has no cache section."""
+    sec = getattr(qcfg, "cache", None)
+    if not sec:
+        return None
+    from wanq_tpu.pipelines.text2video import (
+        AdaptiveCachePolicy,
+        StepCachePolicy,
+    )
+
+    common = dict(
+        warmup=int(sec.get("warmup", 4)),
+        tail=int(sec.get("tail", 4)),
+        cfg_interval=int(sec.get("cfg_interval", 1)),
+        order=int(sec.get("order", 0)),
+    )
+    if sec.get("threshold"):
+        poly = tuple(float(c) for c in sec.get("poly", (1.0, 0.0)))
+        return AdaptiveCachePolicy(
+            threshold=float(sec["threshold"]), poly=poly, **common)
+    pol = StepCachePolicy(
+        reuse_interval=int(sec.get("reuse_interval", 1)), **common)
+    return pol if pol.active else None
+
+
+def cache_policy_from_args(args, qcfg=None):
     """Step-cache policy from the CLI cache flags; None when inactive.
     --cache_threshold selects the adaptive policy, otherwise the static
-    StepCachePolicy schedule."""
+    StepCachePolicy schedule. With no CLI cache flags set, falls back to
+    the quant config's ``cache:`` section when one is provided (explicit
+    flags always win)."""
     from wanq_tpu.pipelines.text2video import (
         AdaptiveCachePolicy,
         StepCachePolicy,
     )
 
     thresh = getattr(args, "cache_threshold", 0.0)
+    if (not thresh and getattr(args, "reuse_interval", 1) <= 1
+            and getattr(args, "cfg_cache_interval", 1) <= 1
+            and qcfg is not None):
+        return cache_policy_from_config(qcfg)
     if thresh and thresh > 0.0:
         poly_s = getattr(args, "cache_poly", "") or ""
         poly = (tuple(float(c) for c in poly_s.split(","))

@@ -87,6 +87,18 @@ def _maybe_quant_ctx(args, cfg):
     )
 
 
+
+def _cache_policy(args):
+    """cache_policy_from_args with the quant config's cache: section as
+    the fallback (scale-tuned defaults, e.g. wan_w8a8_14b.yaml)."""
+    qcfg = None
+    if args.quant_config:
+        from wanq_tpu.quant import QuantConfig
+
+        qcfg = QuantConfig.from_yaml(args.quant_config)
+    return cache_policy_from_args(args, qcfg=qcfg)
+
+
 def _serving_loop(args, cfg, pipe, common):
     """Multi-prompt serving from one process (beyond-reference: the
     reference's CLIs run one prompt per torchrun invocation, re-paying
@@ -136,7 +148,7 @@ def _serving_loop(args, cfg, pipe, common):
         latents = pipe.generate(
             jnp.asarray(ctx_all[i:i + 1]), jnp.asarray(ctxn_all[i:i + 1]),
             size=SIZE_CONFIGS[args.size],
-            cache_policy=cache_policy_from_args(args), **common,
+            cache_policy=_cache_policy(args), **common,
         )
         out = {"latents": np.asarray(latents), "prompt": np.asarray(prompt)}
         if vae is not None:
@@ -240,7 +252,7 @@ def generate(args):
         latents = pipe.generate(
             img, jnp.asarray(context), jnp.asarray(context_null),
             max_area=MAX_AREA_CONFIGS[args.size],
-            cache_policy=cache_policy_from_args(args), **common, **kw,
+            cache_policy=_cache_policy(args), **common, **kw,
         )
     else:
         pipe = WanT2V(cfg, params, quant_ctx=qctx, sp_size=seq_parallel_size(args),
@@ -250,7 +262,7 @@ def generate(args):
         latents = pipe.generate(
             jnp.asarray(context), jnp.asarray(context_null),
             size=SIZE_CONFIGS[args.size],
-            cache_policy=cache_policy_from_args(args), **common,
+            cache_policy=_cache_policy(args), **common,
         )
 
     save_file = args.save_file or f"gen_{args.task}_{args.size.replace('*','x')}.npz"

@@ -190,7 +190,7 @@ def generate(args):
         sampling_steps=args.sample_steps,
         guide_scale=args.sample_guide_scale,
         seed=args.base_seed,
-        cache_policy=cache_policy_from_args(args),
+        cache_policy=cache_policy_from_args(args, qcfg=qcfg),
     )
     latents.block_until_ready()
     logging.info("quant (%s) denoise done in %.2fs", mode, time.time() - t0)

@@ -599,6 +599,21 @@ def _self_attention(
                 q, k, ctx.attn_map_pool, k_valid_len=valid_len,
                 reduce=ctx.attn_map_reduce,
             )
+    elif ctx is not None and ctx.attn_map_pool:
+        # quantized-deployment map capture: the 14B model only EXISTS as
+        # int-at-rest streamed state on one chip (no FP copy to run a
+        # calib sweep through), so per-head window calibration
+        # (select_temporal_windows) captures maps from the deployed
+        # int8/int4 model itself. attn_map_pool is only ever set by a
+        # capture step fn (WanT2V.capture_attn_maps), which installs a
+        # fresh collect dict inside the trace and returns its entries —
+        # deployment ctxs never carry it.
+        from wanq_tpu.quant.attn import pooled_attn_map
+
+        ctx.collect[f"{name}.attn_map"] = pooled_attn_map(
+            q, k, ctx.attn_map_pool, k_valid_len=valid_len,
+            reduce=ctx.attn_map_reduce,
+        )
     if plan is not None:
         q, k, v = plan.heads(q), plan.heads(k), plan.heads(v)
     if plan is not None and plan.ring_size > 1:
@@ -1102,11 +1117,13 @@ def dit_forward(
                     "the head-sharded operands (silent all-to-alls at 14B "
                     "scale); deploy a uniform window (scalar attn_window) "
                     "on the mesh, or per-head radii on a single chip")
-        # calib runs DENSE (window selection needs full-map mass), but the
-        # resolved/None form is what _self_attention consumes elsewhere.
-        # collect passes by REFERENCE: replace() defaults to copying it,
-        # which would silently drop calibration stats from the caller's ctx
-        ctx = ctx.replace(attn_window=None if ctx.mode == "calib" else win,
+        # calib AND map-capture passes run DENSE (window selection needs
+        # full-map mass), but the resolved/None form is what
+        # _self_attention consumes elsewhere. collect passes by REFERENCE:
+        # replace() defaults to copying it, which would silently drop
+        # calibration stats from the caller's ctx
+        dense_pass = ctx.mode == "calib" or bool(ctx.attn_map_pool)
+        ctx = ctx.replace(attn_window=None if dense_pass else win,
                           collect=ctx.collect)
 
     xf = xq.astype(cfg.res_dtype)  # residual-stream dtype (configs)
@@ -1118,8 +1135,10 @@ def dit_forward(
             params["blocks"], ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
             remat=remat, training=training,
         )
-        if ctx is not None and ctx.mode == "calib":
-            # unstack per-block stats into reference-style names
+        if ctx is not None and (ctx.mode == "calib" or ctx.attn_map_pool):
+            # unstack per-block stats into reference-style names (calib
+            # sweep, or quantized-deployment map capture — see the
+            # attn_map_pool gate in _self_attention)
             for suffix, arr in scan_stats.items():
                 for i in range(cfg.num_layers):
                     ctx.collect[f"blocks.{i}.{suffix}"] = arr[i]
@@ -1249,7 +1268,7 @@ def _scan_blocks(bp_stacked, ctx, xf, e0, c, cfg, cos, sin, valid_len, plan,
             plan=plan, training=training,
         )
         ys = {}
-        if sub is not None and mode == "calib":
+        if sub is not None and (mode == "calib" or ctx.attn_map_pool):
             ys = {
                 k[len(_SCAN_NAME) + 1 :]: v for k, v in sub.collect.items()
             }

@@ -647,6 +647,53 @@ class WanT2V:
         self.last_adaptive_trace = trace if adaptive else None
         return latents
 
+    # -- quantized-deployment attention-map capture --------------------------
+
+    def capture_attn_maps(
+        self,
+        context: jax.Array,
+        size: Tuple[int, int] = (832, 480),
+        frame_num: int = 81,
+        pool: int = 256,
+        reduce: str = "mean",
+        t: float = 500.0,
+        seed: int = 0,
+        latents: Optional[jax.Array] = None,
+    ) -> Dict[str, np.ndarray]:
+        """One forward through the DEPLOYED (possibly quantized) model
+        returning {block.self_attn: [H, S/pool, S/pool]} mean-pooled
+        post-softmax self-attention maps — the calibration input to
+        quant.attn.select_temporal_windows when no FP copy of the model
+        exists to run a calib sweep through (the streamed 14B single-chip
+        deployment). Runs DENSE regardless of the ctx's attn_window.
+
+        The quant state rides as a jit ARGUMENT (pytree); the fresh
+        collect dict is created INSIDE the traced function and its traced
+        entries returned as outputs — no multi-GB closure literals."""
+        cfg = self.config
+        target_shape = compute_target_shape(cfg, size, frame_num)
+        seq_len = compute_seq_len(cfg, target_shape, self.sp_size)
+        b = context.shape[0]
+        if latents is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed), (b, *target_shape), jnp.float32
+            )
+        tt = jnp.full((b,), float(t), dtype=jnp.float32)
+
+        def step(params, qctx, latents, tt, context):
+            cctx = (qctx if qctx is not None else QuantCtx(mode="fp"))
+            cctx = cctx.replace(collect={}, attn_map_pool=pool,
+                                attn_map_reduce=reduce, attn_window=None)
+            dit_forward(params, cfg, latents, tt, context, seq_len,
+                        ctx=cctx, plan=self.shardings)
+            return {k: v for k, v in cctx.collect.items()
+                    if k.endswith(".attn_map")}
+
+        maps = jax.jit(step)(self.params, self.quant_ctx, latents, tt,
+                             context)
+        return {k[: -len(".attn_map")]: np.asarray(v)
+                for k, v in maps.items()}
+
     # -- calibration sweep (ref get_calib_data_wanx.py:278-473) -------------
 
     def collect_calibration(

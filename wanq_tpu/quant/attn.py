@@ -207,6 +207,12 @@ def pooled_attn_map(
         scale = 1.0 / math.sqrt(q.shape[-1])
     b, s, n, d = q.shape
     assert s % pool == 0, (s, pool)
+    # HBM cap: the per-chunk f32 score block is [B, N, chunk, S] — at 14B
+    # deploy shapes (N=40, S=75776) the default chunk would transiently
+    # take >10 GB next to the streamed weight state; halve the chunk until
+    # the block fits in ~1.5 GB (lax.map keeps only one chunk live)
+    while chunk > pool and b * n * chunk * s * 4 > 1.5e9:
+        chunk //= 2
     chunk = min(chunk, s)
     while s % chunk:
         chunk //= 2

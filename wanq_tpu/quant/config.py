@@ -154,6 +154,11 @@ class QuantConfig:
 
         self.mixed_precision: Optional[Dict[str, Any]] = raw.get("mixed_precision")
 
+        # optional step-cache defaults tuned for this config's model scale
+        # (threshold/poly/warmup/tail/cfg_interval/order — consumed by
+        # cli.common.cache_policy_from_config; CLI cache flags override)
+        self.cache: Optional[Dict[str, Any]] = raw.get("cache")
+
         # attention quantization sections (ref quant_attn.py:18-35)
         from wanq_tpu.quant.attn import AttnQuantCfg
 
