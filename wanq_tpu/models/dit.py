@@ -656,6 +656,13 @@ def _self_attention(
             q, k, v, ctx.attn, k_valid_len=valid_len,
             perm=ctx.attn_perms.get(name),
         )
+    elif plan is not None and plan.can_shard_heads(n):
+        # pure Ulysses: explicit shard_map — the local splash kernel per
+        # head shard, full seq per device (windows compose; GSPMD
+        # auto-partitioning of the attention is never trusted with it)
+        y = plan.ulysses_attention(
+            q, k, v, scale=1.0 if plain_attn else None,
+            k_valid_len=valid_len, window=window, trainable=training)
     else:
         # scale pre-folded into q's rope tables on the plain path
         y = attention(q, k, v, scale=1.0 if plain_attn else None,

@@ -100,6 +100,44 @@ class ShardingPlan:
             qkv_spec=self.heads_spec(),
         )
 
+    def can_shard_heads(self, n_heads: int) -> bool:
+        """True when the explicit Ulysses shard_map path applies: pure
+        Ulysses (ring=1) with the head count divisible by sp."""
+        sp = int(self.mesh.shape.get("sp", 1))
+        return self.ring_size == 1 and sp > 1 and n_heads % sp == 0
+
+    def ulysses_attention(self, q, k, v, scale=None, k_valid_len=None,
+                          window=None, trainable=False):
+        """Pure-Ulysses attention as an EXPLICIT shard_map (maxtext-style):
+        operands arrive at the heads layout (heads over sp, full seq per
+        device — the all-to-all already happened at the ``heads``
+        constraint), each device runs the attention kernel LOCALLY on its
+        head subset (the splash kernel on TPU — Pallas calls inside
+        shard_map need no GSPMD partitioning rule), and the output keeps
+        the heads layout. Leaving this to GSPMD auto-partitioning instead
+        lets the partitioner choose map-materializing strategies — the
+        AOT comm model measured an 18 TB/step all-to-all on the
+        partitioned dense-fallback attention at 14B 720p sp4 — and
+        auto-partitioning a Pallas custom call replicates it. The window
+        mask needs the full sequence per head, which is exactly what this
+        layout provides (and ring sharding does not)."""
+        from jax.experimental.shard_map import shard_map
+
+        from wanq_tpu.models.attention import attention
+
+        assert self.ring_size == 1, "use ring_attention on hybrid meshes"
+        spec = self.heads_spec()
+
+        def body(ql, kl, vl):
+            return attention(ql, kl, vl, scale=scale,
+                             k_valid_len=k_valid_len, window=window,
+                             trainable=trainable)
+
+        return shard_map(
+            body, mesh=self.mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_rep=False,
+        )(q, k, v)
+
     def latent(self, x):
         """[B, C, F, H, W] latents: batch over dp."""
         return self._c(x, "dp", None, None, None, None)
