@@ -520,3 +520,28 @@ def test_cache_policy_from_quant_config(tmp_path):
     path.write_text(yaml.safe_dump(raw))
     assert cache_policy_from_args(
         quiet, qcfg=QuantConfig.from_yaml(str(path))) is None
+
+
+def test_simulate_matches_real_loop(tiny, contexts):
+    # simulate_adaptive_actions must replay EXACTLY the decisions the
+    # real cached loop took, given the trace's drift values — the
+    # equivalence that makes scale-tuned threshold pins meaningful
+    from wanq_tpu.pipelines.text2video import simulate_adaptive_actions
+
+    cfg, params = tiny
+    c, cn = contexts
+    pipe = WanT2V(cfg, params)
+    for pol in (AdaptiveCachePolicy(threshold=0.15, warmup=1, tail=1),
+                AdaptiveCachePolicy(threshold=0.45, warmup=2, tail=1,
+                                    cfg_interval=2),
+                AdaptiveCachePolicy(threshold=0.15, warmup=1, tail=1,
+                                    poly=(0.7, 0.01))):
+        pipe.generate(c, cn, cache_policy=pol, **GEN_KW)
+        trace = pipe.last_adaptive_trace
+        n = GEN_KW["sampling_steps"]
+        drifts = [0.0] * n
+        real = ["full"] * n
+        for e in trace:
+            drifts[e["step"]] = e["d"]
+            real[e["step"]] = e["act"]
+        assert simulate_adaptive_actions(pol, drifts) == real

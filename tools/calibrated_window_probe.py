@@ -92,7 +92,7 @@ def main():
     emitted = {}
     for m in masses:
         out = run_cli("wanq_tpu.cli.ptq", common + [
-            "--quant_config", "quant_configs/wan_w8a8.yaml",
+            "--quant_config", "quant_configs/wan_w8a8_speed.yaml",
             "--calib_data", args.calib_npz,
             "--save_path", f"/tmp/qp_win_{m}.npz",
             "--suggest_window", str(m)])

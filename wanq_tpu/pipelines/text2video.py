@@ -245,6 +245,39 @@ def fit_drift_poly(pipe, context, context_null, degree: int = 4,
     return tuple(float(c) for c in np.polyfit(d, o, deg))
 
 
+def simulate_adaptive_actions(policy: AdaptiveCachePolicy,
+                              drifts: List[float]) -> List[str]:
+    """Replay the adaptive policy's decisions for a known per-step input
+    drift sequence — the regression surface for scale-tuned thresholds
+    (e.g. pinning that the shipped 14B poly+tolerance actually skips on
+    the measured 14B trajectory). ``drifts[i]`` is the relative-L1 drift
+    of step i's input vs step i-1's (index 0 is ignored: the first step
+    has no reference point and always evaluates). Mirrors
+    _generate_cached's accumulator arithmetic exactly; the equivalence
+    against a real cached run is pinned by
+    tests/test_step_cache.py::test_simulate_matches_real_loop."""
+    n = len(drifts)
+    acc, n_eval = 0.0, 0
+    acts: List[str] = []
+    for i in range(n):
+        protected = i < policy.warmup or i >= n - policy.tail
+        if protected or i == 0:
+            act = "full"
+        else:
+            acc += float(np.polyval(policy.poly, drifts[i]))
+            if acc < policy.threshold:
+                act = "reuse"
+            elif policy.cfg_interval > 1 and n_eval % policy.cfg_interval:
+                act = "cond"
+            else:
+                act = "full"
+        if act != "reuse":
+            acc = 0.0
+            n_eval += 1
+        acts.append(act)
+    return acts
+
+
 @dataclasses.dataclass
 class WanT2V:
     """Latent-space pipeline; text encoding / VAE decode are pluggable
