@@ -103,9 +103,10 @@ def add_common_args(p: argparse.ArgumentParser, default_steps: int = 50):
                         "480p (BENCH_NOTES 'Sliding temporal-window'); "
                         "pick the radius with "
                         "quant.attn.select_temporal_windows from calib "
-                        "attention maps. Ulysses-only (needs "
-                        "--ring_size 1); not composable with attn-map "
-                        "quant sections")
+                        "attention maps. Uniform radii compose with "
+                        "Ulysses AND ring (per-KV-shard band masks); "
+                        "per-head lists are single-chip; not composable "
+                        "with attn-map quant sections")
     # prompt extension (ref fp_generate.py:119-138 + prompt_extend usage)
     p.add_argument("--use_prompt_extend", action="store_true")
     p.add_argument("--prompt_extend_method", type=str, default="local_qwen",

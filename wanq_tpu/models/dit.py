@@ -532,11 +532,14 @@ def _self_attention(
     )
     q_scale = (1.0 / math.sqrt(hd)) if plain_attn else 1.0
     # sliding temporal-window mask, resolved by dit_forward (None = dense).
-    # Only the plain-attention paths take it — calib runs dense (window
-    # selection needs the full map mass) and the quant/ring composition
-    # guards raise in dit_forward.
+    # The plain-attention paths take it, and so does ring context
+    # parallelism (per-KV-shard band masks, parallel/ring.py) — calib
+    # runs dense (window selection needs the full map mass) and the
+    # attn-quant composition guards raise in dit_forward.
     window = None
-    if ctx is not None and ctx.attn_window is not None and plain_attn:
+    ring = plan is not None and plan.ring_size > 1
+    if (ctx is not None and ctx.attn_window is not None
+            and (plain_attn or ring)):
         assert isinstance(ctx.attn_window, TemporalWindow), ctx.attn_window
         window = ctx.attn_window
 
@@ -641,7 +644,8 @@ def _self_attention(
                 "--ring_size 1 or drop the attn section"
             )
         y = plan.ring_attention(
-            q.astype(dtype), k.astype(dtype), v, k_valid_len=valid_len
+            q.astype(dtype), k.astype(dtype), v, k_valid_len=valid_len,
+            window=window,
         )
     elif ctx is not None and ctx.attn is not None and ctx.mode == "int8":
         # hardware path: int8 flash kernel (q/k per-row, v per-channel,
@@ -1089,8 +1093,14 @@ def dit_forward(
             assert len(radii) == cfg.num_heads, (
                 f"{len(radii)} window radii for {cfg.num_heads} heads")
             radii = tuple(grid[0] if r < 0 else r for r in radii)
-            win = TemporalWindow(tokens_per_frame=tpf, radius=max(radii),
-                                 head_radii=radii)
+            if len(set(radii)) == 1:
+                # uniform per-head radii ARE the scalar window — collapse
+                # here so every consumer (ring band masks included) sees
+                # the scalar form
+                win = TemporalWindow(tokens_per_frame=tpf, radius=radii[0])
+            else:
+                win = TemporalWindow(tokens_per_frame=tpf, radius=max(radii),
+                                     head_radii=radii)
         else:
             win = TemporalWindow(tokens_per_frame=tpf, radius=int(aw))
         min_r = min(win.head_radii) if win.head_radii else win.radius
@@ -1107,23 +1117,21 @@ def dit_forward(
                     "quantization: the sim materializes the full map and "
                     "the int8 kernel is dense — window the plain/int8-GEMM "
                     "deployment instead (drop the attn: section)")
-            if plan is not None and plan.ring_size > 1:
-                raise NotImplementedError(
-                    "attn_window under ring context parallelism needs "
-                    "per-KV-shard band masks (the ring rotates KV shards "
-                    "through every query block); run Ulysses-only "
-                    "(--ring_size 1) — at 1.3B/14B grids the band is wider "
-                    "than one ring shard anyway")
             if (win.head_radii is not None
                     and len(set(win.head_radii)) > 1
                     and plan is not None and plan.sp_size > 1):
+                # uniform windows compose with BOTH multi-chip attention
+                # modes (Ulysses: full seq per head shard; ring:
+                # per-KV-shard band masks in parallel/ring.py). Per-head
+                # radii do not: the grouped splash path permutes and
+                # unevenly slices the head axis, which GSPMD can only run
+                # by resharding the head-sharded operands (silent
+                # all-to-alls at 14B scale), and ring would need per-head
+                # band masks in the fold.
                 raise NotImplementedError(
-                    "per-head window radii under Ulysses head sharding: "
-                    "the grouped splash path permutes and unevenly slices "
-                    "the head axis, which GSPMD can only run by resharding "
-                    "the head-sharded operands (silent all-to-alls at 14B "
-                    "scale); deploy a uniform window (scalar attn_window) "
-                    "on the mesh, or per-head radii on a single chip")
+                    "per-head window radii under sequence parallelism: "
+                    "deploy a uniform window (scalar attn_window) on the "
+                    "mesh, or per-head radii on a single chip")
         # calib AND map-capture passes run DENSE (window selection needs
         # full-map mass), but the resolved/None form is what
         # _self_attention consumes elsewhere. collect passes by REFERENCE:

@@ -91,13 +91,15 @@ class ShardingPlan:
     def heads_spec(self) -> P:
         return P("dp", "ring", "sp", None)
 
-    def ring_attention(self, q, k, v, k_valid_len=None):
-        """Hybrid Ulysses×ring attention on head-sharded operands."""
+    def ring_attention(self, q, k, v, k_valid_len=None, window=None):
+        """Hybrid Ulysses×ring attention on head-sharded operands.
+        ``window`` (uniform TemporalWindow) applies per-KV-shard band
+        masks on global positions — see parallel.ring.ring_attention."""
         from wanq_tpu.parallel.ring import ring_attention
 
         return ring_attention(
             q, k, v, self.mesh, axis="ring", k_valid_len=k_valid_len,
-            qkv_spec=self.heads_spec(),
+            qkv_spec=self.heads_spec(), window=window,
         )
 
     def can_shard_heads(self, n_heads: int) -> bool:
