@@ -120,6 +120,31 @@ def generate(args):
             "--attn_window %s",
             args.suggest_window, n_frames, radius, radius,
             ",".join(str(int(r)) for r in ph))
+        # deployment guard: banded attention only PAYS below a measured
+        # density break-even on this hardware — boundary blocks run the
+        # in-kernel mask, which costs more than the skipped work once the
+        # band covers most of the map (measured: density 0.38 -> 1.31x,
+        # 0.63 -> 0.92x, 0.65 -> 0.96-0.97x; BENCH_NOTES 'Sliding
+        # temporal-window' + 'calibrated window chain'). Near-uniform
+        # attention (e.g. random-init calib) emits wide radii that land
+        # past it.
+        from wanq_tpu.models.attention import TemporalWindow
+
+        mean_density = float(np.mean([
+            TemporalWindow(tpf, int(np.max(r)),
+                           head_radii=tuple(int(x) for x in r)
+                           ).density(n_frames)
+            for r in radii.values()
+        ]))
+        BREAK_EVEN = 0.55
+        if mean_density > BREAK_EVEN:
+            logging.warning(
+                "calibrated band density %.2f exceeds the measured "
+                "break-even (~%.2f on v5e): windowing at these radii "
+                "will NOT pay — deploy dense, or lower --suggest_window "
+                "(calibration maps this uniform usually mean random-init "
+                "weights or a genuinely global-attention model)",
+                mean_density, BREAK_EVEN)
         return args.save_path, radius
 
     if args.check_reference_params:
