@@ -434,7 +434,13 @@ def test_ptq_suggest_window(workdir, capsys):
     # 3 latent frames -> radius in [0, 2]; random-init attention is
     # near-uniform, so 95% mass needs (almost) the full span
     assert 0 <= radius <= 2
-    assert "suggested sliding-window radius" in capsys.readouterr().out
+    logged = capsys.readouterr()
+    text = logged.out + logged.err
+    assert "suggested sliding-window radius" in text
+    # near-uniform maps emit a band density past the measured on-chip
+    # break-even -> the deployment guard must warn (round-5,
+    # BENCH_NOTES 'calibrated per-head window chain')
+    assert "exceeds the measured break-even" in text
 
     # missing maps -> actionable error (artifact without .attn_map keys)
     np.savez("calib_nomap.npz", **{
