@@ -549,6 +549,9 @@ def _self_attention(
     if (
         cfg.qk_norm and plain_attn and plan is None and hd == 128
         and not training
+        # map-capture passes need the q/k tensors in the non-fused path
+        # (the pooled-map hook below) — the fused kernel early-returns
+        and not (ctx is not None and ctx.attn_map_pool)
         and jax.default_backend() == "tpu"
         and os.environ.get("WANQ_FUSED_QK", "1") != "0"
     ):

@@ -724,6 +724,10 @@ class WanT2V:
 
         maps = jax.jit(step)(self.params, self.quant_ctx, latents, tt,
                              context)
+        if not maps:
+            raise RuntimeError(
+                "no attention maps captured — the model forward never hit "
+                "the pooled-map hook (models/dit.py _self_attention)")
         return {k[: -len(".attn_map")]: np.asarray(v)
                 for k, v in maps.items()}
 
