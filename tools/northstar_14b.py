@@ -135,7 +135,7 @@ def main():
     ap.add_argument("--res", type=int, default=720, choices=[480, 720])
     ap.add_argument("--mass", type=float, default=0.9,
                     help="retained-mass threshold for per-head radii")
-    ap.add_argument("--pool", type=int, default=512)
+    ap.add_argument("--pool", type=int, default=128)
     ap.add_argument("--tol", type=float, default=0.10,
                     help="output-space adaptive threshold (with the "
                          "fitted poly the accumulator estimates output "

@@ -218,14 +218,20 @@ def pooled_attn_map(
         chunk //= 2
     chunk = max(chunk, pool)
     assert chunk % pool == 0, (chunk, pool)
-    qh = jnp.swapaxes(q, 1, 2).astype(jnp.float32)  # [B, N, S, D]
-    kh = jnp.swapaxes(k, 1, 2).astype(jnp.float32)
+    # bf16 operands + f32 accumulation: the einsum rides the MXU at full
+    # rate and the q/k copies halve — mass-fraction selection doesn't
+    # need f32 scores (softmax still computed in f32)
+    qh = jnp.swapaxes(q, 1, 2).astype(jnp.bfloat16)  # [B, N, S, D]
+    kh = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
     kv_mask = None
     if k_valid_len is not None and k_valid_len < s:
         kv_mask = jnp.arange(s) < k_valid_len
 
     def one_chunk(q_chunk):  # [B, N, chunk, D]
-        scores = jnp.einsum("bnqd,bnkd->bnqk", q_chunk * scale, kh)
+        scores = jnp.einsum("bnqd,bnkd->bnqk",
+                            (q_chunk.astype(jnp.float32) * scale
+                             ).astype(jnp.bfloat16), kh,
+                            preferred_element_type=jnp.float32)
         if kv_mask is not None:
             scores = jnp.where(kv_mask[None, None, None, :], scores,
                                jnp.finfo(jnp.float32).min)
