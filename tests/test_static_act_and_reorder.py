@@ -114,7 +114,10 @@ def test_pooled_attn_map_matches_naive(setup):
     p = np.exp(scores - scores.max(-1, keepdims=True))
     p = p / p.sum(-1, keepdims=True)
     want = p.reshape(b, n, s // pool, pool, s // pool, pool).max((0, 3, 5))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+    # capture computes scores from bf16 operands with f32 accumulation
+    # (round 5 — full-MXU-rate capture at 14B shapes); ~2e-3 abs drift vs
+    # the f32 oracle, far below what mass-threshold selection resolves
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=5e-3)
 
 
 def test_generated_reorder_tightens_block_quant(setup):

@@ -194,11 +194,16 @@ def main():
             compute_target_shape,
         )
 
+        # capture at 480p: radii are in LATENT FRAMES (identical 21-frame
+        # grid at both resolutions), and the 720p pooled-map capture does
+        # not fit next to the 6.6 GiB weight state on a 16 GB chip
+        # (S=75776 f32 score chunks + 40-block stacked maps)
+        cap_size = (832, 480)
         cap_pipe = WanT2V(cfg, params, quant_ctx=qctx)
         t0 = time.time()
         maps = cap_pipe.capture_attn_maps(
-            c, size=size, frame_num=frame_num, pool=args.pool, t=500.0)
-        ts = compute_target_shape(cfg, size, frame_num)
+            c, size=cap_size, frame_num=frame_num, pool=args.pool, t=500.0)
+        ts = compute_target_shape(cfg, cap_size, frame_num)
         tpf = (ts[2] // cfg.patch_size[1]) * (ts[3] // cfg.patch_size[2])
         n_frames = ts[1] // cfg.patch_size[0]
         radii = select_temporal_windows(
