@@ -283,10 +283,12 @@ def main():
     if radii_ph is not None:
         run_row("winPH+ada", radii_ph)
 
-    # VAE decode anchor for minutes/video
+    # VAE decode anchor for minutes/video — free the ENTIRE DiT weight
+    # state first (the 720p decode needs ~8 GB next to nothing else; the
+    # first run of this tool OOMed here holding the 6.6 GiB base alive)
     t_vae = 0.0
     if not args.skip_vae:
-        del dense_pipe
+        del dense_pipe, params, qctx, c, cn
         drain_device("before vae")
         from wanq_tpu.models.vae import WanVAE
 
