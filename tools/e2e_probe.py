@@ -136,7 +136,7 @@ def phase_t5(cfg, t5_cpu: bool):
 
 
 def phase_denoise(cfg, context, context_null, steps, cached, order=0,
-                  threshold=0.10):
+                  threshold=0.10, window=None):
     frame_num = 81
     timings = {}
     t0 = time.time()
@@ -172,6 +172,10 @@ def phase_denoise(cfg, context, context_null, steps, cached, order=0,
     ctx = QuantCtx(mode="int8", policies=policies, state=state,
                    rotations=rotations)
     ctx = make_scan_ctx(ctx, cfg.num_layers)
+    if window is not None:
+        # sliding temporal window composes with the cache on the eval
+        # schedule (BENCH_NOTES round-5 fenced composition table)
+        ctx = ctx.replace(attn_window=int(window), collect=ctx.collect)
     jax.block_until_ready(ctx.scan_state)
     timings["dit_init_ptq_s"] = time.time() - t0
     print(f"B. DiT init + calib + W8A8 PTQ: {timings['dit_init_ptq_s']:.1f}s",
@@ -193,7 +197,7 @@ def phase_denoise(cfg, context, context_null, steps, cached, order=0,
     # 4.5x inflation on the 14B probe before the fence was added)
     t0 = time.time()
     lat_c = pipe.generate(c_j, cn_j, size=(832, 480), frame_num=frame_num,
-                          sampling_steps=4 if cached else 2, seed=0,
+                          sampling_steps=5 if cached else 2, seed=0,
                           cache_policy=pol)
     float(jnp.sum(lat_c))
     del lat_c
@@ -206,6 +210,8 @@ def phase_denoise(cfg, context, context_null, steps, cached, order=0,
     tag = {"static": " (cached cfg2+reuse2)",
            "ada": f" (cached ada.{int(threshold*100):02d}"
                   f"{f'.o{order}' if order else ''})"}.get(cached, "")
+    if window is not None:
+        tag = f" (win{window})" + tag
     print(f"   {steps}-step denoise{tag}: "
           f"{timings['denoise_s']:.1f}s "
           f"({timings['denoise_s']/steps:.2f} s/step-equivalent; "
@@ -249,6 +255,9 @@ def main():
                     help="VAE compute dtype (cli/common.py --vae_dtype)")
     ap.add_argument("--cache_order", type=int, default=0, choices=[0, 1, 2],
                     help="forecast order on skipped steps (--cached only)")
+    ap.add_argument("--window", type=int, default=None,
+                    help="sliding temporal-window radius (composes with "
+                         "--cached)")
     ap.add_argument("--cache_threshold", type=float, default=0.10,
                     help="adaptive drift tolerance (--cached ada only)")
     args = ap.parse_args()
@@ -259,7 +268,7 @@ def main():
     context, context_null, t_a = phase_t5(cfg, t5_cpu=not args.no_t5_cpu)
     drain_device("after T5")
     latents, t_b = phase_denoise(cfg, context, context_null, args.steps,
-                                 args.cached, order=args.cache_order,
+                                 args.cached, order=args.cache_order, window=args.window,
                                  threshold=args.cache_threshold)
     drain_device("after denoise")
     t_c = phase_vae(latents, args.vae_dtype)
