@@ -265,8 +265,8 @@ def measure_stepcache(r, steps: int = 12):
     pols = {"reuse2": StepCachePolicy(reuse_interval=2, warmup=2, tail=2),
             "adaptive.10": AdaptiveCachePolicy(threshold=0.10, warmup=2,
                                                tail=2)}
-    # window x cache composition (measured 3.90x over the uncached W8A8
-    # loop at 54 dB, BENCH_NOTES "Window x step-cache composition"):
+    # window x cache composition (measured 4.31x over the uncached W8A8
+    # loop at 54 dB over 30 steps, BENCH_NOTES round-5 "Fenced re-run"):
     # the windowed pipe shares the uncached baseline's fidelity gate
     win_pipe = None
     if os.environ.get("WANQ_BENCH_WINDOW", "1") != "0":
